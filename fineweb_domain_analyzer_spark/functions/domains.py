@@ -1,0 +1,101 @@
+"""Domain extraction — P1/P2 of SURVEY.md §2.2.
+
+Reference semantics (/root/reference/fineweb_analyzer.py:128-152,
+duplicated at 507-518):
+
+1. ``urlparse(url).netloc.lower()``
+2. strip ``:port`` — UNLESS the netloc ends with ``:8080`` (quirk:
+   line 135 keeps the port in that one case)
+3. strip a leading ``www.``
+4. any parse error → None
+5. tld = last ``.``-label; '' when the domain has no dot (lines 148-152)
+
+Two implementations:
+
+* ``extract_domain_udf`` — Arrow-batched pandas UDF wrapping
+  ``urllib.parse.urlparse``. Byte-exact with the reference (the
+  F1≥0.99 invariant hinges on matching urlparse edge cases). This is
+  the one the filter pipeline uses.
+* ``extract_domain_sql`` / ``extract_tld_sql`` — pure Column
+  expressions (whole-stage-codegen, JVM-side). Same result on
+  well-formed http(s) URLs; used on hot paths where inputs are known
+  clean and for the DuckDB-oracle parity queries.
+
+At 100 TB the SQL variant is preferred wherever upstream guarantees
+well-formed URLs; the UDF is still vectorized (Arrow) and ~linear, but
+keeps data crossing the JVM↔Python boundary once per row batch.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+def extract_domain_py(url: str | None) -> str | None:
+    """Pure-Python exact reimplementation of the reference semantics.
+
+    Used by the pandas UDF below and directly by unit tests as the
+    differential oracle.
+    """
+    if url is None:
+        return None
+    try:
+        domain = urlparse(url).netloc.lower()
+        if ":" in domain and not domain.endswith(":8080"):
+            domain = domain.split(":")[0]
+        if domain.startswith("www."):
+            domain = domain[4:]
+        return domain
+    except Exception:
+        return None
+
+
+def extract_tld_py(domain: str | None) -> str:
+    if not domain or "." not in domain:
+        return ""
+    return domain.split(".")[-1]
+
+
+# DataType objects (not DDL strings) so the UDFs can be declared at
+# import time, before any SparkSession exists.
+@pandas_udf(StringType())
+def extract_domain_udf(urls: pd.Series) -> pd.Series:
+    """Vectorized exact domain extraction (Arrow batches, no per-row JVM hop)."""
+    return urls.map(extract_domain_py)
+
+
+@pandas_udf(StringType())
+def extract_tld_udf(domains: pd.Series) -> pd.Series:
+    return domains.map(extract_tld_py)
+
+
+def extract_domain_sql(url: Column) -> Column:
+    """JVM-side fast path: netloc → lowercase → port-strip (with the
+    ``:8080`` keep-quirk) → www-strip. Matches the UDF on well-formed
+    ``scheme://netloc/...`` URLs.
+
+    Why not ``parse_url(url,'HOST')``: Spark's parse_url always drops
+    the port, which misses the reference's ``:8080`` quirk, and returns
+    null for hosts it deems invalid where urlparse still returns a
+    netloc.
+    """
+    netloc = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    deported = F.when(
+        netloc.contains(":") & ~netloc.endswith(":8080"),
+        F.split(netloc, ":").getItem(0),
+    ).otherwise(netloc)
+    return F.when(
+        deported.startswith("www."), F.substring(deported, 5, 2147483647)
+    ).otherwise(deported)
+
+
+def extract_tld_sql(domain: Column) -> Column:
+    return F.when(
+        domain.isNull() | (F.instr(domain, ".") == 0), F.lit("")
+    ).otherwise(F.element_at(F.split(domain, r"\."), -1))

@@ -1,0 +1,146 @@
+"""robots.txt parsing + domain-policy table construction.
+
+Replicates the reference parser semantics exactly
+(/root/reference/fineweb_analyzer.py:320-349):
+
+* only ``User-agent:``, ``Disallow:``, ``Crawl-delay:`` directives are
+  understood; ``Allow:`` lines are IGNORED entirely (doc/code
+  discrepancy noted in SURVEY.md §2.3 — the code is the oracle)
+* a section applies to us when its user-agent is ``*`` or equals our
+  UA case-insensitively (line 333-334)
+* ``Disallow: /`` under an applicable section ⇒ crawl_allowed=False
+  (line 339-340); any other non-empty path is recorded in
+  ``disallowed_paths`` but NEVER enforced by the filter (lines 436-459
+  consult only crawl_allowed)
+* ``Crawl-delay`` parsed as float, unparseable values silently dropped
+  (lines 344-349); recorded, never enforced
+* comments (#) and blank lines skipped (lines 327-329)
+
+The live network fetch of the reference (ThreadPoolExecutor at
+fineweb_analyzer.py:351-387) is deliberately NOT part of the analytics
+engine: per the north star it's recast as an offline pre-fetch job that
+materializes a ``domain_policy`` dimension table, which the engine then
+broadcast-joins. ``parse_robots_udf`` is the vectorized parser used by
+that pre-fetch job (and by tests over frozen fixture content); the
+engine proper does zero network I/O.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from fineweb_domain_analyzer_spark.schema import DOMAIN_POLICY
+
+_PARSE_RESULT_TYPE = (
+    "struct<crawl_allowed:boolean, crawl_delay:double, disallowed_paths:array<string>>"
+)
+
+
+def parse_robots_py(
+    robots_content: str | None, user_agent: str = "*"
+) -> dict[str, Any]:
+    """Pure-Python exact parse; one robots.txt body → policy fields.
+
+    crawl_allowed defaults True (reference line 285) and is only
+    flipped by an applicable ``Disallow: /``.
+    """
+    result: dict[str, Any] = {
+        "crawl_allowed": True,
+        "crawl_delay": None,
+        "disallowed_paths": [],
+    }
+    if robots_content is None:
+        return result
+    applies_to_us = False
+    for line in robots_content.strip().split("\n"):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        low = line.lower()
+        if low.startswith("user-agent:"):
+            current = line.split(":", 1)[1].strip()
+            applies_to_us = current == "*" or current.lower() == user_agent.lower()
+        elif applies_to_us:
+            if low.startswith("disallow:"):
+                path = line.split(":", 1)[1].strip()
+                if path == "/":
+                    result["crawl_allowed"] = False
+                elif path:
+                    result["disallowed_paths"].append(path)
+            elif low.startswith("crawl-delay:"):
+                try:
+                    result["crawl_delay"] = float(line.split(":", 1)[1].strip())
+                except ValueError:
+                    pass
+    return result
+
+
+def make_parse_robots_udf(user_agent: str = "*"):
+    """Arrow-batched robots parser returning a struct column."""
+
+    @pandas_udf(_PARSE_RESULT_TYPE)
+    def parse_robots_udf(contents: pd.Series) -> pd.DataFrame:
+        parsed = [parse_robots_py(c, user_agent) for c in contents]
+        return pd.DataFrame(parsed)
+
+    return parse_robots_udf
+
+
+def policy_from_robots_content(
+    robots_df: DataFrame, user_agent: str = "*"
+) -> DataFrame:
+    """Offline pre-fetch job tail: (domain, robots_content|null, error|null)
+    → full DOMAIN_POLICY rows with reference fetch semantics:
+
+    * content present        → parse (200 branch, lines 299-303)
+    * content null, no error → 404 branch: allowed (lines 304-306)
+    * error non-null         → connection failure: denied (lines 308-317)
+    """
+    parse = make_parse_robots_udf(user_agent)
+    cols = robots_df.columns
+    err = F.col("error") if "error" in cols else F.lit(None).cast("string")
+    df = robots_df.withColumn("_parsed", parse(F.col("robots_content")))
+    return df.select(
+        F.col("domain"),
+        F.col("robots_content").isNotNull().alias("robots_exists"),
+        F.when(err.isNotNull(), F.lit(False))
+        .when(F.col("robots_content").isNotNull(), F.col("_parsed.crawl_allowed"))
+        .otherwise(F.lit(True))
+        .alias("crawl_allowed"),
+        F.col("_parsed.crawl_delay").alias("crawl_delay"),
+        F.coalesce(F.col("_parsed.disallowed_paths"), F.array().cast("array<string>")).alias(
+            "disallowed_paths"
+        ),
+        err.alias("error"),
+        F.current_timestamp().alias("last_checked"),
+        F.col("robots_content"),
+    )
+
+
+def load_policy_fixture(spark: SparkSession, robots_json_path: str) -> DataFrame:
+    """Load a frozen robots-check snapshot (the reference's
+    ``robots_check_*.json`` format: ``{metadata, results: {domain → rec}}``)
+    as a DOMAIN_POLICY DataFrame. Used so tests never touch the network."""
+    with open(robots_json_path, encoding="utf-8") as f:
+        results = json.load(f)["results"]
+    rows = []
+    for domain, rec in results.items():
+        rows.append(
+            (
+                domain,
+                bool(rec.get("robots_exists", False)),
+                bool(rec.get("crawl_allowed", False)),
+                rec.get("crawl_delay"),
+                rec.get("disallowed_paths") or [],
+                rec.get("error"),
+                None,
+                rec.get("robots_content"),
+            )
+        )
+    return spark.createDataFrame(rows, DOMAIN_POLICY)

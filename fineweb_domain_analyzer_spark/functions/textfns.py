@@ -1,0 +1,111 @@
+"""Text scalar functions: decode, tokenization, language ID, fingerprints.
+
+All hot-path functions are pure Column expressions (JVM, whole-stage
+codegen). Python appears only in ``decode_utf8_ignore_udf``, where
+byte-exact parity with the reference's ``bytes.decode('utf-8',
+errors='ignore')`` (/root/reference/fineweb_analyzer.py:95) is
+invariant-critical and Spark's ``decode()`` has no 'ignore' mode.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+@pandas_udf(StringType())
+def decode_utf8_ignore_udf(payload: pd.Series) -> pd.Series:
+    """BINARY html → STRING text with Python's errors='ignore' semantics.
+
+    Spark's `decode(col,'UTF-8')` replaces/raises on invalid bytes;
+    the reference silently drops them, and the byte-identical-text
+    invariant requires exactly that.
+    """
+    return payload.map(lambda b: None if b is None else bytes(b).decode("utf-8", "ignore"))
+
+
+# --- tokenization ----------------------------------------------------------
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization as an array column. Matches
+    ``re.split(r'\\s+')`` on trimmed text (both Spark and DuckDB agree
+    on this shape, which the oracle queries rely on)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(ws_tokens(text))
+    )
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-flavored regex tokenizer: alpha runs, digit runs, single
+    punctuation — a cheap stand-in for subword counts, fully JVM-side."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+# --- language ID (n-gram/stopword heuristic) -------------------------------
+
+# Tiny per-language stopword lists. A real deployment swaps in fastText
+# via a pandas UDF (see operators/quality.py:fasttext_like_langid_udf);
+# this heuristic is the deterministic, JVM-only fallback that needs no
+# model artifact and is oracle-expressible in ANSI SQL.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "y", "es", "una", "para", "en", "que", "por"),
+}
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    words = ws_tokens(F.lower(text))
+    arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda t: F.array_contains(arr, t)))
+
+
+def cjk_char_count(text: Column) -> Column:
+    """Count CJK-unified-ideograph chars (the reference fixtures carry a
+    chinese_chars field computed the same way upstream)."""
+    return F.length(text) - F.length(F.regexp_replace(text, r"[一-鿿]", ""))
+
+
+def langid_heuristic(text: Column) -> Column:
+    """Deterministic heuristic language ID:
+    CJK-ratio > 0.15 → 'zh'; else argmax stopword density over the
+    per-language lists; no hits → 'unk'."""
+    n = F.greatest(ws_token_count(text), F.lit(1))
+    densities = [
+        (lang, stopword_hits(text, lang) / n) for lang in LANG_STOPWORDS
+    ]
+    cjk_ratio = cjk_char_count(text) / F.greatest(F.length(text), F.lit(1))
+    best = F.greatest(*[d for _, d in densities])
+    guess = F.lit("unk")
+    # reversed so earlier langs win ties (stable argmax order en,de,fr,es)
+    for lang, d in reversed(densities):
+        guess = F.when(d == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best <= 0, F.lit("unk")).otherwise(guess)
+    return F.when(cjk_ratio > 0.15, F.lit("zh")).otherwise(guess)
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+def content_fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct whitespace tokens. Detects bag-of-words duplicates
+    regardless of word order; JVM-only."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(ws_tokens(F.lower(text)))), " ")
+    )
+
+
+def exact_fingerprint(text: Column) -> Column:
+    """Byte-exact duplicate key."""
+    return F.md5(text)

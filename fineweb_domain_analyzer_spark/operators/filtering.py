@@ -1,0 +1,119 @@
+"""Keep/drop content filter — the reference's stage 4, Spark-first.
+
+Reference (/root/reference/fineweb_analyzer.py:411-518) builds an
+in-memory dict ``domain → crawl_allowed`` and probes it per row. Here
+that is a **broadcast hash left-outer equi-join** against the
+domain-policy dimension followed by a vectorized predicate — the
+idiomatic Spark shape for a fact↔small-dim lookup (the dim is
+O(domains), orders of magnitude smaller than pages, so Catalyst picks
+BroadcastHashJoin; we hint it explicitly so the plan is stable even
+when dim-size stats are missing).
+
+Keep-predicate truth table (verified against the reference fixtures,
+SURVEY.md §2.3):
+
+| condition                         | decision | reference line |
+|-----------------------------------|----------|----------------|
+| no/empty url                      | keep     | 465-467        |
+| domain is null (unparseable url)  | drop     | 459 (`if domain and ...`) |
+| domain not in policy table        | keep     | 459 default-allow |
+| crawl_allowed = true              | keep     | 459            |
+| crawl_allowed = false             | drop     | 459→463        |
+
+Scale note: a broadcast join does NOT shuffle the pages fact table —
+the plan stays a single map stage over the scan, which is exactly what
+survives a 100× scale-up. Policy tables too big to broadcast (≫ tens of
+millions of domains) would switch to a bucketed sort-merge join;
+``join_policy(broadcast_dim=False)`` keeps that path available.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.functions.domains import (
+    extract_domain_sql,
+    extract_domain_udf,
+)
+
+# Drop-reason enum — unified across robots/quality/lang stages so the
+# lineage histogram (metrics.py) has one vocabulary.
+REASON_KEPT = "kept"
+REASON_ROBOTS_DISALLOWED = "robots_disallowed"
+REASON_BAD_URL = "bad_url"
+
+
+def with_domain(pages: DataFrame, url_col: str = "url", exact: bool = True) -> DataFrame:
+    """Add a ``domain`` column. ``exact=True`` uses the urlparse-exact
+    pandas UDF (byte-parity with the reference); ``exact=False`` uses
+    the JVM-side expression (whole-stage codegen, for clean inputs)."""
+    fn = extract_domain_udf if exact else extract_domain_sql
+    return pages.withColumn("domain", fn(F.col(url_col)))
+
+
+def join_policy(
+    pages: DataFrame, policy: DataFrame, broadcast_dim: bool = True
+) -> DataFrame:
+    """Left-join the policy dimension on domain. Only ``crawl_allowed``
+    is consulted downstream (the reference records but never enforces
+    disallowed_paths/crawl_delay — fineweb_analyzer.py:436-459)."""
+    dim = policy.select(
+        F.col("domain").alias("_policy_domain"),
+        F.col("crawl_allowed").alias("_policy_crawl_allowed"),
+    )
+    if broadcast_dim:
+        dim = F.broadcast(dim)
+    return pages.join(dim, pages["domain"] == dim["_policy_domain"], "left").drop(
+        "_policy_domain"
+    )
+
+
+def keep_predicate(url: Column, domain: Column, crawl_allowed: Column) -> Column:
+    """The F5 truth table as one vectorized boolean expression."""
+    no_url = url.isNull() | (url == "")
+    # reference line 459: `if domain and ...` — a null OR empty-string
+    # domain (urlparse of a scheme-less/invalid url yields netloc '')
+    # falls to the excluded branch.
+    has_domain = domain.isNotNull() & (domain != "")
+    return F.when(no_url, F.lit(True)).otherwise(
+        has_domain & F.coalesce(crawl_allowed, F.lit(True))
+    )
+
+
+def drop_reason(url: Column, domain: Column, crawl_allowed: Column) -> Column:
+    no_url = url.isNull() | (url == "")
+    return (
+        F.when(no_url, F.lit(REASON_KEPT))
+        .when(domain.isNull() | (domain == ""), F.lit(REASON_BAD_URL))
+        .when(~F.coalesce(crawl_allowed, F.lit(True)), F.lit(REASON_ROBOTS_DISALLOWED))
+        .otherwise(F.lit(REASON_KEPT))
+    )
+
+
+def label_pages(
+    pages: DataFrame,
+    policy: DataFrame,
+    url_col: str = "url",
+    exact_domain: bool = True,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """pages → pages + (domain, keep, drop_reason). Single map-side pass:
+    scan → UDF/projection → broadcast join → predicate. No shuffle."""
+    labeled = with_domain(pages, url_col, exact=exact_domain)
+    labeled = join_policy(labeled, policy, broadcast_dim=broadcast_dim)
+    url = F.col(url_col)
+    dom = F.col("domain")
+    allowed = F.col("_policy_crawl_allowed")
+    return (
+        labeled.withColumn("keep", keep_predicate(url, dom, allowed))
+        .withColumn("drop_reason", drop_reason(url, dom, allowed))
+        .drop("_policy_crawl_allowed")
+    )
+
+
+def split_kept_excluded(labeled: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The reference's dual sink (filtered/excluded JSONL,
+    fineweb_analyzer.py:427-468) as two filtered views; callers write
+    them with ``partitionBy('keep')`` for a single-pass sink."""
+    return labeled.filter(F.col("keep")), labeled.filter(~F.col("keep"))

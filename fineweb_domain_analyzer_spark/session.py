@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+All knobs here are chosen for the 100 TB / 1000-executor target and
+merely *scaled down* for local testing:
+
+* AQE on (runtime coalescing, skew-join splitting) — the cluster-side
+  answer to head-domain skew that `operators.skew` complements.
+* Arrow on, with a bounded batch size so pandas-UDF model scoring
+  (langid/perplexity) amortizes per-batch init without ballooning
+  executor memory.
+* shuffle partitions default to 2× cores locally; on a real cluster the
+  submitter sets this to ~2-3× total executor cores (or relies on AQE
+  coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Broadcast threshold: the domain-policy dimension is O(domains) —
+    # small relative to pages — so give Catalyst room to broadcast it.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet scans: 128 MiB splits keep task count sane at 100 TB.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "fineweb-domain-analyzer-spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS|*]`` so bench
+    harnesses can pin parallelism; on a real cluster pass ``None`` and
+    let spark-submit decide.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+    confs = dict(DEFAULT_CONFS)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
