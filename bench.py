@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline queries from ``__spark_entry__.queries()`` run at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS|32]``, plus the flagship end-to-end
+quality-filter pipeline (the BASELINE.json metric) over a deterministic
+synthetic pages corpus, reported as docs/sec.
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ...,
+         "pipeline": {"docs": N, "sec": S, "docs_per_sec": R}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+# Representative subset: relational, window, flagship filter, quality,
+# scrub, dedup families, perplexity, ANN. Full coverage runs in the
+# driver's correctness gate; bench tracks the hot paths.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q04_window_top_events",
+    "q10_domain_extract",
+    "q12_robots_filter",
+    "q13_quality_features",
+    "q15_pii_scrub",
+    "q18_exact_dedup",
+    "q19_minhash_signature",
+    "q23_unigram_perplexity",
+    "q24_ann_brute_force",
+    "q26_salted_domain_count",
+]
+
+PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "300000"))
+
+
+def _run(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # force full execution without driver materialization
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    return timings
+
+
+def _run_pipeline(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from fineweb_domain_analyzer_spark.operators.metrics import filter_stats
+    from fineweb_domain_analyzer_spark.plans.pipeline import quality_filter_pipeline
+    from fineweb_domain_analyzer_spark.sources.pages import (
+        synth_pages,
+        synth_policy_for_domains,
+    )
+
+    cache_dir = os.environ.get("BENCH_PAGES_CACHE", f"/tmp/fw_bench_pages_{PIPELINE_ROWS}")
+    if not os.path.exists(cache_dir):
+        synth_pages(spark, PIPELINE_ROWS, n_domains=2000, seed=42).write.mode(
+            "overwrite"
+        ).parquet(cache_dir)
+    pages = spark.read.parquet(cache_dir)
+    policy = synth_policy_for_domains(spark, 2000)
+    t0 = time.time()
+    labeled = quality_filter_pipeline(pages, policy)
+    stats = filter_stats(labeled).collect()[0]
+    sec = time.time() - t0
+    docs = stats["total_processed"]
+    return {
+        "docs": int(docs),
+        "sec": round(sec, 3),
+        "docs_per_sec": round(docs / sec, 1),
+        "kept": int(stats["filtered_kept"]),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from fineweb_domain_analyzer_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="fineweb-spark-bench",
+        master=f"local[{cpus}]",
+        extra_confs={
+            "spark.sql.shuffle.partitions": str(max(int(cpus) * 2, 8)),
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    try:
+        timings = _run(spark, sf_dir)
+        pipe = _run_pipeline(spark)
+    finally:
+        spark.stop()
+    total = round(sum(timings.values()) + pipe["sec"], 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite + end-to-end quality-filter pipeline",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline": pipe,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -13,8 +13,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-# Phone: NANP-ish forms — (860) 649-7922 / 860-649-7922 / +1 860 649 7922
-PHONE_RE = r"(\+?[0-9]{1,2}[ .-])?(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}"
+# Phone: NANP-ish 10-digit core — (860) 649-7922 / 860-649-7922.
+# No country-code prefix: an optional `[0-9]{1,2}[ .-]` prefix would
+# swallow trailing digits of adjacent words ("badword1 860-..."), and
+# RE2 (the DuckDB oracle engine) has no lookbehind to guard it. A
+# leftover "+1 " before <PHONE> is not PII.
+PHONE_RE = r"(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}"
 IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
 EMAIL_TOKEN = "<EMAIL>"

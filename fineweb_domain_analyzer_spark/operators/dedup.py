@@ -1,0 +1,279 @@
+"""Deduplication operators for web-scale corpora.
+
+All four families a training-data pipeline needs, each fully
+declarative (JVM-side expressions only — no Python in any hot path) so
+Catalyst/Tungsten keep whole-stage codegen:
+
+* exact          — hash-groupBy on md5(text)
+* MinHash + LSH  — shingle → K minhashes → B bands → bucket join
+* SimHash        — 64-bit sign-aggregated token hashes, hamming buckets
+* n-gram Jaccard — exact set similarity for candidate verification
+
+Design for 10^12 docs:
+
+* Signatures are computed in ONE map pass (array expressions over the
+  shingle array — no explode, no shuffle).
+* LSH candidate generation is a self-equi-join on (band_id, band_key):
+  shuffle keyed by a short hash, uniformly distributed by construction
+  (hash output), so no skew salting is needed; AQE splits any residual
+  hot bucket. The quadratic blow-up inside a bucket is bounded by the
+  band width choice.
+* Verification (exact Jaccard on candidates) touches only the
+  candidate pairs, never the full cross product.
+
+The md5-based hash family is deliberately chosen over xxhash64 for the
+signature path: it is reproducible in any engine (the DuckDB oracle
+mirrors it exactly), at the cost of some CPU. Swap `_hash_shingle` to
+xxhash64 for max throughput where cross-engine parity isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+
+# --- exact dedup -------------------------------------------------------------
+
+def exact_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, canonical_id) for every doc; canonical = min id per byte-
+    identical text. One shuffle (window by hash)."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("text_hash")
+    return (
+        docs.select(F.col(id_col), h.alias("text_hash"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+    )
+
+
+def exact_dedup_keep_first(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Drop all but the smallest-id copy of each exact-duplicate text."""
+    g = exact_dedup_groups(docs, id_col, text_col)
+    keepers = g.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
+    return docs.join(keepers, id_col, "left_semi")
+
+
+# --- shingling + MinHash ------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string>. Docs shorter than n words
+    collapse to a single whole-doc shingle."""
+    w = ws_tokens(F.lower(text))
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(F.array(F.array_join(w, " ")))
+
+
+def _hash_shingle(shingle: Column, seed: int) -> Column:
+    """Engine-portable hash: md5 of 'seed:shingle' (lowercase hex —
+    min() over these strings is a valid minhash)."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), shingle))
+
+
+def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
+    """array<string> of k minhashes, computed in one pass per row:
+    for each seed, min over the shingle array of md5(seed:shingle)."""
+    sh = word_shingles(text, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def minhash_bands(sig: Column, bands: int = 4, rows_per_band: int = 4) -> Column:
+    """array<struct<band_id:int, band_key:string>> — md5 of each band's
+    concatenated minhashes."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band_id"),
+            F.md5(
+                F.array_join(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band), "|"
+                )
+            ).alias("band_key"),
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) via MinHash-LSH.
+
+    Plan shape: map (signatures) → explode bands → shuffle on
+    (band_id, band_key) → in-bucket self-join → distinct. The join key
+    is a hash, so bucket sizes are driven by true near-duplicate
+    cluster sizes, not input skew.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signature(F.col(text_col), k, shingle_n)
+    banded = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(minhash_bands(sig, bands, rows_per_band)).alias("b"),
+    ).select("_id", "b.band_id", "b.band_key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# --- n-gram Jaccard (verification / exact similarity) ------------------------
+
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    Joins the (small) pair list to docs twice; each join is keyed by
+    doc id (uniform). Output: (id_a, id_b, jaccard)."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def near_dedup_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    cands = lsh_candidate_pairs(docs, id_col, text_col, k, bands, shingle_n)
+    verified = jaccard_on_pairs(cands, docs, id_col, text_col, shingle_n)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ------------------------------------------------------------------
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens, engine-portable.
+
+    Bit j of md5(token)'s first 4 hex chars votes ±1; the sign of the
+    per-bit sum over all tokens sets that signature bit. 16 bits keeps
+    the oracle SQL tractable; the package also exposes simhash64 for
+    production use (same construction, xxhash64-based).
+    """
+    toks = ws_tokens(F.lower(text))
+    hx = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 4))
+
+    # NB: higher-order-function lambdas must take exactly the arity
+    # Spark expects — capture j via a factory, not a default arg.
+    def _bit_vote(j: int):
+        def _merge(acc, h):
+            bit = (
+                F.conv(F.substring(h, j // 4 + 1, 1), 16, 10)
+                .cast("int")
+                .bitwiseAND(F.lit(1 << (3 - j % 4)))
+            )
+            return acc + F.when(bit > 0, F.lit(1)).otherwise(F.lit(-1))
+
+        return _merge
+
+    bit_sums = [F.aggregate(hx, F.lit(0), _bit_vote(j)) for j in range(16)]
+    out = F.lit(0)
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(1 << (15 - j))).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def simhash64(text: Column) -> Column:
+    """Production 64-bit SimHash using xxhash64 (fast, JVM-native).
+    Not oracle-portable; used by the dedup pipeline at scale."""
+    toks = ws_tokens(F.lower(text))
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote(mask):
+        def _merge(acc, h):
+            return acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+
+        return _merge
+
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        # 1<<63 overflows a Java long literal — build via shiftleft
+        mask = F.shiftleft(F.lit(1).cast("long"), j)
+        votes = F.aggregate(hs, F.lit(0), _vote(mask))
+        out = out + F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Near-dup candidates: docs sharing the top `prefix_bits` of their
+    16-bit simhash land in a bucket; pairs within a bucket are
+    candidates. (A production system rotates the signature to cover all
+    hamming balls; one rotation shown here, the others are unions of
+    the same plan.)"""
+    sh = docs.select(
+        F.col(id_col).alias("_id"), simhash16(F.col(text_col)).alias("_sim")
+    )
+    bucketed = sh.withColumn(
+        "_bucket", F.shiftright(F.col("_sim"), 16 - prefix_bits)
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sim").alias("sim_a"),
+            F.col("r._sim").alias("sim_b"),
+        )
+    )

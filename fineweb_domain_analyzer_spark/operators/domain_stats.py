@@ -1,0 +1,130 @@
+"""Per-domain aggregation — the reference's stage 2 (A1/A2/O1 of SURVEY §2.5).
+
+Reference (/root/reference/fineweb_analyzer.py:115-244) streams rows
+into a ``defaultdict(domain → {count, urls≤5, tld, first_seen,
+last_seen})``. Spark shape: one hash aggregation with map-side partial
+combine. Two divergences, both deliberate and documented:
+
+* the reference's ``urls`` (first 5 in input order) and first/last_seen
+  (input order) are nondeterministic under distribution; we order
+  explicitly by (order_col) so results are stable (SURVEY §2.2 caveat);
+* the reference falls back to ``datetime.now()`` when a row lacks a
+  timestamp (P6); we take an injected ``run_ts`` literal instead so
+  runs are reproducible.
+
+Scale note: ``groupBy(domain)`` is the engine's one unavoidable
+shuffle. Head domains are Zipf-heavy at CC scale, so the skew-safe
+variant (``domain_stats_salted``) does a two-phase salted aggregation:
+partial per (domain, salt), final per domain. count/min/max compose
+exactly; the top-5 url list composes because each partial keeps its 5
+smallest (order_col) candidates — the global top-5 is a subset of the
+union of per-salt top-5s.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.functions.domains import extract_tld_sql
+
+
+def _top5_urls(order_col: str, url_col: str) -> Column:
+    """Deterministic capped collect-list: smallest-5 by order_col."""
+    pairs = F.collect_list(F.struct(F.col(order_col), F.col(url_col).alias("url")))
+    return F.slice(
+        F.transform(F.array_sort(pairs), lambda s: s["url"]), 1, 5
+    )
+
+
+def domain_stats(
+    pages: DataFrame,
+    domain_col: str = "domain",
+    url_col: str = "url",
+    order_col: str | None = None,
+    ts_col: str | None = None,
+    run_ts: str | None = None,
+) -> DataFrame:
+    """pages(domain, url, [ts]) → (domain, count, urls, tld, first_seen,
+    last_seen). Rows with null/empty domain are excluded, mirroring the
+    reference's ``if url:`` / ``if domain:`` guards (lines 172-174)."""
+    df = pages.filter(
+        F.col(domain_col).isNotNull() & (F.col(domain_col) != "")
+    )
+    order_col = order_col or url_col
+    if ts_col is None:
+        ts_expr = F.lit(run_ts) if run_ts else F.lit(None).cast("string")
+    else:
+        ts_expr = F.coalesce(F.col(ts_col).cast("string"), F.lit(run_ts))
+    df = df.withColumn("_seen_ts", ts_expr)
+    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("count"),
+        _top5_urls(order_col, url_col).alias("urls"),
+        F.min("_seen_ts").alias("first_seen"),
+        F.max("_seen_ts").alias("last_seen"),
+    )
+    return agg.withColumn("tld", extract_tld_sql(F.col("domain"))).select(
+        "domain", "count", "urls", "tld", "first_seen", "last_seen"
+    )
+
+
+def domain_stats_salted(
+    pages: DataFrame,
+    n_salts: int = 16,
+    domain_col: str = "domain",
+    url_col: str = "url",
+    order_col: str | None = None,
+    ts_col: str | None = None,
+    run_ts: str | None = None,
+) -> DataFrame:
+    """Skew-defused two-phase variant. Phase 1 aggregates per
+    (domain, salt) — head domains fan out over n_salts reducers — and
+    phase 2 merges the tiny per-salt partials. Results are identical to
+    ``domain_stats`` (verified by tests on Zipf data)."""
+    order_col = order_col or url_col
+    df = pages.filter(
+        F.col(domain_col).isNotNull() & (F.col(domain_col) != "")
+    )
+    if ts_col is None:
+        ts_expr = F.lit(run_ts) if run_ts else F.lit(None).cast("string")
+    else:
+        ts_expr = F.coalesce(F.col(ts_col).cast("string"), F.lit(run_ts))
+    df = df.withColumn("_seen_ts", ts_expr).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts))
+    )
+    partial = df.groupBy(F.col(domain_col).alias("domain"), F.col("_salt")).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(order_col), F.col(url_col).alias("url")))
+            ),
+            1,
+            5,
+        ).alias("_cand"),
+        F.min("_seen_ts").alias("_first"),
+        F.max("_seen_ts").alias("_last"),
+    )
+    final = partial.groupBy("domain").agg(
+        F.sum("_cnt").alias("count"),
+        F.slice(
+            F.transform(
+                F.array_sort(F.flatten(F.collect_list("_cand"))), lambda s: s["url"]
+            ),
+            1,
+            5,
+        ).alias("urls"),
+        F.min("_first").alias("first_seen"),
+        F.max("_last").alias("last_seen"),
+    )
+    return final.withColumn("tld", extract_tld_sql(F.col("domain"))).select(
+        "domain", "count", "urls", "tld", "first_seen", "last_seen"
+    )
+
+
+def distinct_domains(pages: DataFrame, domain_col: str = "domain") -> DataFrame:
+    """Stage-3 input: the grouping keys (fineweb_analyzer.py:594)."""
+    return (
+        pages.filter(F.col(domain_col).isNotNull() & (F.col(domain_col) != ""))
+        .select(F.col(domain_col).alias("domain"))
+        .distinct()
+    )

@@ -1,0 +1,126 @@
+"""The full quality-filter pipeline — the engine's flagship plan.
+
+Composes every north-rule stage over a pages table:
+
+    scan → decode html (if text missing) → extract domain
+         → broadcast-join domain policy → robots keep/drop
+         → quality heuristics (Gopher/C4) → language ID
+         → PII/toxicity scrub → unified keep + drop_reason
+         → (write) + lineage metrics
+
+Everything up to the metrics aggregation is ONE map stage: no shuffle,
+no barrier — the shape that scales linearly with input splits. The
+reference reads its input twice (stages 2 and 4 re-scan the JSONL,
+fineweb_analyzer.py:586,600); here the domain-stats branch and the
+label branch share one scan via DataFrame reuse.
+
+Precedence of drop reasons mirrors a production corpus pipeline:
+robots > bad_url > language > quality. A document dropped by robots is
+never re-attributed to a quality rule, keeping the histogram stable as
+rules evolve.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.functions.scrub import scrub_all
+from fineweb_domain_analyzer_spark.functions.textfns import (
+    decode_utf8_ignore_udf,
+    langid_heuristic,
+)
+from fineweb_domain_analyzer_spark.operators.filtering import (
+    REASON_BAD_URL,
+    REASON_KEPT,
+    REASON_ROBOTS_DISALLOWED,
+    label_pages,
+)
+from fineweb_domain_analyzer_spark.operators.quality import (
+    gopher_keep,
+    quality_features,
+)
+
+REASON_LANGUAGE = "language_filtered"
+REASON_QUALITY = "quality_filtered"
+
+
+@dataclass
+class PipelineConfig:
+    allowed_langs: tuple[str, ...] = ("en", "zh", "de", "fr", "es")
+    min_words: int = 5
+    max_words: int = 1_000_000
+    max_symbol_ratio: float = 0.5
+    max_repeat_ratio: float = 0.9
+    exact_domain: bool = True
+    scrub: bool = True
+    extra: dict = field(default_factory=dict)
+
+
+def quality_filter_pipeline(
+    pages: DataFrame, policy: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) + policy → labeled frame with
+    columns: original + domain, langid, quality features, scrubbed_text,
+    keep (bool), drop_reason (enum)."""
+    cfg = cfg or PipelineConfig()
+    df = pages
+    if "text" in df.columns and "html" in df.columns:
+        df = df.withColumn(
+            "text",
+            F.coalesce(F.col("text"), decode_utf8_ignore_udf(F.col("html"))),
+        )
+    labeled = label_pages(df, policy, exact_domain=cfg.exact_domain)
+    labeled = labeled.withColumnRenamed("keep", "_robots_keep").withColumnRenamed(
+        "drop_reason", "_robots_reason"
+    )
+    labeled = labeled.withColumn("langid", langid_heuristic(F.col("text")))
+    feats = quality_features(F.col("text"))
+    for name, col in feats.items():
+        labeled = labeled.withColumn(name, col)
+    q_keep = gopher_keep(
+        F.col("word_count"),
+        F.col("mean_word_len"),
+        F.col("symbol_ratio"),
+        F.col("stopword_density"),
+        F.col("max_word_repeat_ratio"),
+        min_words=cfg.min_words,
+        max_words=cfg.max_words,
+        max_symbol_ratio=cfg.max_symbol_ratio,
+        max_repeat_ratio=cfg.max_repeat_ratio,
+    )
+    lang_keep = F.col("langid").isin(*cfg.allowed_langs)
+    reason = (
+        F.when(F.col("_robots_reason") != REASON_KEPT, F.col("_robots_reason"))
+        .when(~lang_keep, F.lit(REASON_LANGUAGE))
+        .when(~q_keep, F.lit(REASON_QUALITY))
+        .otherwise(F.lit(REASON_KEPT))
+    )
+    out = (
+        labeled.withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason") == REASON_KEPT)
+        .drop("_robots_keep", "_robots_reason")
+    )
+    if cfg.scrub:
+        out = out.withColumn("scrubbed_text", scrub_all(F.col("text")))
+    return out
+
+
+def write_pipeline_output(
+    labeled: DataFrame, out_path: str, fmt: str = "parquet"
+) -> None:
+    """Partitioned sink (Iceberg in production: writeTo(...).append() on
+    a table partitioned by drop_reason; parquet here).
+
+    Partition key is drop_reason, not the boolean keep: readers get
+    reason-level partition pruning (kept = drop_reason='kept'), and
+    boolean partition values round-trip as strings on read — a type
+    surprise drop_reason (already string) avoids."""
+    (
+        labeled.write.mode("overwrite")
+        .partitionBy("drop_reason")
+        .format(fmt)
+        .save(out_path)
+    )

@@ -1,0 +1,970 @@
+"""Driver-contract query suite: every operator from SURVEY.md §2 plus
+the training-data-pipeline extensions, each as a (spark, sf_dir) →
+DataFrame callable with a DuckDB-runnable ANSI-SQL oracle.
+
+Engine-portability rules that keep Spark and DuckDB value-hash-equal:
+
+* hash family: md5 (lowercase hex in both engines)
+* float outputs rounded (2-6 dp) in BOTH engines
+* integer outputs cast to BIGINT on the Spark side (DuckDB count/len
+  return BIGINT; Spark size()/row_number() return INT)
+* regexes restricted to the Java∩RE2 common subset (no lookbehind)
+* arrays never emitted — joined to '|' / ',' strings
+* no timestamps emitted — formatted to strings
+
+The web-pipeline queries operate on a derived ``pages`` view over the
+driver's ``documents`` table (url synthesized deterministically from
+source/doc_id, exercising the www/port/:8080 extraction quirks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fineweb_domain_analyzer_spark.functions.domains import (
+    extract_domain_sql,
+    extract_tld_sql,
+)
+from fineweb_domain_analyzer_spark.functions.scrub import (
+    EMAIL_RE,
+    EMAIL_TOKEN,
+    IP_TOKEN,
+    IPV4_RE,
+    PHONE_RE,
+    PHONE_TOKEN,
+)
+from fineweb_domain_analyzer_spark.functions.textfns import (
+    BPE_ISH_PATTERN,
+    content_fingerprint,
+    ws_token_count,
+    ws_tokens,
+)
+from fineweb_domain_analyzer_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_on_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash16,
+    word_shingles,
+)
+from fineweb_domain_analyzer_spark.operators.quality import (
+    STOPWORDS_EN,
+    quality_features,
+    unigram_perplexity,
+)
+from fineweb_domain_analyzer_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from fineweb_domain_analyzer_spark.operators.skew import salted_count
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pages_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → pages with deterministic synthetic urls that exercise
+    the www-prefix / port / :8080-quirk paths of domain extraction."""
+    docs = _t(spark, sf_dir, "documents")
+    port = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit(":8080"))
+        .when(F.col("doc_id") % 17 == 0, F.lit(":9090"))
+        .otherwise(F.lit(""))
+    )
+    prefix = F.when(F.col("doc_id") % 3 == 0, F.lit("https://www.")).otherwise(
+        F.lit("https://")
+    )
+    url = F.concat(
+        prefix,
+        F.col("source"),
+        F.lit(".example.com"),
+        port,
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.withColumn("url", url)
+
+
+# SQL mirror of pages_view (DuckDB dialect)
+PAGES_CTE = """
+pages AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         (CASE WHEN doc_id % 3 = 0 THEN 'https://www.' ELSE 'https://' END)
+         || source || '.example.com'
+         || (CASE WHEN doc_id % 13 = 0 THEN ':8080'
+                  WHEN doc_id % 17 = 0 THEN ':9090' ELSE '' END)
+         || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+)
+"""
+
+# SQL mirror of the reference domain-extraction semantics
+# (netloc → lower → port-strip-unless-:8080 → www-strip)
+DOMAIN_SQL = """
+  regexp_replace(
+    CASE WHEN lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) LIKE '%:%'
+          AND lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) NOT LIKE '%:8080'
+         THEN split_part(lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)), ':', 1)
+         ELSE lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) END,
+    '^www\\.', '')
+"""
+
+DOMAINS_CTE = f"""
+domains AS (
+  SELECT *, {DOMAIN_SQL} AS domain FROM pages
+)
+"""
+
+
+def domains_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_view(spark, sf_dir).withColumn(
+        "domain", extract_domain_sql(F.col("url"))
+    )
+
+
+def policy_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-policy dimension derived from documents:
+    covers even source indices only (odd → default-allow path);
+    every 6th covered index is denied."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int")
+    return (
+        docs.select(F.col("source"), idx.alias("_idx"))
+        .distinct()
+        .filter(F.col("_idx") % 2 == 0)
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+            (F.col("_idx") % 6 != 0).alias("crawl_allowed"),
+        )
+    )
+
+
+POLICY_CTE = """
+policy AS (
+  SELECT source || '.example.com' AS domain,
+         (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 6 <> 0) AS crawl_allowed
+  FROM (SELECT DISTINCT source FROM documents)
+  WHERE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
+)
+"""
+
+# DuckDB-side whitespace tokens of lowered text
+TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+# DuckDB-side word 3-gram shingles with the short-doc fallback
+SHINGLES_SQL = f"""
+  CASE WHEN len({TOKS_SQL}) >= 3
+       THEN list_transform(range(1, len({TOKS_SQL}) - 1),
+                           i -> {TOKS_SQL}[i] || ' ' || {TOKS_SQL}[i+1] || ' ' || {TOKS_SQL}[i+2])
+       ELSE [array_to_string({TOKS_SQL}, ' ')] END
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational suite (TPC-H-flavored: scan/filter/agg/join/window/limit)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: predicate-pushdown scan + hash agg + sort.
+
+    Reference parity: generalizes the reference's single global
+    aggregate (fineweb_analyzer.py:480-485) to grouped aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: multi-way join; small dims broadcast."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    na = _t(spark, sf_dir, "nation")
+    re_ = _t(spark, sf_dir, "region")
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(cu, od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re_), na["n_regionkey"] == re_["r_regionkey"])
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q02_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS line_cnt
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q03_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (O2/limit)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.join(cu, od["o_custkey"] == cu["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q03_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS order_cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q04_window_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function (W1): top-3 events per user by value."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "user_id", "event_id", "event_type", F.round("value", 2).alias("value"), "rn"
+        )
+    )
+
+
+Q04_SQL = """
+SELECT user_id, event_id, event_type, round(value, 2) AS value, rn
+FROM (SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      FROM events)
+WHERE rn <= 3
+"""
+
+
+def q05_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-bucket aggregation over the events table."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+Q05_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+       count(*) AS cnt, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q06_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag window + conditional sum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap: casting ts to long truncates sub-second
+    # precision while DuckDB's epoch() keeps it — unix_micros/epoch_us
+    # agree exactly in both engines. (Parquet naive timestamps load as
+    # TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — UTC session makes
+    # the cast value-preserving.)
+    ts = F.col("ts").cast("timestamp")
+    gap = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum("is_new").cast("bigint").alias("sessions"),
+        )
+    )
+
+
+Q06_SQL = """
+SELECT user_id, count(*) AS events, sum(is_new) AS sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM (SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events))
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# web-corpus suite
+# ---------------------------------------------------------------------------
+
+def q10_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 + A1-count: domain/tld extraction with the reference's
+    port-strip/:8080/www semantics, grouped."""
+    d = domains_view(spark, sf_dir)
+    return (
+        d.withColumn("tld", extract_tld_sql(F.col("domain")))
+        .groupBy("domain", "tld")
+        .agg(F.count(F.lit(1)).alias("page_cnt"))
+    )
+
+
+Q10_SQL = f"""
+WITH {PAGES_CTE}, {DOMAINS_CTE}
+SELECT domain,
+       CASE WHEN domain NOT LIKE '%.%' THEN ''
+            ELSE regexp_extract(domain, '([^.]*)$', 1) END AS tld,
+       count(*) AS page_cnt
+FROM domains
+GROUP BY 1, 2
+"""
+
+
+def q11_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 full shape: count + deterministic top-5 sample urls +
+    first/last seen (doc_id stands in for warc_ts in this corpus)."""
+    d = domains_view(spark, sf_dir)
+    agg = d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("page_cnt"),
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("url")))
+                    ),
+                    lambda s: s["url"],
+                ),
+                1,
+                5,
+            ),
+        ).alias("sample_urls"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    return agg
+
+
+Q11_SQL = f"""
+WITH {PAGES_CTE}, {DOMAINS_CTE},
+ranked AS (
+  SELECT domain, url, doc_id,
+         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+  FROM domains
+),
+agg AS (
+  SELECT domain, count(*) AS page_cnt, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+  FROM domains GROUP BY domain
+),
+top5 AS (
+  SELECT domain, string_agg(url, ',' ORDER BY doc_id) AS sample_urls
+  FROM ranked WHERE rn <= 5 GROUP BY domain
+)
+SELECT a.domain, a.page_cnt, t.sample_urls, a.first_doc, a.last_doc
+FROM agg a JOIN top5 t USING (domain)
+"""
+
+
+def q12_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — the reference's stage-4 filter (J1 + F5): broadcast
+    left join to the policy dimension, default-allow keep predicate,
+    drop_reason labels. Uses the exact urlparse pandas UDF."""
+    from fineweb_domain_analyzer_spark.operators.filtering import label_pages
+
+    pages = pages_view(spark, sf_dir)
+    policy = policy_view(spark, sf_dir)
+    labeled = label_pages(pages, policy, exact_domain=True)
+    return labeled.select("doc_id", "domain", "keep", "drop_reason")
+
+
+Q12_SQL = f"""
+WITH {PAGES_CTE}, {DOMAINS_CTE}, {POLICY_CTE}
+SELECT d.doc_id, d.domain,
+       coalesce(p.crawl_allowed, TRUE) AS keep,
+       CASE WHEN NOT coalesce(p.crawl_allowed, TRUE) THEN 'robots_disallowed'
+            ELSE 'kept' END AS drop_reason
+FROM domains d LEFT JOIN policy p ON d.domain = p.domain
+"""
+
+
+def q13_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 heuristic features per document."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["word_count"].cast("bigint").alias("word_count"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["symbol_ratio"].alias("symbol_ratio"),
+        feats["stopword_density"].alias("stopword_density"),
+        feats["max_word_repeat_ratio"].alias("max_word_repeat_ratio"),
+    )
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+
+Q13_SQL = f"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END AS word_count,
+  round(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), w -> length(w)))::DOUBLE
+        / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END, 1), 4) AS mean_word_len,
+  round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1), 4) AS symbol_ratio,
+  round(len(list_filter({TOKS_SQL}, t -> list_contains({_STOPLIST_SQL}, t)))::DOUBLE
+        / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END, 1), 4) AS stopword_density,
+  CASE WHEN length(trim(text)) = 0 OR len({TOKS_SQL}) = 0 THEN 0.0
+       ELSE round(list_max(list_transform(list_distinct({TOKS_SQL}),
+                                          t -> len(list_filter({TOKS_SQL}, x -> x = t))))::DOUBLE
+                  / len({TOKS_SQL}), 4) END AS max_word_repeat_ratio
+FROM documents
+"""
+
+
+def q14_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax + CJK ratio)."""
+    from fineweb_domain_analyzer_spark.functions.textfns import langid_heuristic
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid_heuristic(F.col("text")).alias("langid_pred"))
+
+
+def _langid_sql() -> str:
+    from fineweb_domain_analyzer_spark.functions.textfns import LANG_STOPWORDS
+
+    hit_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hit_cols.append(
+            f"len(list_filter({TOKS_SQL}, t -> list_contains({lst}, t))) AS h_{lang}"
+        )
+    return f"""
+WITH hits AS (
+  SELECT doc_id,
+         {', '.join(hit_cols)},
+         (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))::DOUBLE
+           / greatest(length(text), 1) AS cjk_ratio
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN cjk_ratio > 0.15 THEN 'zh'
+       WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'unk'
+       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+       WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+       ELSE 'es' END AS langid_pred
+FROM hits
+"""
+
+
+def q15_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized PII scrub over text with injected deterministic PII;
+    output hashes prove byte-equality of the scrubbed strings."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 call (860) 649-7922"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(injected, EMAIL_RE, EMAIL_TOKEN), PHONE_RE, PHONE_TOKEN
+        ),
+        IPV4_RE,
+        IP_TOKEN,
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrub_hash"),
+        F.length(scrubbed).cast("bigint").alias("scrub_len"),
+    )
+
+
+Q15_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.7 call (860) 649-7922' AS t
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+             '{PHONE_RE}', '{PHONE_TOKEN}', 'g'),
+           '{IPV4_RE}', '{IP_TOKEN}', 'g') AS t
+  FROM injected
+)
+SELECT doc_id, md5(t) AS scrub_hash, length(t) AS scrub_len FROM scrubbed
+"""
+
+
+def q16_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), rolled up by lang."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            ws_token_count(F.col("text")).cast("bigint").alias("ws_t"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+            .cast("bigint")
+            .alias("bpe_t"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("ws_t").alias("ws_tokens_total"),
+            F.sum("bpe_t").alias("bpe_tokens_total"),
+        )
+    )
+
+
+Q16_SQL = f"""
+SELECT lang, count(*) AS docs,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END) AS ws_tokens_total,
+       sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS bpe_tokens_total
+FROM documents
+GROUP BY lang
+"""
+
+
+def q17_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint + canonical doc per
+    fingerprint group."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp")
+    return (
+        docs.select("doc_id", content_fingerprint(F.col("text")).alias("fp"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+    )
+
+
+Q17_SQL = f"""
+SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS canonical_id
+FROM (SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({TOKS_SQL})), ' ')) AS fp
+      FROM documents)
+"""
+
+
+def q18_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical (min) doc id per byte-identical text."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs)
+
+
+Q18_SQL = """
+SELECT doc_id, md5(text) AS text_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+FROM documents
+"""
+
+
+def q19_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8, word-3-gram shingles, md5 hash family)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws("|", minhash_signature(F.col("text"), k=8)).alias("sig"),
+    )
+
+
+Q19_SQL = f"""
+SELECT doc_id,
+       array_to_string(
+         list_transform(range(0, 8),
+           i -> list_aggregate(
+                  list_transform({SHINGLES_SQL}, s -> md5(CAST(i AS VARCHAR) || ':' || s)),
+                  'min')),
+         '|') AS sig
+FROM documents
+"""
+
+
+def q20_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs over head docs ∪ mutated copies
+    (deterministic near-dups guaranteed to collide)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutated tail")).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionAll(mutated)
+    return lsh_candidate_pairs(aug, k=16, bands=4)
+
+
+Q20_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' mutated tail' AS text
+  FROM documents WHERE doc_id < 200
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           i -> list_aggregate(
+                  list_transform({SHINGLES_SQL}, s -> md5(CAST(i AS VARCHAR) || ':' || s)),
+                  'min')) AS sig
+  FROM aug
+),
+banded AS (
+  SELECT doc_id, b.band_id,
+         md5(array_to_string(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4], '|')) AS band_key
+  FROM sigs, (SELECT unnest(range(0, 4)) AS band_id) b(band_id)
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r
+  ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+
+def q21_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-shingle Jaccard on a deterministic pair list."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        docs.filter((F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 500))
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    )
+    return jaccard_on_pairs(pairs, docs)
+
+
+Q21_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({SHINGLES_SQL}) AS s FROM documents
+),
+pairs AS (
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+  WHERE doc_id % 25 = 0 AND doc_id < 500
+)
+SELECT p.id_a, p.id_b,
+       round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+FROM pairs p JOIN sh a ON p.id_a = a.doc_id JOIN sh b ON p.id_b = b.doc_id
+"""
+
+
+def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (engine-portable md5 bit votes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    votes = []
+    for j in range(16):
+        pos = j // 4 + 1
+        shift = 3 - j % 4
+        votes.append(
+            f"CASE WHEN list_sum(list_transform({TOKS_SQL}, t -> "
+            f"CASE WHEN (((strpos('0123456789abcdef', substr(md5(t), {pos}, 1)) - 1) >> {shift}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {1 << (15 - j)} ELSE 0 END"
+        )
+    return f"SELECT doc_id, CAST({' + '.join(votes)} AS INT) AS simhash FROM documents"
+
+
+def q23_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM perplexity (broadcast LM join, no model file)."""
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_perplexity(docs)
+
+
+Q23_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+tot AS (SELECT count(*)::DOUBLE AS total FROM toks),
+lm AS (SELECT token, count(*) AS tok_cnt FROM toks GROUP BY token)
+SELECT t.doc_id,
+       round(pow(2.0, avg(-log2(l.tok_cnt / tot.total))), 4) AS perplexity
+FROM toks t JOIN lm l USING (token) CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+def q24_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 neighbors for the first 5 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=3
+    ).withColumn("rk", F.col("rk").cast("bigint"))
+
+
+_COS_SQL = """
+round(
+  list_sum(list_transform(range(1, len(q.qv) + 1),
+                          i -> q.qv[i]::DOUBLE * c.cv[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))), 6)
+"""
+
+Q24_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {_COS_SQL} AS cos
+  FROM q, c WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= 3
+"""
+
+
+def q25_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-3 (the scale path; approximate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=3, n_planes=8
+    ).withColumn("rk", F.col("rk").cast("bigint"))
+
+
+_BUCKET_SQL = (
+    "("
+    + " + ".join(
+        f"(CASE WHEN {{v}}[{p + 1}]::DOUBLE >= {{v}}[{p + 9}]::DOUBLE THEN {1 << p} ELSE 0 END)"
+        for p in range(8)
+    )
+    + ")"
+)
+
+Q25_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                  {_BUCKET_SQL.format(v='embedding')} AS bucket
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+             {_BUCKET_SQL.format(v='embedding')} AS bucket
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {_COS_SQL} AS cos
+  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= 3
+"""
+
+
+def q26_salted_domain_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (skew defuse) — result must equal a
+    plain GROUP BY, which is exactly what the oracle runs."""
+    d = domains_view(spark, sf_dir)
+    return salted_count(d, "domain", "url", n_salts=8)
+
+
+Q26_SQL = f"""
+WITH {PAGES_CTE}, {DOMAINS_CTE}
+SELECT domain, count(*) AS cnt FROM domains GROUP BY domain
+"""
+
+
+def q27_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + byte-level metadata
+    (the codec-free subset that is oracle-checkable)."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("byte_len"),
+        F.md5(payload).alias("content_hash"),
+    )
+
+
+Q27_SQL = """
+SELECT doc_id, strlen(text) AS byte_len, md5(text) AS content_hash
+FROM documents
+"""
+
+
+def q28_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the reference's global filter metrics over the flagship
+    labels (total/kept/excluded/keep_ratio)."""
+    labeled = q12_robots_filter(spark, sf_dir)
+    return labeled.agg(
+        F.count(F.lit(1)).alias("total_processed"),
+        F.sum(F.col("keep").cast("bigint")).alias("filtered_kept"),
+        F.sum((~F.col("keep")).cast("bigint")).alias("excluded_count"),
+    ).select(
+        "total_processed",
+        "filtered_kept",
+        "excluded_count",
+        F.round(F.col("filtered_kept") / F.col("total_processed") * 100, 2).alias(
+            "keep_ratio"
+        ),
+    )
+
+
+Q28_SQL = f"""
+WITH {PAGES_CTE}, {DOMAINS_CTE}, {POLICY_CTE},
+labeled AS (
+  SELECT coalesce(p.crawl_allowed, TRUE) AS keep
+  FROM domains d LEFT JOIN policy p ON d.domain = p.domain
+)
+SELECT count(*) AS total_processed,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS filtered_kept,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END) AS excluded_count,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / count(*) * 100, 2) AS keep_ratio
+FROM labeled
+"""
+
+
+def q29_drop_reason_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule lineage: drop-reason histogram of the flagship labels."""
+    labeled = q12_robots_filter(spark, sf_dir)
+    return labeled.groupBy("drop_reason").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+Q29_SQL = f"""
+WITH {PAGES_CTE}, {DOMAINS_CTE}, {POLICY_CTE}
+SELECT CASE WHEN NOT coalesce(p.crawl_allowed, TRUE) THEN 'robots_disallowed'
+            ELSE 'kept' END AS drop_reason,
+       count(*) AS cnt
+FROM domains d LEFT JOIN policy p ON d.domain = p.domain
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_top_customers": q03_top_customers,
+    "q04_window_top_events": q04_window_top_events,
+    "q05_hourly_rollup": q05_hourly_rollup,
+    "q06_sessionize": q06_sessionize,
+    "q10_domain_extract": q10_domain_extract,
+    "q11_domain_stats": q11_domain_stats,
+    "q12_robots_filter": q12_robots_filter,
+    "q13_quality_features": q13_quality_features,
+    "q14_langid": q14_langid,
+    "q15_pii_scrub": q15_pii_scrub,
+    "q16_token_stats": q16_token_stats,
+    "q17_fingerprint": q17_fingerprint,
+    "q18_exact_dedup": q18_exact_dedup,
+    "q19_minhash_signature": q19_minhash_signature,
+    "q20_lsh_pairs": q20_lsh_pairs,
+    "q21_ngram_jaccard": q21_ngram_jaccard,
+    "q22_simhash": q22_simhash,
+    "q23_unigram_perplexity": q23_unigram_perplexity,
+    "q24_ann_brute_force": q24_ann_brute_force,
+    "q25_ann_lsh": q25_ann_lsh,
+    "q26_salted_domain_count": q26_salted_domain_count,
+    "q27_media_meta": q27_media_meta,
+    "q28_filter_stats": q28_filter_stats,
+    "q29_drop_reason_histogram": q29_drop_reason_histogram,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q01_pricing_summary": Q01_SQL,
+        "q02_revenue_by_nation": Q02_SQL,
+        "q03_top_customers": Q03_SQL,
+        "q04_window_top_events": Q04_SQL,
+        "q05_hourly_rollup": Q05_SQL,
+        "q06_sessionize": Q06_SQL,
+        "q10_domain_extract": Q10_SQL,
+        "q11_domain_stats": Q11_SQL,
+        "q12_robots_filter": Q12_SQL,
+        "q13_quality_features": Q13_SQL,
+        "q14_langid": _langid_sql(),
+        "q15_pii_scrub": Q15_SQL,
+        "q16_token_stats": Q16_SQL,
+        "q17_fingerprint": Q17_SQL,
+        "q18_exact_dedup": Q18_SQL,
+        "q19_minhash_signature": Q19_SQL,
+        "q20_lsh_pairs": Q20_SQL,
+        "q21_ngram_jaccard": Q21_SQL,
+        "q22_simhash": _simhash_sql(),
+        "q23_unigram_perplexity": Q23_SQL,
+        "q24_ann_brute_force": Q24_SQL,
+        "q25_ann_lsh": Q25_SQL,
+        "q26_salted_domain_count": Q26_SQL,
+        "q27_media_meta": Q27_SQL,
+        "q28_filter_stats": Q28_SQL,
+        "q29_drop_reason_histogram": Q29_SQL,
+    }

@@ -1,0 +1,205 @@
+"""WARC source — S1/S2 of SURVEY.md §2.1, distributed.
+
+The reference converts WARC → JSONL single-threaded with warcio
+(/root/reference/fineweb_analyzer.py:64-113): keep only
+``rec_type == 'response'`` records, project six fields, decode the body
+utf-8 with errors='ignore'.
+
+Spark shape: ``spark.read.format('binaryFile')`` lists the WARC files
+(one file per task — WARC.gz is not block-splittable, and CC shards are
+~1 GB each, so file-granular parallelism is the right unit at scale;
+a 100 TB crawl is ~100k files = ~100k tasks), then a ``mapInPandas``
+iterates records per file with a pure-Python WARC parser.
+
+The parser implements the public ISO 28500 WARC format directly
+(header block terminated by CRLFCRLF, Content-Length-delimited body,
+two trailing CRLFs between records; gzip members per record for .gz).
+warcio is used instead when importable — same semantics; the built-in
+parser keeps the engine dependency-free.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+from typing import BinaryIO
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from fineweb_domain_analyzer_spark.schema import WARC_RECORD
+
+try:  # optional, preferred when present
+    from warcio.archiveiterator import ArchiveIterator  # type: ignore
+
+    HAS_WARCIO = True
+except Exception:  # pragma: no cover
+    HAS_WARCIO = False
+
+
+def _read_headers(stream: BinaryIO) -> dict[str, str] | None:
+    """Read a CRLF-terminated header block into a case-insensitive dict.
+    Returns None at EOF."""
+    lines = []
+    while True:
+        line = stream.readline()
+        if not line:
+            return None if not lines else {"_": ""}
+        if line in (b"\r\n", b"\n"):
+            break
+        lines.append(line)
+    headers: dict[str, str] = {}
+    for ln in lines:
+        txt = ln.decode("utf-8", "ignore").rstrip("\r\n")
+        if ":" in txt:
+            k, v = txt.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+        else:
+            headers.setdefault("_status", txt)
+    return headers
+
+
+def iter_warc_records_builtin(stream: BinaryIO) -> Iterator[dict]:
+    """Minimal WARC/1.x reader: yields dicts shaped like the reference's
+    JSON records for response-type records only."""
+    while True:
+        # skip record separators
+        pos_line = stream.readline()
+        while pos_line in (b"\r\n", b"\n"):
+            pos_line = stream.readline()
+        if not pos_line:
+            return
+        if not pos_line.startswith(b"WARC/"):
+            return  # malformed tail — stop (reference would error out)
+        headers = _read_headers(stream)
+        if headers is None:
+            return
+        length = int(headers.get("content-length", "0"))
+        block = stream.read(length)
+        rec_type = headers.get("warc-type", "")
+        if rec_type != "response":
+            continue
+        # block = HTTP response: status line + headers + CRLF + body
+        http_headers: dict[str, str] = {}
+        status_code: str | None = None
+        body = block
+        sep = block.find(b"\r\n\r\n")
+        if sep == -1:
+            sep = block.find(b"\n\n")
+            hdr_blob, body = (block[:sep], block[sep + 2 :]) if sep >= 0 else (b"", block)
+        else:
+            hdr_blob, body = block[:sep], block[sep + 4 :]
+        if hdr_blob[:5] in (b"HTTP/",):
+            lines = hdr_blob.split(b"\r\n")
+            status_parts = lines[0].decode("utf-8", "ignore").split()
+            if len(status_parts) >= 2:
+                status_code = status_parts[1]
+            for ln in lines[1:]:
+                t = ln.decode("utf-8", "ignore")
+                if ":" in t:
+                    k, v = t.split(":", 1)
+                    http_headers[k.strip().lower()] = v.strip()
+        else:
+            body = block  # not an HTTP payload; treat whole block as body
+        yield {
+            "url": headers.get("warc-target-uri"),
+            "timestamp": headers.get("warc-date"),
+            "content_type": http_headers.get("content-type"),
+            "content_length": headers.get("content-length"),
+            "status_code": status_code,
+            # decode-with-ignore: the invariant-critical step
+            # (fineweb_analyzer.py:95)
+            "content": body.decode("utf-8", "ignore"),
+        }
+
+
+def iter_warc_records_warcio(stream: BinaryIO) -> Iterator[dict]:
+    for record in ArchiveIterator(stream):
+        if record.rec_type != "response":
+            continue
+        yield {
+            "url": record.rec_headers.get_header("WARC-Target-URI"),
+            "timestamp": record.rec_headers.get_header("WARC-Date"),
+            "content_type": record.http_headers.get_header("Content-Type")
+            if record.http_headers
+            else None,
+            "content_length": record.rec_headers.get_header("Content-Length"),
+            "status_code": record.http_headers.get_statuscode()
+            if record.http_headers
+            else None,
+            "content": record.content_stream().read().decode("utf-8", "ignore"),
+        }
+
+
+def parse_warc_bytes(
+    raw: bytes, is_gzip: bool, max_records: int | None = None
+) -> Iterator[dict]:
+    stream: BinaryIO = io.BytesIO(raw)
+    if is_gzip:
+        stream = gzip.GzipFile(fileobj=stream)  # type: ignore[assignment]
+    it = (
+        iter_warc_records_warcio(stream)
+        if HAS_WARCIO
+        else iter_warc_records_builtin(stream)
+    )
+    for i, rec in enumerate(it):
+        if max_records is not None and i >= max_records:
+            return
+        yield rec
+
+
+def read_warc(
+    spark: SparkSession, path: str, max_records_per_file: int | None = None
+) -> DataFrame:
+    """Distributed WARC scan: one task per file, records streamed
+    through Arrow batches. Schema = WARC_RECORD (all strings, matching
+    the reference's JSONL output shape)."""
+    files = spark.read.format("binaryFile").load(path)
+    cols = ["path", "content"]
+    names = [f.name for f in WARC_RECORD.fields]
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                is_gz = str(row["path"]).endswith(".gz")
+                for rec in parse_warc_bytes(
+                    bytes(row["content"]), is_gz, max_records_per_file
+                ):
+                    out.append(rec)
+            yield pd.DataFrame(out, columns=names) if out else pd.DataFrame(
+                {n: pd.Series(dtype="object") for n in names}
+            )
+
+    return files.select(*cols).mapInPandas(_parse, WARC_RECORD)
+
+
+def write_warc_file(records: list[dict], path: str, gzip_out: bool = False) -> None:
+    """Synthesize a tiny WARC file for tests (response + request +
+    metadata records). Public WARC/1.0 layout."""
+    buf = io.BytesIO()
+    for rec in records:
+        rec_type = rec.get("rec_type", "response")
+        if rec_type == "response":
+            http = (
+                b"HTTP/1.1 " + rec.get("status", "200 OK").encode() + b"\r\n"
+                b"Content-Type: " + rec.get("http_content_type", "text/html").encode() + b"\r\n"
+                b"\r\n" + rec["body"]
+            )
+        else:
+            http = rec.get("body", b"")
+        headers = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: " + rec_type.encode() + b"\r\n"
+            b"WARC-Target-URI: " + rec.get("url", "").encode() + b"\r\n"
+            b"WARC-Date: " + rec.get("date", "2024-06-12T00:00:00Z").encode() + b"\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+            b"\r\n"
+        )
+        buf.write(headers + http + b"\r\n\r\n")
+    data = buf.getvalue()
+    if gzip_out:
+        data = gzip.compress(data)
+    with open(path, "wb") as f:
+        f.write(data)

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (BASELINE.json north rule, sandbox form):
+run the identical end-to-end quality-filter job on the identical input
+at N and 4N cores (local[8] vs local[32]), report docs/sec at both and
+efficiency = thr_4N / (4 × thr_N). Writes BENCH/BASELINE.md.
+
+Each parallelism level runs in a fresh subprocess (a JVM can't be
+re-mastered in-process); shuffle partitions scale with cores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["FW_REPO"])
+from fineweb_domain_analyzer_spark.session import get_spark
+from fineweb_domain_analyzer_spark.plans.pipeline import quality_filter_pipeline
+from fineweb_domain_analyzer_spark.operators.metrics import filter_stats
+from fineweb_domain_analyzer_spark.sources.pages import synth_pages, synth_policy_for_domains
+
+cores = int(os.environ["FW_CORES"])
+rows = int(os.environ["FW_ROWS"])
+cache = os.environ["FW_CACHE"]
+spark = get_spark(
+    app_name=f"fw-scaling-{cores}",
+    master=f"local[{cores}]",
+    extra_confs={
+        "spark.sql.shuffle.partitions": str(cores * 2),
+        "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
+    },
+)
+if not os.path.exists(cache):
+    synth_pages(spark, rows, n_domains=2000, seed=42, partitions=64).write.mode("overwrite").parquet(cache)
+pages = spark.read.parquet(cache)
+policy = synth_policy_for_domains(spark, 2000)
+# warm-up (JIT, code cache) then measured run
+filter_stats(quality_filter_pipeline(pages, policy)).collect()
+t0 = time.time()
+stats = filter_stats(quality_filter_pipeline(pages, policy)).collect()[0]
+sec = time.time() - t0
+print(json.dumps({"cores": cores, "sec": round(sec, 3),
+                  "docs": int(stats["total_processed"]),
+                  "docs_per_sec": round(stats["total_processed"] / sec, 1)}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, rows: int, cache: str) -> dict:
+    env = dict(
+        os.environ,
+        FW_REPO=str(REPO),
+        FW_CORES=str(cores),
+        FW_ROWS=str(rows),
+        FW_CACHE=cache,
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER], env=env, capture_output=True, text=True, timeout=1800
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"runner failed (cores={cores}):\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    rows = int(os.environ.get("FW_SCALING_ROWS", "600000"))
+    cache = f"/tmp/fw_scaling_pages_{rows}"
+    n = run_level(8, rows, cache)
+    n4 = run_level(32, rows, cache)
+    eff = round(n4["docs_per_sec"] / (4 * n["docs_per_sec"]), 3)
+    result = {"N": n, "4N": n4, "efficiency": eff}
+    print(json.dumps(result))
+    md = f"""# BENCH/BASELINE — scaling-efficiency evidence
+
+North rule: throughput scaling efficiency ≥ 0.8 between N- and
+4N-executor clusters. Sandbox form (no real cluster): the identical
+end-to-end quality-filter job (synthetic Zipf pages, seed 42,
+{rows:,} docs, cached parquet input) at `local[8]` vs `local[32]`,
+`spark.sql.shuffle.partitions` = 2× cores, one warm-up run then one
+measured run per level, fresh JVM per level.
+
+| level | cores | wall sec | docs/sec |
+|---|---|---|---|
+| N  | 8  | {n['sec']} | {n['docs_per_sec']:,} |
+| 4N | 32 | {n4['sec']} | {n4['docs_per_sec']:,} |
+
+**efficiency = thr_4N / (4 × thr_N) = {eff}** (target ≥ 0.8)
+
+Caveats: local-mode cores share one JVM heap, memory bandwidth and the
+Python-UDF worker pool, so this understates multi-node scaling where
+each executor brings its own memory channels; the plan itself is
+shuffle-free up to the final metrics aggregation (broadcast join +
+map-side ops), which is the property that actually transfers to a
+1000-executor cluster.
+"""
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

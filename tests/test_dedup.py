@@ -1,0 +1,108 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.operators.dedup import (
+    exact_dedup_groups,
+    exact_dedup_keep_first,
+    jaccard_on_pairs,
+    lsh_candidate_pairs,
+    near_dedup_minhash,
+    simhash16,
+    simhash64,
+    simhash_candidates,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE + " extra trailing words here"),  # near dup of 0
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "short doc"),
+        (6, BASE.replace("quick", "slow")),  # near dup, one word changed
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups(docs):
+    got = {r["doc_id"]: r["canonical_id"] for r in exact_dedup_groups(docs).collect()}
+    assert got[0] == 0 and got[1] == 0
+    assert got[3] == 3 and got[4] == 3
+    assert got[2] == 2 and got[5] == 5 and got[6] == 6
+
+
+def test_exact_dedup_keep_first(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup_keep_first(docs).collect())
+    assert kept == [0, 2, 3, 5, 6]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], ["text"])
+    rows = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == ["x y"]  # shorter than n → whole doc
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs  # identical docs always collide in every band
+    assert (3, 4) in pairs
+    # near-dups (2, 6 vs 0) should usually collide in ≥1 band; don't
+    # hard-require (probabilistic) but identical ones are guaranteed.
+
+
+def test_jaccard_on_pairs(docs, spark):
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_on_pairs(pairs, docs).collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 3)] == 0.0
+
+
+def test_near_dedup_minhash_end_to_end(docs):
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in near_dedup_minhash(docs, threshold=0.5).collect()
+    }
+    assert verified[(0, 1)] == 1.0
+    assert verified[(3, 4)] == 1.0
+    for (a, b), j in verified.items():
+        assert j >= 0.5
+
+
+def test_simhash_identical_texts_equal(docs):
+    rows = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash16(F.col("text")).alias("s")).collect()}
+    assert rows[0] == rows[1]
+    assert 0 <= rows[0] < 2**16
+    # near-dup should be hamming-close; different doc likely far
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(rows[0], rows[6]) <= 6
+    assert ham(rows[0], rows[3]) >= 2
+
+
+def test_simhash64_identical_texts_equal(docs):
+    rows = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("s")).collect()
+    }
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[3]
+
+
+def test_simhash_candidates_bucket_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_candidates(docs).collect()}
+    assert (0, 1) in pairs

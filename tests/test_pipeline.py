@@ -1,0 +1,134 @@
+"""Full quality-filter pipeline + checkpoint/resume + synthetic pages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.operators.metrics import (
+    drop_reason_histogram,
+    filter_stats,
+)
+from fineweb_domain_analyzer_spark.plans.checkpoint import Checkpointer, run_resumable
+from fineweb_domain_analyzer_spark.plans.pipeline import (
+    PipelineConfig,
+    quality_filter_pipeline,
+)
+from fineweb_domain_analyzer_spark.sources.pages import (
+    synth_pages,
+    synth_policy_for_domains,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, n_rows=2000, n_domains=50, seed=7).cache()
+
+
+@pytest.fixture(scope="module")
+def policy(spark):
+    return synth_policy_for_domains(spark, n_domains=50).cache()
+
+
+def test_synth_pages_deterministic(spark, pages):
+    again = synth_pages(spark, n_rows=2000, n_domains=50, seed=7, partitions=3)
+    a = sorted(r["url"] + "|" + r["text"][:40] for r in pages.collect())
+    b = sorted(r["url"] + "|" + r["text"][:40] for r in again.collect())
+    assert a == b
+
+
+def test_synth_pages_zipf_skew(pages):
+    counts = sorted(
+        (
+            r["cnt"]
+            for r in pages.groupBy(
+                F.regexp_extract("url", r"host(\d+)", 1).alias("d")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    # head domain should dominate (Zipf-ish): top domain ≥ 10× median
+    assert counts[0] >= 10 * counts[len(counts) // 2]
+
+
+def test_pipeline_end_to_end(pages, policy):
+    out = quality_filter_pipeline(pages, policy).cache()
+    assert out.count() == 2000
+    # partition invariant: kept ⊎ dropped == input
+    stats = filter_stats(out).collect()[0]
+    assert stats["total_processed"] == 2000
+    assert stats["filtered_kept"] + stats["excluded_count"] == 2000
+    hist = {r["drop_reason"]: r["cnt"] for r in drop_reason_histogram(out).collect()}
+    assert "kept" in hist and hist["kept"] == stats["filtered_kept"]
+    # denied domains must actually be dropped
+    denied = out.filter(F.col("drop_reason") == "robots_disallowed")
+    assert denied.count() > 0
+    # scrubbed text must not contain raw PII that appeared in input
+    pii_rows = out.filter(F.col("text").contains("@example.com")).select(
+        "scrubbed_text"
+    )
+    for r in pii_rows.collect():
+        assert "@example.com" not in r["scrubbed_text"]
+
+
+def test_pipeline_columns(pages, policy):
+    out = quality_filter_pipeline(pages, policy, PipelineConfig(scrub=False))
+    for col in ("domain", "langid", "word_count", "keep", "drop_reason"):
+        assert col in out.columns
+    assert "scrubbed_text" not in out.columns
+
+
+def test_default_allow_for_uncovered_domains(pages, policy):
+    out = quality_filter_pipeline(pages, policy)
+    # policy covers only even host indices; odd-indexed hosts must never
+    # be robots_disallowed (default-allow, fineweb_analyzer.py:459)
+    odd = out.filter(
+        (F.regexp_extract("domain", r"host(\d+)", 1).cast("int") % 2 == 1)
+        & (F.col("drop_reason") == "robots_disallowed")
+    )
+    assert odd.count() == 0
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    manifest = str(tmp_path / "manifest.json")
+    out = str(tmp_path / "out")
+    cp = Checkpointer(manifest)
+    calls = []
+
+    def process(spark_, split):
+        calls.append(split)
+        return synth_pages(spark_, 100, n_domains=10, seed=int(split)).select("url")
+
+    splits = ["1", "2", "3"]
+    done = run_resumable(spark, splits, process, out, cp)
+    assert done == splits
+    # second run: nothing pending → no reprocessing
+    done2 = run_resumable(spark, splits, process, out, cp)
+    assert done2 == []
+    assert calls == splits
+    # new split appears → only it runs; prior output intact
+    done3 = run_resumable(spark, splits + ["4"], process, out, cp)
+    assert done3 == ["4"]
+    total = spark.read.parquet(out).count()
+    assert total == 400
+
+
+def test_checkpoint_idempotent_overwrite(spark, tmp_path):
+    """Simulate crash-after-write-before-mark: rerun must overwrite the
+    split's output, not duplicate it."""
+    manifest = str(tmp_path / "m.json")
+    out = str(tmp_path / "out")
+    cp = Checkpointer(manifest)
+
+    def process(spark_, split):
+        return synth_pages(spark_, 50, n_domains=5, seed=int(split)).select("url")
+
+    run_resumable(spark, ["9"], process, out, cp)
+    # crash simulation: wipe the manifest (data remains), rerun
+    import os
+
+    os.remove(manifest)
+    run_resumable(spark, ["9"], process, out, Checkpointer(manifest))
+    assert spark.read.parquet(out).count() == 50

@@ -1,0 +1,176 @@
+"""Quality heuristics, langid, perplexity, PII/toxicity scrub tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.functions.scrub import (
+    EMAIL_TOKEN,
+    IP_TOKEN,
+    PHONE_TOKEN,
+    TOX_TOKEN,
+    scrub_all,
+    scrub_pii,
+)
+from fineweb_domain_analyzer_spark.functions.textfns import (
+    bpe_ish_token_count,
+    content_fingerprint,
+    exact_fingerprint,
+    langid_heuristic,
+    ws_token_count,
+)
+from fineweb_domain_analyzer_spark.operators.quality import (
+    fasttext_like_langid_udf,
+    gopher_keep,
+    kenlm_like_perplexity_udf,
+    perplexity_bits_py,
+    unigram_perplexity,
+    with_quality_features,
+)
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(text,)], ["text"])
+
+
+def test_quality_features_basic(spark):
+    df = with_quality_features(_one(spark, "the cat sat on the mat"))
+    r = df.collect()[0]
+    assert r["word_count"] == 6
+    assert r["mean_word_len"] == round((3 + 3 + 3 + 2 + 3 + 3) / 6, 4)
+    assert r["symbol_ratio"] == 0.0
+    assert r["stopword_density"] == round(2 / 6, 4)  # 'the' twice
+    assert r["max_word_repeat_ratio"] == round(2 / 6, 4)
+
+
+def test_quality_features_symbols_and_repeats(spark):
+    r = with_quality_features(_one(spark, "$$$ %%% spam spam spam spam")).collect()[0]
+    assert r["symbol_ratio"] > 0.2
+    assert r["max_word_repeat_ratio"] == round(4 / 6, 4)
+
+
+def test_quality_features_empty(spark):
+    r = with_quality_features(_one(spark, "")).collect()[0]
+    assert r["word_count"] == 0
+    assert r["max_word_repeat_ratio"] == 0.0
+
+
+def test_gopher_keep(spark):
+    good = "word " * 60 + "the of and to in is it that for with"
+    df = with_quality_features(
+        spark.createDataFrame([(1, good), (2, "too short"), (3, "$$$ " * 80)], ["id", "text"])
+    )
+    rows = {
+        r["id"]: r["keep"]
+        for r in df.withColumn(
+            "keep",
+            gopher_keep(
+                F.col("word_count"),
+                F.col("mean_word_len"),
+                F.col("symbol_ratio"),
+                F.col("stopword_density"),
+                F.col("max_word_repeat_ratio"),
+                max_repeat_ratio=0.9,
+            ),
+        ).collect()
+    }
+    assert rows[1] is True
+    assert rows[2] is False  # too few words
+    assert rows[3] is False  # symbols
+
+
+def test_langid_heuristic(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht das problem und alles ist gut"),
+            (3, "le chat est dans la maison et les oiseaux"),
+            (4, "el gato es de los parques para que vea"),
+            (5, "這是一段中文文本 裡面有很多漢字 用來測試語言識別"),
+            (6, "zzz qqq xxx"),
+        ],
+        ["id", "text"],
+    ).withColumn("lid", langid_heuristic(F.col("text")))
+    got = {r["id"]: r["lid"] for r in rows.collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "es"
+    assert got[5] == "zh"
+    assert got[6] == "unk"
+
+
+def test_fasttext_like_udf(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house to play"), (2, "這是中文的一段長文字內容測試")],
+        ["id", "text"],
+    ).withColumn("lid", fasttext_like_langid_udf(F.col("text")))
+    got = {r["id"]: r["lid"] for r in df.collect()}
+    assert got[1] == "en"
+    assert got[2] == "zh"
+
+
+def test_kenlm_like_udf_deterministic(spark):
+    txt = "some stable text for perplexity"
+    df = _one(spark, txt).withColumn("ppl", kenlm_like_perplexity_udf(F.col("text")))
+    assert df.collect()[0]["ppl"] == perplexity_bits_py(txt)
+
+
+def test_unigram_perplexity(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b c")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["perplexity"] for r in unigram_perplexity(docs).collect()}
+    # doc 1 is all high-probability tokens → lower perplexity than doc 2
+    assert got[1] < got[2]
+    # exact: p(a)=6/8, p(b)=p(c)=1/8 → ppl1 = 8/6; ppl2 = 2^(avg nll)
+    assert abs(got[1] - 8 / 6) < 1e-3
+
+
+def test_scrub_pii(spark):
+    text = "mail a.b@example.com or call (860) 649-7922 from 23.224.4.59 now"
+    out = _one(spark, text).select(scrub_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert EMAIL_TOKEN in out and PHONE_TOKEN in out and IP_TOKEN in out
+    assert "example.com" not in out and "860" not in out and "23.224" not in out
+
+
+def test_scrub_idempotent(spark):
+    text = "x a.b@example.com y 10.0.0.1 z badword1 860-649-7922"
+    df = _one(spark, text)
+    once = df.select(scrub_all(F.col("text")).alias("t"))
+    twice = once.select(scrub_all(F.col("t")).alias("t"))
+    assert once.collect()[0]["t"] == twice.collect()[0]["t"]
+    assert TOX_TOKEN in once.collect()[0]["t"]
+
+
+def test_scrub_preserves_clean_text(spark):
+    text = "perfectly clean prose with no identifiers at all"
+    out = _one(spark, text).select(scrub_all(F.col("text")).alias("t")).collect()[0]["t"]
+    assert out == text
+
+
+def test_token_counts(spark):
+    df = _one(spark, "hello, world! x2")
+    r = df.select(
+        ws_token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert r["ws"] == 3
+    # hello , world ! x 2 → 6
+    assert r["bpe"] == 6
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "a b c"), (3, "a b d")], ["id", "text"]
+    )
+    rows = df.select(
+        "id",
+        content_fingerprint(F.col("text")).alias("cf"),
+        exact_fingerprint(F.col("text")).alias("ef"),
+    ).collect()
+    got = {r["id"]: r for r in rows}
+    assert got[1]["cf"] == got[2]["cf"]  # order-insensitive
+    assert got[1]["cf"] != got[3]["cf"]
+    assert got[1]["ef"] != got[2]["ef"]  # byte-exact differs

@@ -1,0 +1,83 @@
+"""Embedding ANN tests on the driver's embeddings table."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    lsh_bucketed_topk,
+    make_cosine_scores_pandas_udf,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(str(sf_dir / "embeddings.parquet")).cache()
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 0.0])],
+        ["a", "b"],
+    )
+    got = [r["c"] for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+    assert got[0] == 1.0
+    assert got[1] == 0.0
+    assert abs(got[2] - 1 / math.sqrt(2)) < 1e-6
+
+
+def test_brute_force_topk(emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(queries, emb, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        cs = [r["cos"] for r in sorted(rows, key=lambda r: r["rk"])]
+        assert cs == sorted(cs, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=5).collect()
+    approx = lsh_bucketed_topk(queries, emb, k=5, n_planes=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # LSH results must be a plausible approximation: every approx
+    # neighbor is a real candidate and recall is nonzero.
+    assert approx_set
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # sign-LSH on near-uniform random vectors has modest single-probe
+    # recall; this guards "the bucketing actually restricts + still
+    # finds true neighbors", not a production recall target (bench
+    # reports the real recall/speed tradeoff).
+    assert recall > 0.05, recall
+
+
+def test_pandas_cosine_matches_sql(emb, spark):
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    udf = make_cosine_scores_pandas_udf([float(x) for x in qrow["embedding"]])
+    sample = emb.filter(F.col("vec_id") < 20)
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qv")
+    )
+    sql_scores = {
+        r["vec_id"]: r["c"]
+        for r in sample.crossJoin(F.broadcast(qdf))
+        .select("vec_id", F.round(cosine(F.col("_qv"), F.col("embedding")), 6).alias("c"))
+        .collect()
+    }
+    udf_scores = {
+        r["vec_id"]: round(r["c"], 6)
+        for r in sample.select("vec_id", udf(F.col("embedding")).alias("c")).collect()
+    }
+    for k in sql_scores:
+        assert abs(sql_scores[k] - udf_scores[k]) < 1e-5
