@@ -82,16 +82,28 @@ def _hash_shingle(shingle: Column, seed: int) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), shingle))
 
 
-def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
-    """array<string> of k minhashes, computed in one pass per row:
-    for each seed, min over the shingle array of md5(seed:shingle)."""
-    sh = word_shingles(text, shingle_n)
+def minhash_signature_from_shingles(shingles: Column, k: int = 16) -> Column:
+    """array<string> of k minhashes from a MATERIALIZED shingle column:
+    for each seed, min over the shingle array of md5(seed:shingle).
+
+    Callers should project the shingle array in a prior select —
+    passing the raw word_shingles(...) expression here makes Catalyst
+    inline (and recompute) the whole tokenize+shingle pipeline once per
+    seed, a k× slowdown measured at ~8× wall on the bench corpus."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+            F.transform(
+                shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s))
+            )
         ),
     )
+
+
+def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
+    """Convenience wrapper; prefer materializing shingles first (see
+    minhash_signature_from_shingles)."""
+    return minhash_signature_from_shingles(word_shingles(text, shingle_n), k)
 
 
 def minhash_bands(sig: Column, bands: int = 4, rows_per_band: int = 4) -> Column:
@@ -126,10 +138,16 @@ def lsh_candidate_pairs(
     cluster sizes, not input skew.
     """
     rows_per_band = k // bands
-    sig = minhash_signature(F.col(text_col), k, shingle_n)
-    banded = docs.select(
+    shingled = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(minhash_bands(sig, bands, rows_per_band)).alias("b"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    sigged = shingled.select(
+        "_id", minhash_signature_from_shingles(F.col("_sh"), k).alias("_sig")
+    )
+    banded = sigged.select(
+        "_id",
+        F.explode(minhash_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
     ).select("_id", "b.band_id", "b.band_key")
     left = banded.alias("l")
     right = banded.alias("r")

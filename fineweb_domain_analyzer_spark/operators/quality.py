@@ -97,10 +97,97 @@ def quality_features(text: Column) -> dict[str, Column]:
 
 
 def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    feats = quality_features(F.col(text_col))
-    for name, col in feats.items():
-        df = df.withColumn(name, col)
-    return df
+    """Staged-projection variant of quality_features.
+
+    Computing all five features in ONE projection inlines the shared
+    tokenize/sort/zip subtrees once per feature; the generated Java for
+    that projection took >100 s to Janino-compile on the bench (the
+    per-row work itself is trivial). Staging shared intermediates as
+    their own columns turns them into attribute references —
+    CollapseProject keeps multi-referenced non-trivial expressions in
+    separate projects, so each codegen method stays small and the
+    whole thing still fuses into one map stage.
+    """
+    text = F.col(text_col)
+    df = df.withColumn("_qf_w", ws_tokens(text)).withColumn(
+        "_qf_lw", ws_tokens(F.lower(text))
+    )
+    df = df.withColumn(
+        "_qf_n",
+        F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size("_qf_w")),
+    ).withColumn("_qf_st", F.array_sort("_qf_lw"))
+    df = df.withColumn(
+        "_qf_rb",
+        F.zip_with(
+            F.col("_qf_st"),
+            F.slice(
+                F.concat(F.col("_qf_st"), F.array(F.lit(" "))), 2, F.size("_qf_st")
+            ),
+            lambda a, b: (a != b).cast("int"),
+        ),
+    )
+    df = df.withColumn(
+        "_qf_ix",
+        F.filter(
+            F.transform(
+                F.col("_qf_rb"),
+                lambda x, i: F.when(x == 1, i + 1).otherwise(F.lit(-1)),
+            ),
+            lambda v: v >= 0,
+        ),
+    )
+    df = df.withColumn(
+        "_qf_maxrun",
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.col("_qf_ix"),
+                    lambda v, i: v
+                    - F.coalesce(
+                        F.when(i > 0, F.element_at(F.col("_qf_ix"), i.cast("int"))),
+                        F.lit(0),
+                    ),
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    n = F.col("_qf_n")
+    n1 = F.greatest(n, F.lit(1))
+    chars = F.greatest(F.length(text), F.lit(1))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    df = (
+        df.withColumn("word_count", n)
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                F.aggregate(F.col("_qf_w"), F.lit(0), lambda acc, w: acc + F.length(w))
+                / n1,
+                4,
+            ),
+        )
+        .withColumn(
+            "symbol_ratio",
+            F.round(
+                F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")) / chars, 4
+            ),
+        )
+        .withColumn(
+            "stopword_density",
+            F.round(
+                F.size(F.filter(F.col("_qf_lw"), lambda t: F.array_contains(stop_arr, t)))
+                / n1,
+                4,
+            ),
+        )
+        .withColumn(
+            "max_word_repeat_ratio",
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("_qf_maxrun") / n1, 4)
+            ),
+        )
+    )
+    return df.drop("_qf_w", "_qf_lw", "_qf_n", "_qf_st", "_qf_rb", "_qf_ix", "_qf_maxrun")
 
 
 def gopher_keep(
@@ -145,13 +232,19 @@ def unigram_perplexity(
     toks = docs.select(
         F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token")
     )
-    total = toks.count()
+    # LM with the corpus total folded in as a broadcast scalar — no
+    # driver-side count action, and the exploded tokens are scanned
+    # twice (LM build + scoring join) instead of three times.
     lm = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_cnt"))
-    scored = toks.join(F.broadcast(lm), "token")
+    total_df = lm.agg(F.sum("tok_cnt").cast("double").alias("_total"))
+    scored = toks.join(F.broadcast(lm), "token").crossJoin(F.broadcast(total_df))
     return (
         scored.groupBy(id_col)
-        .agg(F.avg(-F.log2(F.col("tok_cnt") / F.lit(float(total)))).alias("avg_nll"))
-        .select(F.col(id_col), F.round(F.pow(F.lit(2.0), F.col("avg_nll")), 4).alias("perplexity"))
+        .agg(F.avg(-F.log2(F.col("tok_cnt") / F.col("_total"))).alias("avg_nll"))
+        .select(
+            F.col(id_col),
+            F.round(F.pow(F.lit(2.0), F.col("avg_nll")), 4).alias("perplexity"),
+        )
     )
 
 

@@ -40,7 +40,7 @@ from fineweb_domain_analyzer_spark.operators.filtering import (
 )
 from fineweb_domain_analyzer_spark.operators.quality import (
     gopher_keep,
-    quality_features,
+    with_quality_features,
 )
 
 REASON_LANGUAGE = "language_filtered"
@@ -77,9 +77,7 @@ def quality_filter_pipeline(
         "drop_reason", "_robots_reason"
     )
     labeled = labeled.withColumn("langid", langid_heuristic(F.col("text")))
-    feats = quality_features(F.col("text"))
-    for name, col in feats.items():
-        labeled = labeled.withColumn(name, col)
+    labeled = with_quality_features(labeled)
     q_keep = gopher_keep(
         F.col("word_count"),
         F.col("mean_word_len"),

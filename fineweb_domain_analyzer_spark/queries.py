@@ -462,16 +462,20 @@ FROM domains d LEFT JOIN policy p ON d.domain = p.domain
 
 
 def q13_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4 heuristic features per document."""
+    """Gopher/C4 heuristic features per document (staged projections —
+    see with_quality_features for the codegen-compile rationale)."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        with_quality_features,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    feats = quality_features(F.col("text"))
-    return docs.select(
+    return with_quality_features(docs).select(
         "doc_id",
-        feats["word_count"].cast("bigint").alias("word_count"),
-        feats["mean_word_len"].alias("mean_word_len"),
-        feats["symbol_ratio"].alias("symbol_ratio"),
-        feats["stopword_density"].alias("stopword_density"),
-        feats["max_word_repeat_ratio"].alias("max_word_repeat_ratio"),
+        F.col("word_count").cast("bigint").alias("word_count"),
+        "mean_word_len",
+        "symbol_ratio",
+        "stopword_density",
+        "max_word_repeat_ratio",
     )
 
 
@@ -640,22 +644,30 @@ FROM documents
 
 def q19_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8, word-3-gram shingles, md5 hash family)."""
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        minhash_signature_from_shingles,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    shingled = docs.select("doc_id", word_shingles(F.col("text")).alias("_sh"))
+    return shingled.select(
         "doc_id",
-        F.concat_ws("|", minhash_signature(F.col("text"), k=8)).alias("sig"),
+        F.concat_ws("|", minhash_signature_from_shingles(F.col("_sh"), k=8)).alias(
+            "sig"
+        ),
     )
 
 
 Q19_SQL = f"""
+WITH shingled AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents)
 SELECT doc_id,
        array_to_string(
          list_transform(range(0, 8),
            i -> list_aggregate(
-                  list_transform({SHINGLES_SQL}, s -> md5(CAST(i AS VARCHAR) || ':' || s)),
+                  list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)),
                   'min')),
          '|') AS sig
-FROM documents
+FROM shingled
 """
 
 
@@ -678,13 +690,16 @@ WITH aug AS (
   SELECT doc_id + 1000000 AS doc_id, text || ' mutated tail' AS text
   FROM documents WHERE doc_id < 200
 ),
+shingled AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM aug
+),
 sigs AS (
   SELECT doc_id,
          list_transform(range(0, 16),
            i -> list_aggregate(
-                  list_transform({SHINGLES_SQL}, s -> md5(CAST(i AS VARCHAR) || ':' || s)),
+                  list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)),
                   'min')) AS sig
-  FROM aug
+  FROM shingled
 ),
 banded AS (
   SELECT doc_id, b.band_id,
