@@ -141,6 +141,37 @@ def lsh_bucketed_topk(
     )
 
 
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    The dedup-by-embedding path of a training-data pipeline: sign-LSH
+    buckets bound the candidate set (near-identical vectors share all
+    sign bits, so recall at high thresholds is excellent), then exact
+    cosine verifies. Only the bucket self-join shuffles, keyed by the
+    (uniform) bucket hash."""
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    l, r = v.alias("l"), v.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id")),
+    ).select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        F.round(cosine(F.col("l._v"), F.col("r._v")), 6).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold)
+
+
 def make_cosine_scores_pandas_udf(query_vec: list[float]):
     """Arrow-batched numpy cosine against one fixed query vector —
     the constant-factor-optimized path for very wide embeddings."""

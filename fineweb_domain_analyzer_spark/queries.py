@@ -841,6 +841,36 @@ WHERE rk <= 3
 """
 
 
+def q30_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed + exact verify).
+    Threshold 0.3: the synthetic embeddings are near-orthogonal (max
+    pairwise cos ≈ 0.37), so 0.3 yields a real, nonempty result set."""
+    from fineweb_domain_analyzer_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.3, n_planes=8)
+
+
+Q30_SQL = f"""
+WITH v AS (SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+           FROM embeddings)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       round(
+         list_sum(list_transform(range(1, len(l.embedding) + 1),
+                                 i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(l.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(r.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+FROM v l JOIN v r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round(
+         list_sum(list_transform(range(1, len(l.embedding) + 1),
+                                 i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(l.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(r.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.3
+"""
+
+
 def q26_salted_domain_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (skew defuse) — result must equal a
     plain GROUP BY, which is exactly what the oracle runs."""
@@ -951,6 +981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_media_meta": q27_media_meta,
     "q28_filter_stats": q28_filter_stats,
     "q29_drop_reason_histogram": q29_drop_reason_histogram,
+    "q30_embedding_near_dups": q30_embedding_near_dups,
 }
 
 
@@ -982,4 +1013,5 @@ def oracle_sql() -> dict[str, str]:
         "q27_media_meta": Q27_SQL,
         "q28_filter_stats": Q28_SQL,
         "q29_drop_reason_histogram": Q29_SQL,
+        "q30_embedding_near_dups": Q30_SQL,
     }

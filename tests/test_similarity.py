@@ -62,6 +62,21 @@ def test_lsh_recall_vs_brute_force(emb):
     assert recall > 0.05, recall
 
 
+def test_embedding_near_dups(spark):
+    from fineweb_domain_analyzer_spark.operators.similarity import embedding_near_dups
+
+    rows = [
+        (0, [1.0] * 16),
+        (1, [1.0] * 15 + [1.01]),  # near-identical to 0
+        (2, [-1.0] * 16),          # opposite
+        (3, [1.0, -1.0] * 8),      # orthogonal-ish
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in embedding_near_dups(df, 0.95, n_planes=4).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert all(a != 2 and b != 2 for a, b in pairs)
+
+
 def test_pandas_cosine_matches_sql(emb, spark):
     qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
     udf = make_cosine_scores_pandas_udf([float(x) for x in qrow["embedding"]])
