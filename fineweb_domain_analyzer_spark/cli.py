@@ -1,0 +1,313 @@
+"""Reference-compatible CLI — the four verbs of fineweb_analyzer.py,
+Spark-backed.
+
+A user of the reference can run the same commands against this engine:
+
+    python -m fineweb_domain_analyzer_spark.cli --input data.warc.gz --warc-to-json
+    python -m fineweb_domain_analyzer_spark.cli --input data.jsonl --extract-domains
+    python -m fineweb_domain_analyzer_spark.cli --domains domains.json --check-robots
+    python -m fineweb_domain_analyzer_spark.cli --input data.jsonl --robots robots_check.json --filter-content
+    python -m fineweb_domain_analyzer_spark.cli --input data.jsonl --all-steps
+
+Artifact formats mirror the reference (domains_simple_*.json /
+domains_detailed_*.json / robots_check_*.json / filtered_*.jsonl /
+excluded_*.jsonl / filter_stats_*.json, reference lines 203-244,
+389-402, 417-497), with documented deviations:
+
+* --check-robots performs NO network I/O by default: robots bodies come
+  from --robots-content (a JSON map domain → robots.txt text, e.g. a
+  frozen snapshot) or every domain defaults to allowed. Live fetching
+  is an offline pre-fetch concern (north star) and requires `requests`
+  (optional; absent in this environment).
+* filtered/excluded JSONL lines are byte-identical to the input lines
+  (raw passthrough), exactly like the reference.
+* timestamped filenames use an injectable --run-ts for determinism.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+from datetime import datetime
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.functions.robots import (
+    load_policy_fixture,
+    policy_from_robots_content,
+)
+from fineweb_domain_analyzer_spark.operators.domain_stats import domain_stats
+from fineweb_domain_analyzer_spark.operators.filtering import label_pages, with_domain
+from fineweb_domain_analyzer_spark.operators.metrics import filter_stats
+from fineweb_domain_analyzer_spark.session import get_spark
+from fineweb_domain_analyzer_spark.sources.jsonl import read_jsonl_with_raw
+from fineweb_domain_analyzer_spark.sources.warc import read_warc
+
+
+def _ts(args) -> str:
+    return args.run_ts or datetime.now().strftime("%Y%m%d_%H%M%S")
+
+
+def _iso(args) -> str:
+    return args.run_iso or datetime.now().isoformat()
+
+
+def warc_to_json(spark, args) -> Path:
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    df = read_warc(spark, args.input, args.max_records)
+    stem = Path(args.input).stem.replace(".warc", "")
+    target = out_dir / f"{stem}.jsonl"
+    # one distributed pass; small outputs coalesce to a single file so
+    # the artifact matches the reference's single-jsonl shape
+    tmp = str(target) + "_spark"
+    df.coalesce(1).write.mode("overwrite").json(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*"))[0]
+    os.replace(part, target)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(f"converted -> {target}")
+    return target
+
+
+def extract_domains(spark, args, jsonl_path: str | None = None) -> dict:
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pages = read_jsonl_with_raw(spark, jsonl_path or args.input)
+    pages = with_domain(
+        pages.filter(F.col("url").isNotNull() & (F.col("url") != ""))
+    )
+    order = "id" if "id" in pages.columns else "url"
+    stats_df = domain_stats(pages, order_col=order, run_ts=_iso(args))
+    rows = stats_df.orderBy("domain").collect()  # O(domains): small
+    ts = _ts(args)
+    simple = {
+        "metadata": {
+            "generated_at": _iso(args),
+            "total_domains": len(rows),
+            "format": "simple_list",
+        },
+        "domains": [r["domain"] for r in rows],
+    }
+    detailed = {
+        "metadata": {
+            "generated_at": _iso(args),
+            "total_domains": len(rows),
+            "format": "detailed_stats",
+        },
+        "domains": {
+            r["domain"]: {
+                "count": r["count"],
+                "urls": list(r["urls"]),
+                "tld": r["tld"],
+                "first_seen": r["first_seen"],
+                "last_seen": r["last_seen"],
+            }
+            for r in rows
+        },
+    }
+    with open(out_dir / f"domains_simple_{ts}.json", "w", encoding="utf-8") as f:
+        json.dump(simple, f, ensure_ascii=False, indent=2)
+    with open(out_dir / f"domains_detailed_{ts}.json", "w", encoding="utf-8") as f:
+        json.dump(detailed, f, ensure_ascii=False, indent=2)
+    print(f"domains -> {out_dir}/domains_simple_{ts}.json ({len(rows)} domains)")
+    return detailed["domains"]
+
+
+def check_robots(spark, args, domains: list[str] | None = None) -> dict:
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if domains is None:
+        with open(args.domains, encoding="utf-8") as f:
+            domains = json.load(f).get("domains", [])
+    contents: dict[str, str] = {}
+    if args.robots_content:
+        with open(args.robots_content, encoding="utf-8") as f:
+            contents = json.load(f)
+    rows = [(d, contents.get(d), None) for d in domains]
+    df = spark.createDataFrame(
+        rows, "domain string, robots_content string, error string"
+    )
+    policy = policy_from_robots_content(df, user_agent=args.user_agent)
+    results = {}
+    for r in policy.collect():  # O(domains): small
+        results[r["domain"]] = {
+            "domain": r["domain"],
+            "robots_exists": r["robots_exists"],
+            "crawl_allowed": r["crawl_allowed"],
+            "crawl_delay": r["crawl_delay"],
+            "disallowed_paths": list(r["disallowed_paths"] or []),
+            "error": r["error"],
+            "last_checked": _iso(args),
+            **(
+                {"robots_content": r["robots_content"]}
+                if r["robots_content"] is not None
+                else {}
+            ),
+        }
+    ts = _ts(args)
+    out_file = out_dir / f"robots_check_{ts}.json"
+    with open(out_file, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "metadata": {
+                    "generated_at": _iso(args),
+                    "total_domains": len(domains),
+                    "user_agent": args.user_agent,
+                    "timeout": args.timeout,
+                },
+                "results": results,
+            },
+            f,
+            ensure_ascii=False,
+            indent=2,
+        )
+    allowed = sum(1 for r in results.values() if r["crawl_allowed"])
+    print(f"robots -> {out_file} ({allowed}/{len(domains)} crawlable)")
+    return results
+
+
+def filter_content(spark, args, robots_results: dict | None = None, jsonl_path=None):
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    jsonl_path = jsonl_path or args.input
+    if robots_results is None:
+        policy = load_policy_fixture(spark, args.robots)
+    else:
+        from fineweb_domain_analyzer_spark.schema import DOMAIN_POLICY
+
+        rows = [
+            (
+                d,
+                bool(r.get("robots_exists", False)),
+                bool(r.get("crawl_allowed", False)),
+                r.get("crawl_delay"),
+                r.get("disallowed_paths") or [],
+                r.get("error"),
+                None,
+                r.get("robots_content"),
+            )
+            for d, r in robots_results.items()
+        ]
+        policy = spark.createDataFrame(rows, DOMAIN_POLICY)
+    pages = read_jsonl_with_raw(spark, jsonl_path)
+    labeled = label_pages(pages, policy).cache()
+    ts = _ts(args)
+    stem = Path(jsonl_path).stem
+    filtered_file = out_dir / f"filtered_{stem}_{ts}.jsonl"
+    excluded_file = out_dir / f"excluded_{stem}_{ts}.jsonl"
+    for keep, target in ((True, filtered_file), (False, excluded_file)):
+        part_dir = str(target) + "_spark"
+        (
+            labeled.filter(F.col("keep") == keep)
+            .select("raw")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(part_dir)
+        )
+        parts = glob.glob(os.path.join(part_dir, "part-*"))
+        if parts:
+            os.replace(parts[0], target)
+        else:
+            target.write_text("")
+        import shutil
+
+        shutil.rmtree(part_dir, ignore_errors=True)
+    s = filter_stats(labeled).collect()[0]
+    stats = {
+        "total_processed": s["total_processed"],
+        "filtered_kept": s["filtered_kept"],
+        "excluded_count": s["excluded_count"],
+        "keep_ratio": s["keep_ratio"],
+    }
+    stats_file = out_dir / f"filter_stats_{ts}.json"
+    with open(stats_file, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "metadata": {
+                    "generated_at": _iso(args),
+                    "source_file": str(jsonl_path),
+                    "filtered_file": str(filtered_file),
+                    "excluded_file": str(excluded_file),
+                },
+                "statistics": stats,
+            },
+            f,
+            ensure_ascii=False,
+            indent=2,
+        )
+    print(
+        f"filter -> kept {stats['filtered_kept']} / excluded {stats['excluded_count']}"
+        f" ({stats['keep_ratio']}%) -> {filtered_file}"
+    )
+    return filtered_file, excluded_file, stats
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        description="FineWeb Domain Analyzer — Spark engine, reference-compatible CLI"
+    )
+    p.add_argument("--input", "-i")
+    p.add_argument("--output", "-o", default="output")
+    p.add_argument("--verbose", "-v", action="store_true")
+    p.add_argument("--all-steps", action="store_true")
+    p.add_argument("--warc-to-json", action="store_true")
+    p.add_argument("--extract-domains", action="store_true")
+    p.add_argument("--check-robots", action="store_true")
+    p.add_argument("--filter-content", action="store_true")
+    p.add_argument("--domains")
+    p.add_argument("--robots")
+    p.add_argument("--max-records", type=int)
+    p.add_argument("--timeout", type=int, default=10)
+    p.add_argument("--max-workers", type=int, default=10)  # accepted for parity
+    p.add_argument("--user-agent", default="*")
+    p.add_argument(
+        "--robots-content",
+        help="JSON map domain→robots.txt body (frozen snapshot; replaces live fetch)",
+    )
+    p.add_argument("--run-ts", help="inject run timestamp (YYYYmmdd_HHMMSS) for determinism")
+    p.add_argument("--run-iso", help="inject ISO timestamp for determinism")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    if (args.all_steps or args.warc_to_json or args.extract_domains or args.filter_content) and not args.input:
+        p.error("these operations require --input")
+    if args.check_robots and not (args.domains or args.all_steps):
+        p.error("--check-robots requires --domains")
+    if args.filter_content and not args.robots:
+        p.error("--filter-content requires --robots")
+
+    spark = get_spark(app_name="fineweb-cli", master=args.master)
+    try:
+        if args.all_steps:
+            if Path(args.input).suffix in (".warc", ".gz"):
+                jsonl = str(warc_to_json(spark, args))
+            else:
+                jsonl = args.input
+            dom_stats = extract_domains(spark, args, jsonl)
+            results = check_robots(spark, args, domains=sorted(dom_stats.keys()))
+            filter_content(spark, args, robots_results=results, jsonl_path=jsonl)
+        elif args.warc_to_json:
+            warc_to_json(spark, args)
+        elif args.extract_domains:
+            extract_domains(spark, args)
+        elif args.check_robots:
+            check_robots(spark, args)
+        elif args.filter_content:
+            filter_content(spark, args)
+        else:
+            p.print_help()
+            return 1
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

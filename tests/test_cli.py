@@ -1,0 +1,146 @@
+"""Reference-compatible CLI end-to-end: every verb the reference user
+runs today, against the reference's own fixtures, producing the same
+artifacts (filter path must reproduce the golden 34/16 byte-identically)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from fineweb_domain_analyzer_spark import cli
+from fineweb_domain_analyzer_spark.sources.warc import write_warc_file
+
+
+def _args(**kw):
+    import argparse
+
+    defaults = dict(
+        input=None,
+        output="output",
+        verbose=False,
+        domains=None,
+        robots=None,
+        max_records=None,
+        timeout=10,
+        max_workers=10,
+        user_agent="*",
+        robots_content=None,
+        run_ts="20250724_133214",
+        run_iso="2025-07-24T13:32:14",
+        master=None,
+    )
+    defaults.update(kw)
+    return argparse.Namespace(**defaults)
+
+
+def test_filter_content_reproduces_golden(spark, fixtures_dir, tmp_path):
+    args = _args(
+        input=str(fixtures_dir / "test_data.jsonl"),
+        robots=str(fixtures_dir / "robots_check_20250724_133214.json"),
+        output=str(tmp_path),
+    )
+    filtered_file, excluded_file, stats = cli.filter_content(spark, args)
+    assert stats == {
+        "total_processed": 50,
+        "filtered_kept": 34,
+        "excluded_count": 16,
+        "keep_ratio": 68.0,
+    }
+    golden_kept = sorted(
+        l.rstrip("\n")
+        for l in open(fixtures_dir / "filtered_test_data_20250724_133214.jsonl")
+        if l.strip()
+    )
+    ours_kept = sorted(l.rstrip("\n") for l in open(filtered_file) if l.strip())
+    assert ours_kept == golden_kept  # byte-identical kept lines
+    golden_excl = sorted(
+        l.rstrip("\n")
+        for l in open(fixtures_dir / "excluded_test_data_20250724_133214.jsonl")
+        if l.strip()
+    )
+    ours_excl = sorted(l.rstrip("\n") for l in open(excluded_file) if l.strip())
+    assert ours_excl == golden_excl
+    # stats artifact exists and matches the reference format
+    stats_doc = json.load(open(Path(args.output) / "filter_stats_20250724_133214.json"))
+    assert stats_doc["statistics"] == stats
+
+
+def test_extract_domains_matches_golden_list(spark, fixtures_dir, tmp_path):
+    args = _args(input=str(fixtures_dir / "test_data.jsonl"), output=str(tmp_path))
+    detailed = cli.extract_domains(spark, args)
+    golden = json.load(open(fixtures_dir / "domains_simple_20250724_132950.json"))
+    assert sorted(detailed.keys()) == sorted(golden["domains"])
+    simple_doc = json.load(open(tmp_path / "domains_simple_20250724_133214.json"))
+    assert simple_doc["domains"] == sorted(golden["domains"])
+    gd = json.load(open(fixtures_dir / "domains_detailed_20250724_132950.json"))["domains"]
+    for d, rec in gd.items():
+        assert detailed[d]["count"] == rec["count"], d
+        assert detailed[d]["tld"] == rec["tld"], d
+
+
+def test_check_robots_offline_snapshot(spark, fixtures_dir, tmp_path):
+    """Feed the frozen robots bodies back through the parser; domains
+    with content parse to their recorded crawl_allowed, domains without
+    content default to allowed (404 semantics)."""
+    ref = json.load(open(fixtures_dir / "robots_check_20250724_133214.json"))["results"]
+    contents = {
+        d: r["robots_content"]
+        for d, r in ref.items()
+        if r.get("robots_exists") and "robots_content" in r
+    }
+    content_file = tmp_path / "robots_bodies.json"
+    content_file.write_text(json.dumps(contents), encoding="utf-8")
+    domains_file = tmp_path / "domains.json"
+    domains_file.write_text(json.dumps({"domains": sorted(ref.keys())}))
+    args = _args(
+        domains=str(domains_file),
+        robots_content=str(content_file),
+        output=str(tmp_path),
+    )
+    results = cli.check_robots(spark, args)
+    assert set(results) == set(ref)
+    for d in contents:
+        assert results[d]["crawl_allowed"] == ref[d]["crawl_allowed"], d
+    # artifact format parity
+    doc = json.load(open(tmp_path / "robots_check_20250724_133214.json"))
+    assert set(doc) == {"metadata", "results"}
+    assert doc["metadata"]["total_domains"] == len(ref)
+
+
+def test_warc_to_json_and_all_steps(spark, tmp_path):
+    warc = tmp_path / "mini.warc"
+    write_warc_file(
+        [
+            {
+                "rec_type": "response",
+                "url": "https://www.alpha.example.com/a",
+                "date": "2024-06-12T00:00:00Z",
+                "body": b"<html>alpha</html>",
+            },
+            {"rec_type": "request", "url": "https://alpha.example.com/a", "body": b"GET /"},
+            {
+                "rec_type": "response",
+                "url": "https://beta.example.com:8080/b",
+                "date": "2024-06-12T00:01:00Z",
+                "body": b"<html>beta</html>",
+            },
+        ],
+        str(warc),
+    )
+    args = _args(input=str(warc), output=str(tmp_path / "out"))
+    jsonl = cli.warc_to_json(spark, args)
+    lines = [json.loads(l) for l in open(jsonl) if l.strip()]
+    assert len(lines) == 2  # response records only
+    urls = {l["url"] for l in lines}
+    assert urls == {"https://www.alpha.example.com/a", "https://beta.example.com:8080/b"}
+    # chain the remaining steps like --all-steps does
+    detailed = cli.extract_domains(spark, args, str(jsonl))
+    assert set(detailed) == {"alpha.example.com", "beta.example.com:8080"}
+    results = cli.check_robots(spark, args, domains=sorted(detailed))
+    assert all(r["crawl_allowed"] for r in results.values())  # default-allow
+    _, _, stats = cli.filter_content(
+        spark, args, robots_results=results, jsonl_path=str(jsonl)
+    )
+    assert stats["total_processed"] == 2 and stats["filtered_kept"] == 2
