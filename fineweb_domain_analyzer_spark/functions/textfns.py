@@ -77,22 +77,48 @@ def cjk_char_count(text: Column) -> Column:
     return F.length(text) - F.length(F.regexp_replace(text, r"[一-鿿]", ""))
 
 
-def langid_heuristic(text: Column) -> Column:
-    """Deterministic heuristic language ID:
-    CJK-ratio > 0.15 → 'zh'; else argmax stopword density over the
-    per-language lists; no hits → 'unk'."""
-    n = F.greatest(ws_token_count(text), F.lit(1))
-    densities = [
-        (lang, stopword_hits(text, lang) / n) for lang in LANG_STOPWORDS
-    ]
-    cjk_ratio = cjk_char_count(text) / F.greatest(F.length(text), F.lit(1))
-    best = F.greatest(*[d for _, d in densities])
+def langid_hits_from_tokens(lowered_tokens: Column, lang: str) -> Column:
+    arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(lowered_tokens, lambda t: F.array_contains(arr, t)))
+
+
+def langid_from_hits(
+    hit_cols: dict[str, Column], cjk_ratio: Column
+) -> Column:
+    """Decision over integer hit counts (no float-equality hazards):
+    CJK-ratio > 0.15 → 'zh'; else argmax hits with priority
+    en > de > fr > es on ties; all-zero → 'unk'."""
+    best = F.greatest(*hit_cols.values())
     guess = F.lit("unk")
-    # reversed so earlier langs win ties (stable argmax order en,de,fr,es)
-    for lang, d in reversed(densities):
-        guess = F.when(d == best, F.lit(lang)).otherwise(guess)
+    for lang in reversed(list(hit_cols)):  # earlier langs win ties
+        guess = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(guess)
     guess = F.when(best <= 0, F.lit("unk")).otherwise(guess)
     return F.when(cjk_ratio > 0.15, F.lit("zh")).otherwise(guess)
+
+
+def langid_heuristic(text: Column) -> Column:
+    """Deterministic heuristic language ID (single-expression form —
+    fine for one-off use; the pipeline uses with_langid to stage the
+    token array once, keeping codegen methods small)."""
+    toks = ws_tokens(F.lower(text))
+    hits = {lang: langid_hits_from_tokens(toks, lang) for lang in LANG_STOPWORDS}
+    cjk_ratio = cjk_char_count(text) / F.greatest(F.length(text), F.lit(1))
+    return langid_from_hits(hits, cjk_ratio)
+
+
+def with_langid(df, text_col: str = "text", out_col: str = "langid"):
+    """Staged-projection langid: token array materialized once, per-lang
+    hit counts as their own columns, decision from attribute refs."""
+    text = F.col(text_col)
+    df = df.withColumn("_li_toks", ws_tokens(F.lower(text)))
+    for lang in LANG_STOPWORDS:
+        df = df.withColumn(
+            f"_li_h_{lang}", langid_hits_from_tokens(F.col("_li_toks"), lang)
+        )
+    cjk_ratio = cjk_char_count(text) / F.greatest(F.length(text), F.lit(1))
+    hits = {lang: F.col(f"_li_h_{lang}") for lang in LANG_STOPWORDS}
+    df = df.withColumn(out_col, langid_from_hits(hits, cjk_ratio))
+    return df.drop("_li_toks", *[f"_li_h_{lang}" for lang in LANG_STOPWORDS])
 
 
 # --- fingerprinting ---------------------------------------------------------

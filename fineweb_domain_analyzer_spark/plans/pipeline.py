@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 from fineweb_domain_analyzer_spark.functions.scrub import scrub_all
 from fineweb_domain_analyzer_spark.functions.textfns import (
     decode_utf8_ignore_udf,
-    langid_heuristic,
 )
 from fineweb_domain_analyzer_spark.operators.filtering import (
     REASON_BAD_URL,
@@ -76,7 +75,9 @@ def quality_filter_pipeline(
     labeled = labeled.withColumnRenamed("keep", "_robots_keep").withColumnRenamed(
         "drop_reason", "_robots_reason"
     )
-    labeled = labeled.withColumn("langid", langid_heuristic(F.col("text")))
+    from fineweb_domain_analyzer_spark.functions.textfns import with_langid
+
+    labeled = with_langid(labeled)
     labeled = with_quality_features(labeled)
     q_keep = gopher_keep(
         F.col("word_count"),
