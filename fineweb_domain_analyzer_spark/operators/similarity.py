@@ -172,6 +172,89 @@ def embedding_near_dups(
     return pairs.filter(F.col("cos") >= threshold)
 
 
+def deterministic_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid set: the `n_centroids` lowest-id vectors.
+
+    Stand-in for k-means "training" so the IVF index is reproducible and
+    oracle-checkable; production swaps this for
+    ``pyspark.ml.clustering.KMeans`` centroids — the assignment and
+    search plans below are unchanged (they only see a small centroid
+    DataFrame, which is broadcast either way).
+    """
+    return vectors.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+
+
+def assign_ivf_cluster(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cluster_id): nearest centroid by cosine, ties → lowest
+    centroid id. Centroids are broadcast; the argmax is a per-row window
+    over |centroids| scored rows — at scale this is one map stage plus a
+    window keyed by the (uniformly distributed) vector id."""
+    # rounded to 6dp so near-tie assignments resolve identically in any
+    # engine (ties then break on centroid_id, deterministic everywhere)
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cc", F.round(cosine(F.col(vec_col), F.col("centroid_vec")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cc").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("cluster_id"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: score only candidates in the query's cluster (nprobe=1).
+
+    The scale path: the candidate table is partitioned by cluster_id
+    once (in production: written bucketed/partitioned by cluster so the
+    probe is a partition-pruned scan), queries are broadcast, and each
+    query touches |corpus| / n_centroids candidates. Approximate —
+    recall vs brute force is reported by the bench. Output:
+    (query_id, neighbor_id, cos, rk)."""
+    centroids = deterministic_centroids(candidates, n_centroids, id_col, vec_col)
+    cand = assign_ivf_cluster(candidates, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        "cluster_id",
+    )
+    qry = assign_ivf_cluster(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        "cluster_id",
+    )
+    scored = (
+        cand.join(F.broadcast(qry), ["cluster_id"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .drop("_qv", "_cv", "cluster_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
 def make_cosine_scores_pandas_udf(query_vec: list[float]):
     """Arrow-batched numpy cosine against one fixed query vector —
     the constant-factor-optimized path for very wide embeddings."""

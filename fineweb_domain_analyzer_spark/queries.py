@@ -871,6 +871,128 @@ WHERE round(
 """
 
 
+def q31_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning + Gopher duplicate-line fraction over
+    deterministically injected multi-line text (the documents corpus is
+    single-line, so boilerplate/dup lines are synthesized per doc)."""
+    from fineweb_domain_analyzer_spark.operators.textclean import with_line_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit("\nBuy now click here"),
+        F.lit("\nThis site uses cookie consent and javascript tracking."),
+        F.lit("\n"),
+        F.col("text"),
+        F.lit(" end of story."),
+        F.lit("\nOk."),
+        F.lit("\nBuy now click here"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\nBuy now click here")).otherwise(
+            F.lit("")
+        ),
+    )
+    cleaned = with_line_clean(docs.withColumn("text", injected))
+    return cleaned.select(
+        "doc_id",
+        "lines_total",
+        "lines_kept",
+        "dup_line_fraction",
+        F.md5(F.col("cleaned_text")).alias("clean_hash"),
+    )
+
+
+_BANNED_SQL = " AND ".join(
+    f"strpos(lower(l), '{p}') = 0"
+    for p in ("javascript", "cookie", "lorem ipsum", "privacy policy", "terms of use")
+)
+
+Q31_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || chr(10) || 'Buy now click here'
+              || chr(10) || 'This site uses cookie consent and javascript tracking.'
+              || chr(10) || text || ' end of story.'
+              || chr(10) || 'Ok.'
+              || chr(10) || 'Buy now click here'
+              || (CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Buy now click here' ELSE '' END) AS t
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                     l -> length(l) > 0) AS lines
+  FROM injected
+),
+kept AS (
+  SELECT doc_id, lines,
+         list_filter(lines,
+                     l -> substring(l, length(l), 1) IN ('.', '!', '?', '"')
+                          AND len(string_split_regex(l, '\\s+')) >= 3
+                          AND {_BANNED_SQL}) AS keep_lines
+  FROM lined
+)
+SELECT doc_id,
+       len(lines) AS lines_total,
+       len(keep_lines) AS lines_kept,
+       CASE WHEN len(lines) = 0 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 4)
+       END AS dup_line_fraction,
+       md5(array_to_string(keep_lines, chr(10))) AS clean_hash
+FROM kept
+"""
+
+
+def q32_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3 (nprobe=1, deterministic centroid set): the
+    partition-pruned scale path complementing q25's sign-LSH variant."""
+    from fineweb_domain_analyzer_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=3, n_centroids=8
+    ).withColumn("rk", F.col("rk").cast("bigint"))
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"""
+round(
+  list_sum(list_transform(range(1, len({a}) + 1),
+                          i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), 6)
+"""
+
+
+Q32_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosc DESC, centroid_id) AS rn
+  FROM (SELECT e.vec_id, e.embedding, c.centroid_id,
+               {_cos_sql('e.embedding', 'c.cvec')} AS cosc
+        FROM embeddings e CROSS JOIN cent c)
+),
+clustered AS (
+  SELECT vec_id, embedding, centroid_id AS cluster_id FROM assign WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cluster_id
+      FROM clustered WHERE vec_id < 10),
+c2 AS (SELECT vec_id AS neighbor_id, embedding AS cv, cluster_id FROM clustered),
+scored AS (
+  SELECT q.query_id, c2.neighbor_id, {_cos_sql('q.qv', 'c2.cv')} AS cos
+  FROM q JOIN c2 USING (cluster_id)
+  WHERE q.query_id <> c2.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= 3
+"""
+
+
 def q26_salted_domain_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (skew defuse) — result must equal a
     plain GROUP BY, which is exactly what the oracle runs."""
@@ -982,6 +1104,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_filter_stats": q28_filter_stats,
     "q29_drop_reason_histogram": q29_drop_reason_histogram,
     "q30_embedding_near_dups": q30_embedding_near_dups,
+    "q31_c4_line_clean": q31_c4_line_clean,
+    "q32_ann_ivf": q32_ann_ivf,
 }
 
 
@@ -1014,4 +1138,6 @@ def oracle_sql() -> dict[str, str]:
         "q28_filter_stats": Q28_SQL,
         "q29_drop_reason_histogram": Q29_SQL,
         "q30_embedding_near_dups": Q30_SQL,
+        "q31_c4_line_clean": Q31_SQL,
+        "q32_ann_ivf": Q32_SQL,
     }

@@ -1,0 +1,88 @@
+"""C4 line cleaning, Gopher dup-line fraction, and IVF ANN tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.operators.similarity import (
+    brute_force_topk,
+    deterministic_centroids,
+    ivf_topk,
+)
+from fineweb_domain_analyzer_spark.operators.textclean import (
+    c4_clean_text,
+    dup_line_fraction,
+    with_line_clean,
+)
+
+DOC = (
+    "A real sentence with plenty of words in it.\n"
+    "no punctuation here at all\n"
+    "Enable javascript to continue.\n"
+    "We use cookie tracking everywhere.\n"
+    "Short.\n"
+    "   \n"
+    "Another proper sentence follows right here!\n"
+    "no punctuation here at all\n"
+)
+
+
+def test_c4_clean_keeps_only_valid_lines(spark):
+    df = spark.createDataFrame([(1, DOC)], ["doc_id", "text"])
+    out = df.select(c4_clean_text(F.col("text")).alias("c")).collect()[0]["c"]
+    assert out == (
+        "A real sentence with plenty of words in it.\n"
+        "Another proper sentence follows right here!"
+    )
+
+
+def test_dup_line_fraction(spark):
+    df = spark.createDataFrame([(1, DOC), (2, "one\ntwo\nthree"), (3, "")],
+                               ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", dup_line_fraction(F.col("text")).alias("f")
+        ).collect()
+    }
+    # DOC: 7 non-empty lines, 6 distinct -> 1 - 6/7
+    assert abs(got[1] - round(1 - 6 / 7, 4)) < 1e-9
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_with_line_clean_counts(spark):
+    df = spark.createDataFrame([(1, DOC)], ["doc_id", "text"])
+    row = with_line_clean(df).collect()[0]
+    assert row["lines_total"] == 7
+    assert row["lines_kept"] == 2
+    assert row["cleaned_text"].count("\n") == 1
+
+
+def test_ivf_assignment_covers_all_and_matches_brute_force_in_cluster(spark, sf_dir):
+    emb = spark.read.parquet(str(sf_dir / "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf_topk(queries, emb, k=3, n_centroids=4)
+    rows = got.collect()
+    # every query returns ranked neighbors with rk dense from 1
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rks = sorted(x["rk"] for x in rs)
+        assert rks == list(range(1, len(rks) + 1))
+        # IVF neighbors are a subset of brute-force candidates: each
+        # IVF cosine must equal the brute-force cosine for that pair
+        assert all(x["cos"] <= 1.0 + 1e-9 for x in rs)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in brute_force_topk(queries, emb, k=500).collect()
+    }
+    for r in rows:
+        assert abs(bf[(r["query_id"], r["neighbor_id"])] - r["cos"]) < 1e-6
+
+
+def test_deterministic_centroids(spark, sf_dir):
+    emb = spark.read.parquet(str(sf_dir / "embeddings.parquet"))
+    cents = deterministic_centroids(emb, 4).collect()
+    assert sorted(c["centroid_id"] for c in cents) == [0, 1, 2, 3]
