@@ -49,6 +49,16 @@ def _run(spark, sf_dir: str) -> dict:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    # One warm-up execution per query at the smallest SF: compiles the
+    # whole-stage-codegen classes (Janino) and spawns the Python UDF
+    # workers, so the timed run below measures steady-state execution —
+    # the regime that matters at 100 TB — not one-time JVM compile cost.
+    warm_dir = os.environ.get("BENCH_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+    for name in HEADLINE:
+        try:
+            qs[name](spark, warm_dir).count()
+        except Exception:
+            pass  # warm-up is best-effort; the timed run surfaces real errors
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
@@ -75,6 +85,11 @@ def _run_pipeline(spark) -> dict:
         ).parquet(cache_dir)
     pages = spark.read.parquet(cache_dir)
     policy = synth_policy_for_domains(spark, 2000)
+    # Warm-up + measured run, matching scripts/scaling_bench.py: the
+    # first execution compiles the fused pipeline stage (~18 s of
+    # Janino); the measured run reports steady-state throughput.
+    labeled = quality_filter_pipeline(pages, policy)
+    filter_stats(labeled).collect()
     t0 = time.time()
     labeled = quality_filter_pipeline(pages, policy)
     stats = filter_stats(labeled).collect()[0]

@@ -95,6 +95,41 @@ def extract_domain_sql(url: Column) -> Column:
     ).otherwise(deported)
 
 
+def with_domain_sql(df, url_col: str = "url", out_col: str = "domain"):
+    """Staged-projection form of ``extract_domain_sql``.
+
+    The single-expression form inlines the netloc regexp subtree ~8×
+    into one CASE tree; runtime CSE dedups the work but Janino still
+    compiles the full expansion — measured ~4 s of cold-start per query
+    on the bench. Materializing netloc and the port-stripped form as
+    their own columns turns them into attribute references
+    (CollapseProject keeps multi-referenced non-cheap expressions in
+    separate projects), so the generated code is ~8× smaller and the
+    whole chain still fuses into one map stage.
+    """
+    url = F.col(url_col)
+    df = df.withColumn(
+        "_dom_netloc",
+        F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)),
+    )
+    netloc = F.col("_dom_netloc")
+    df = df.withColumn(
+        "_dom_deported",
+        F.when(
+            netloc.contains(":") & ~netloc.endswith(":8080"),
+            F.split(netloc, ":").getItem(0),
+        ).otherwise(netloc),
+    )
+    deported = F.col("_dom_deported")
+    df = df.withColumn(
+        out_col,
+        F.when(
+            deported.startswith("www."), F.substring(deported, 5, 2147483647)
+        ).otherwise(deported),
+    )
+    return df.drop("_dom_netloc", "_dom_deported")
+
+
 def extract_tld_sql(domain: Column) -> Column:
     return F.when(
         domain.isNull() | (F.instr(domain, ".") == 0), F.lit("")

@@ -33,8 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fineweb_domain_analyzer_spark.functions.domains import (
-    extract_domain_sql,
     extract_domain_udf,
+    with_domain_sql,
 )
 
 # Drop-reason enum — unified across robots/quality/lang stages so the
@@ -48,8 +48,9 @@ def with_domain(pages: DataFrame, url_col: str = "url", exact: bool = True) -> D
     """Add a ``domain`` column. ``exact=True`` uses the urlparse-exact
     pandas UDF (byte-parity with the reference); ``exact=False`` uses
     the JVM-side expression (whole-stage codegen, for clean inputs)."""
-    fn = extract_domain_udf if exact else extract_domain_sql
-    return pages.withColumn("domain", fn(F.col(url_col)))
+    if exact:
+        return pages.withColumn("domain", extract_domain_udf(F.col(url_col)))
+    return with_domain_sql(pages, url_col)
 
 
 def join_policy(

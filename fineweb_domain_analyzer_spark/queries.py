@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from fineweb_domain_analyzer_spark.functions.domains import (
-    extract_domain_sql,
     extract_tld_sql,
+    with_domain_sql,
 )
 from fineweb_domain_analyzer_spark.functions.scrub import (
     EMAIL_RE,
@@ -125,9 +125,7 @@ domains AS (
 
 
 def domains_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pages_view(spark, sf_dir).withColumn(
-        "domain", extract_domain_sql(F.col("url"))
-    )
+    return with_domain_sql(pages_view(spark, sf_dir))
 
 
 def policy_view(spark: SparkSession, sf_dir: str) -> DataFrame:
