@@ -95,11 +95,22 @@ def _run_pipeline(spark) -> dict:
     stats = filter_stats(labeled).collect()[0]
     sec = time.time() - t0
     docs = stats["total_processed"]
+    # Write-included variant: materializes scrubbed_text and the
+    # drop_reason-partitioned parquet sink — the full production job.
+    from fineweb_domain_analyzer_spark.plans.pipeline import write_pipeline_output
+
+    out_dir = os.environ.get("BENCH_PIPELINE_OUT", "/tmp/fw_bench_pipe_out")
+    write_pipeline_output(quality_filter_pipeline(pages, policy), out_dir)  # warm
+    t0 = time.time()
+    write_pipeline_output(quality_filter_pipeline(pages, policy), out_dir)
+    wsec = time.time() - t0
     return {
         "docs": int(docs),
         "sec": round(sec, 3),
         "docs_per_sec": round(docs / sec, 1),
         "kept": int(stats["filtered_kept"]),
+        "write_sec": round(wsec, 3),
+        "write_docs_per_sec": round(docs / wsec, 1),
     }
 
 
