@@ -30,8 +30,14 @@ from fineweb_domain_analyzer_spark.functions.domains import extract_tld_sql
 
 
 def _top5_urls(order_col: str, url_col: str) -> Column:
-    """Deterministic capped collect-list: smallest-5 by order_col."""
-    pairs = F.collect_list(F.struct(F.col(order_col), F.col(url_col).alias("url")))
+    """Deterministic capped collect-list: smallest-5 by order_col.
+
+    The order field gets its own alias — with the default
+    order_col == url_col a bare struct would carry two `url` fields and
+    the s["url"] projection becomes an ambiguous reference."""
+    pairs = F.collect_list(
+        F.struct(F.col(order_col).alias("ord"), F.col(url_col).alias("url"))
+    )
     return F.slice(
         F.transform(F.array_sort(pairs), lambda s: s["url"]), 1, 5
     )
@@ -96,7 +102,9 @@ def domain_stats_salted(
         F.count(F.lit(1)).alias("_cnt"),
         F.slice(
             F.array_sort(
-                F.collect_list(F.struct(F.col(order_col), F.col(url_col).alias("url")))
+                F.collect_list(
+                    F.struct(F.col(order_col).alias("ord"), F.col(url_col).alias("url"))
+                )
             ),
             1,
             5,

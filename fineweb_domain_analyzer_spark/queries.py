@@ -991,6 +991,32 @@ WHERE rk <= 3
 """
 
 
+def q33_domain_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 + A4: exact count-distinct of page domains joined with the
+    policy dimension's crawlable/denied counts (the reference's
+    save_domain_analysis metadata + check_domains_batch summary log,
+    fineweb_analyzer.py:199/215/405)."""
+    d = domains_view(spark, sf_dir)
+    p = policy_view(spark, sf_dir)
+    totals = d.agg(F.countDistinct("domain").alias("total_domains"))
+    pol = p.agg(
+        F.count(F.lit(1)).alias("policy_domains"),
+        F.sum(F.col("crawl_allowed").cast("bigint")).alias("crawlable_domains"),
+        F.sum((~F.col("crawl_allowed")).cast("bigint")).alias("denied_domains"),
+    )
+    return totals.crossJoin(pol)
+
+
+Q33_SQL = f"""
+WITH {PAGES_CTE}, {DOMAINS_CTE}, {POLICY_CTE}
+SELECT (SELECT count(DISTINCT domain) FROM domains) AS total_domains,
+       count(*) AS policy_domains,
+       sum(CASE WHEN crawl_allowed THEN 1 ELSE 0 END) AS crawlable_domains,
+       sum(CASE WHEN crawl_allowed THEN 0 ELSE 1 END) AS denied_domains
+FROM policy
+"""
+
+
 def q26_salted_domain_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (skew defuse) — result must equal a
     plain GROUP BY, which is exactly what the oracle runs."""
@@ -1104,6 +1130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_embedding_near_dups": q30_embedding_near_dups,
     "q31_c4_line_clean": q31_c4_line_clean,
     "q32_ann_ivf": q32_ann_ivf,
+    "q33_domain_summary": q33_domain_summary,
 }
 
 
@@ -1138,4 +1165,5 @@ def oracle_sql() -> dict[str, str]:
         "q30_embedding_near_dups": Q30_SQL,
         "q31_c4_line_clean": Q31_SQL,
         "q32_ann_ivf": Q32_SQL,
+        "q33_domain_summary": Q33_SQL,
     }
