@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Input-size scaling evidence: the same quality-filter job at 1x / 4x /
+16x input on fixed cores (local[32]). Throughput holding (or rising, as
+fixed overheads amortize) across a 16x input range is the local proxy
+for "the plan survives a scale-up": no per-job state grows with input,
+no driver materialization, shuffle volume stays O(domains).
+Writes BENCH/size_scaling.json."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SIZES = (300_000, 1_200_000, 4_800_000)
+
+
+def main() -> None:
+    from fineweb_domain_analyzer_spark.operators.metrics import filter_stats
+    from fineweb_domain_analyzer_spark.plans.pipeline import quality_filter_pipeline
+    from fineweb_domain_analyzer_spark.session import get_spark
+    from fineweb_domain_analyzer_spark.sources.pages import (
+        synth_pages,
+        synth_policy_for_domains,
+    )
+
+    spark = get_spark(
+        master="local[32]",
+        extra_confs={
+            "spark.sql.shuffle.partitions": "64",
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    policy = synth_policy_for_domains(spark, 2000)
+    results = []
+    for rows in SIZES:
+        path = f"/tmp/fw_size_pages_{rows}"
+        if not Path(path).exists():
+            synth_pages(spark, rows, n_domains=2000, seed=42).write.mode(
+                "overwrite"
+            ).parquet(path)
+        pages = spark.read.parquet(path)
+        filter_stats(quality_filter_pipeline(pages, policy)).collect()  # warm
+        t0 = time.time()
+        stats = filter_stats(quality_filter_pipeline(pages, policy)).collect()[0]
+        sec = time.time() - t0
+        results.append(
+            {
+                "docs": rows,
+                "sec": round(sec, 3),
+                "docs_per_sec": round(rows / sec, 1),
+                "kept": int(stats["filtered_kept"]),
+            }
+        )
+        print(results[-1])
+    base = results[0]["docs_per_sec"]
+    out = {
+        "cores": 32,
+        "runs": results,
+        "throughput_ratio_16x_vs_1x": round(results[-1]["docs_per_sec"] / base, 3),
+    }
+    (REPO / "BENCH" / "size_scaling.json").write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
