@@ -40,20 +40,28 @@ def main() -> None:
     results = []
     for rows in SIZES:
         path = f"/tmp/fw_size_pages_{rows}"
-        if not Path(path).exists():
+        # _SUCCESS guards against a partial parquet left by a killed run
+        if not (Path(path) / "_SUCCESS").exists():
             synth_pages(spark, rows, n_domains=2000, seed=42).write.mode(
                 "overwrite"
             ).parquet(path)
         pages = spark.read.parquet(path)
         filter_stats(quality_filter_pipeline(pages, policy)).collect()  # warm
-        t0 = time.time()
-        stats = filter_stats(quality_filter_pipeline(pages, policy)).collect()[0]
-        sec = time.time() - t0
+        # best of 3: the corpora here are a single task wave in local
+        # mode (one ~10 MB parquet file per core), so one GC-paused
+        # straggler doubles a run's wall time — min is the steady state
+        sec = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            stats = filter_stats(quality_filter_pipeline(pages, policy)).collect()[0]
+            sec = min(sec, time.time() - t0)
+        docs = int(stats["total_processed"])  # actual rows, not requested
+        assert docs == rows, f"cache at {path} holds {docs} rows, expected {rows}"
         results.append(
             {
-                "docs": rows,
+                "docs": docs,
                 "sec": round(sec, 3),
-                "docs_per_sec": round(rows / sec, 1),
+                "docs_per_sec": round(docs / sec, 1),
                 "kept": int(stats["filtered_kept"]),
             }
         )
