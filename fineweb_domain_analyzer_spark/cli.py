@@ -61,7 +61,9 @@ def warc_to_json(spark, args) -> Path:
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     df = read_warc(spark, args.input, args.max_records)
-    stem = Path(args.input).stem.replace(".warc", "")
+    # reference filename: f"{warc_path.stem}.jsonl" (fineweb_analyzer.py:70)
+    # — 'data.warc.gz' → 'data.warc.jsonl', 'data.warc' → 'data.jsonl'
+    stem = Path(args.input).stem
     target = out_dir / f"{stem}.jsonl"
     # one distributed pass; small outputs coalesce to a single file so
     # the artifact matches the reference's single-jsonl shape
@@ -84,7 +86,12 @@ def extract_domains(spark, args, jsonl_path: str | None = None) -> dict:
         pages.filter(F.col("url").isNotNull() & (F.col("url") != ""))
     )
     order = "id" if "id" in pages.columns else "url"
-    stats_df = domain_stats(pages, order_col=order, run_ts=_iso(args))
+    # per-record timestamps (WARC-derived input) feed first/last_seen
+    # exactly like the reference (:184-187); rows without the field get
+    # the injected run timestamp (the reference's datetime.now() path)
+    stats_df = domain_stats(
+        pages, order_col=order, ts_col="timestamp", run_ts=_iso(args)
+    )
     rows = stats_df.orderBy("domain").collect()  # O(domains): small
     ts = _ts(args)
     simple = {

@@ -62,22 +62,26 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="fineweb-quality-filter", master=args.master)
     t0 = time.time()
 
+    def bucket_split(df, split):
+        """split key = stable bucket of url → disjoint restartable units."""
+        if split == "all":
+            return df
+        n = 16
+        return df.filter(F.pmod(F.xxhash64("url"), F.lit(n)) == int(split))
+
     if args.synth_rows:
         policy = synth_policy_for_domains(spark, 2000)
 
         def load_split(spark_, split):
-            return synth_pages(spark_, args.synth_rows, n_domains=2000, seed=42)
+            return bucket_split(
+                synth_pages(spark_, args.synth_rows, n_domains=2000, seed=42), split
+            )
 
     else:
         policy = spark.read.parquet(args.policy)
 
         def load_split(spark_, split):
-            df = spark_.read.parquet(args.pages)
-            if split != "all":
-                # split key = stable bucket of url → restartable units
-                n = 16
-                return df.filter(F.pmod(F.xxhash64("url"), F.lit(n)) == int(split))
-            return df
+            return bucket_split(spark_.read.parquet(args.pages), split)
 
     def process(spark_, split):
         pages = load_split(spark_, split)

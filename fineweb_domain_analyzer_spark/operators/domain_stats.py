@@ -30,7 +30,13 @@ from fineweb_domain_analyzer_spark.functions.domains import extract_tld_sql
 
 
 def _top5_urls(order_col: str, url_col: str) -> Column:
-    """Deterministic capped collect-list: smallest-5 by order_col.
+    """Deterministic smallest-5 by order_col via collect+sort+slice.
+
+    NOTE: the collect_list buffers ALL of a domain's rows before the
+    slice — fine for the reference-parity path (fixture-scale domain
+    cardinality) but unbounded state on a Zipf head domain. The scale
+    path is ``domain_stats_salted``, whose window-based top-k keeps
+    per-task state O(5) and lets the sort spill.
 
     The order field gets its own alias — with the default
     order_col == url_col a bare struct would carry two `url` fields and
@@ -83,10 +89,18 @@ def domain_stats_salted(
     ts_col: str | None = None,
     run_ts: str | None = None,
 ) -> DataFrame:
-    """Skew-defused two-phase variant. Phase 1 aggregates per
-    (domain, salt) — head domains fan out over n_salts reducers — and
-    phase 2 merges the tiny per-salt partials. Results are identical to
-    ``domain_stats`` (verified by tests on Zipf data)."""
+    """Skew-defused two-phase variant. Phase 1 ranks per (domain, salt)
+    — head domains fan out over n_salts sort partitions — and phase 2
+    merges the tiny per-salt partials. Results are identical to
+    ``domain_stats`` (verified by tests on Zipf data).
+
+    Bounded state by construction: the top-5 comes from a window
+    ``row_number`` over (domain, salt) — Tungsten's external sorter
+    spills to disk, unlike a collect_list aggregation buffer which must
+    hold every url of the hottest key in memory — and every collect
+    after the rn ≤ 5 filter carries at most 5 rows per salt."""
+    from pyspark.sql.window import Window
+
     order_col = order_col or url_col
     df = pages.filter(
         F.col(domain_col).isNotNull() & (F.col(domain_col) != "")
@@ -98,8 +112,21 @@ def domain_stats_salted(
     df = df.withColumn("_seen_ts", ts_expr).withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts))
     )
-    partial = df.groupBy(F.col(domain_col).alias("domain"), F.col("_salt")).agg(
-        F.count(F.lit(1)).alias("_cnt"),
+    w_ord = Window.partitionBy(domain_col, "_salt").orderBy(
+        F.col(order_col), F.col(url_col)
+    )
+    w_all = Window.partitionBy(domain_col, "_salt")
+    ranked = (
+        df.withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn("_pcnt", F.count(F.lit(1)).over(w_all))
+        .withColumn("_pfirst", F.min("_seen_ts").over(w_all))
+        .withColumn("_plast", F.max("_seen_ts").over(w_all))
+        .filter(F.col("_rn") <= 5)
+    )
+    # already hash-partitioned by (domain, salt) from the window — this
+    # groupBy adds no exchange; collects are capped at 5 rows per group
+    partial = ranked.groupBy(F.col(domain_col).alias("domain"), F.col("_salt")).agg(
+        F.first("_pcnt").alias("_cnt"),
         F.slice(
             F.array_sort(
                 F.collect_list(
@@ -109,8 +136,8 @@ def domain_stats_salted(
             1,
             5,
         ).alias("_cand"),
-        F.min("_seen_ts").alias("_first"),
-        F.max("_seen_ts").alias("_last"),
+        F.first("_pfirst").alias("_first"),
+        F.first("_plast").alias("_last"),
     )
     final = partial.groupBy("domain").agg(
         F.sum("_cnt").alias("count"),

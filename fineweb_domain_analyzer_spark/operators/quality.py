@@ -27,7 +27,6 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType
 
 from fineweb_domain_analyzer_spark.functions.textfns import (
-    ws_token_count,
     ws_tokens,
 )
 
@@ -36,77 +35,35 @@ from fineweb_domain_analyzer_spark.functions.textfns import (
 STOPWORDS_EN = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
 
 
-def quality_features(text: Column) -> dict[str, Column]:
-    """The heuristic feature set as named Column expressions.
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The heuristic feature set as staged-projection columns:
 
     * word_count, mean_word_len        (Gopher doc-length rules)
     * symbol_ratio                     (non-alnum/space chars ÷ chars)
     * stopword_density                 (C4/Gopher stop-word rule)
     * max_word_repeat_ratio            (most frequent token ÷ tokens —
-                                        repeated-line/token fraction)
-    """
-    words = ws_tokens(text)
-    lwords = ws_tokens(F.lower(text))
-    n = ws_token_count(text)
-    n1 = F.greatest(n, F.lit(1))
-    chars = F.greatest(F.length(text), F.lit(1))
-    sym = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
-    stop_hits = F.size(F.filter(lwords, lambda t: F.array_contains(stop_arr, t)))
-    total_len = F.aggregate(
-        words, F.lit(0), lambda acc, w: acc + F.length(w)
-    )
-    # max token frequency via sort+linear scan, no shuffle: count runs in
-    # the sorted token array with zip_with against its own shift.
-    sorted_toks = F.array_sort(lwords)
-    # sentinel " " can never equal a whitespace-split token. (A NUL
-    # literal would be the classic choice but breaks Spark codegen
-    # string comparison — all results come back null.)
-    # (slice length must not make start+length overflow int — use the
-    # real size, not Integer.MAX_VALUE, or slice silently returns null)
-    run_breaks = F.zip_with(
-        sorted_toks,
-        F.slice(F.concat(sorted_toks, F.array(F.lit(" "))), 2, F.size(sorted_toks)),
-        lambda a, b: (a != b).cast("int"),
-    )
-    # positions of run ends → run lengths; max run = mode count
-    idxs = F.filter(
-        F.transform(run_breaks, lambda x, i: F.when(x == 1, i + 1).otherwise(F.lit(-1))),
-        lambda v: v >= 0,
-    )
-    # run length i = end_i - end_{i-1} (element_at is 1-based, so
-    # element_at(idxs, i) is the PREVIOUS end for 0-based lambda index i)
-    run_lens = F.transform(
-        idxs,
-        lambda v, i: v
-        - F.coalesce(
-            F.when(i > 0, F.element_at(idxs, i.cast("int"))), F.lit(0)
-        ),
-    )
-    max_run = F.coalesce(F.array_max(run_lens), F.lit(0))
-    return {
-        "word_count": n,
-        "mean_word_len": F.round(total_len / n1, 4),
-        "symbol_ratio": F.round(sym / chars, 4),
-        "stopword_density": F.round(stop_hits / n1, 4),
-        # empty text tokenizes to [''] — don't let that count as a run
-        "max_word_repeat_ratio": F.when(n == 0, F.lit(0.0)).otherwise(
-            F.round(max_run / n1, 4)
-        ),
-    }
+                                        repeated-token fraction; computed
+                                        as the longest run in the sorted
+                                        token array — no shuffle)
 
+    Why staged projections: computing all five features in ONE
+    projection inlines the shared tokenize/sort/zip subtrees once per
+    feature; the generated Java for that projection took >100 s to
+    Janino-compile on the bench (the per-row work itself is trivial).
+    Staging shared intermediates as their own columns turns them into
+    attribute references — CollapseProject keeps multi-referenced
+    non-trivial expressions in separate projects, so each codegen
+    method stays small and the whole thing still fuses into one map
+    stage.
 
-def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Staged-projection variant of quality_features.
-
-    Computing all five features in ONE projection inlines the shared
-    tokenize/sort/zip subtrees once per feature; the generated Java for
-    that projection took >100 s to Janino-compile on the bench (the
-    per-row work itself is trivial). Staging shared intermediates as
-    their own columns turns them into attribute references —
-    CollapseProject keeps multi-referenced non-trivial expressions in
-    separate projects, so each codegen method stays small and the
-    whole thing still fuses into one map stage.
+    Expression notes: the run-break sentinel " " can never equal a
+    whitespace-split token (a NUL literal breaks codegen string
+    comparison — results come back null); the slice length uses the
+    real array size, not Integer.MAX_VALUE, so start+length can't
+    overflow int (which makes slice silently return null); run length i
+    = end_i - end_{i-1} via 1-based element_at against the 0-based
+    lambda index; empty text tokenizes to [''] and must not count as a
+    run.
     """
     text = F.col(text_col)
     df = df.withColumn("_qf_w", ws_tokens(text)).withColumn(

@@ -94,14 +94,27 @@ def run_resumable(
 
 
 class IcebergCheckpointer(Checkpointer):
-    """Snapshot-property-backed manifest for Iceberg catalogs.
+    """Table-property-backed manifest for Iceberg catalogs.
 
-    commit: ``df.writeTo(table).overwritePartitions()`` in the same job
-    that sets snapshot summary property ``processed-splits`` — manifest
-    and data are then atomic. Requires an Iceberg runtime jar; falls
-    back to the file manifest when the catalog is absent so local tests
-    exercise the same control flow.
+    The manifest lives in the table property ``processed-splits``
+    (public Iceberg SQL: ``ALTER TABLE … SET TBLPROPERTIES``), written
+    by ``mark_processed`` immediately after each unit's data commit and
+    read back by ``processed_splits`` — so write and read use the same
+    store, and resume works without any external file. A crash between
+    the data commit and the property update reprocesses exactly one
+    unit, which the dynamic-partition-overwrite commit makes idempotent
+    (same window as the file-manifest protocol above).
+
+    Strictly-atomic variant for engines that expose it: attach the
+    manifest as a *snapshot summary* property in the same commit
+    (``df.writeTo(t).option("snapshot-property.processed-splits", …)``)
+    — zero reprocess window, at the cost of coupling the checkpointer
+    into the write call. Falls back to the file manifest when no
+    Iceberg catalog is present so local tests exercise the same
+    control flow.
     """
+
+    PROP = "processed-splits"
 
     def __init__(self, spark: SparkSession, table: str, manifest_path: str):
         super().__init__(manifest_path)
@@ -119,11 +132,15 @@ class IcebergCheckpointer(Checkpointer):
     def processed_splits(self) -> set[str]:
         if not self._have_iceberg:
             return super().processed_splits()
-        rows = self.spark.sql(
-            f"SELECT summary FROM {self.table}.snapshots ORDER BY committed_at DESC LIMIT 1"
-        ).collect()
-        if not rows:
-            return set()
-        summary = rows[0]["summary"] or {}
-        raw = summary.get("processed-splits", "[]")
-        return set(json.loads(raw))
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
+        props = {r["key"]: r["value"] for r in rows}
+        return set(json.loads(props.get(self.PROP, "[]")))
+
+    def mark_processed(self, split: str) -> None:
+        if not self._have_iceberg:
+            return super().mark_processed(split)
+        splits = sorted(self.processed_splits() | {split})
+        payload = json.dumps(splits).replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {self.table} SET TBLPROPERTIES ('{self.PROP}' = '{payload}')"
+        )

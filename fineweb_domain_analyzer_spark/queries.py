@@ -41,19 +41,16 @@ from fineweb_domain_analyzer_spark.functions.textfns import (
     BPE_ISH_PATTERN,
     content_fingerprint,
     ws_token_count,
-    ws_tokens,
 )
 from fineweb_domain_analyzer_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_on_pairs,
     lsh_candidate_pairs,
-    minhash_signature,
     simhash16,
     word_shingles,
 )
 from fineweb_domain_analyzer_spark.operators.quality import (
     STOPWORDS_EN,
-    quality_features,
     unigram_perplexity,
 )
 from fineweb_domain_analyzer_spark.operators.similarity import (

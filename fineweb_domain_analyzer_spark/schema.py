@@ -94,6 +94,11 @@ JSONL_RECORD = StructType(
     [
         StructField("id", StringType()),
         StructField("url", StringType()),
+        # WARC-converter output carries a per-record timestamp
+        # (fineweb_analyzer.py:91) consumed by first_seen/last_seen
+        # (:184-187); the committed fixtures simply lack the field
+        # (parses to null, run-ts fallback applies).
+        StructField("timestamp", StringType()),
         StructField("text", StringType()),
         StructField("text_length", IntegerType()),
         StructField("language_info", LANGUAGE_INFO),

@@ -22,15 +22,6 @@ _WORDS = (
     "service world time people year day good great small large"
 ).split()
 
-_PII_SNIPPETS = (
-    " contact me at user{i}@example.com",
-    " call (860) 649-7{i:03d}"[:40],
-    " server ip 23.224.4.{i}",
-    "",
-    "",
-    "",
-)
-
 
 def synth_pages(
     spark: SparkSession,

@@ -144,3 +144,35 @@ def test_warc_to_json_and_all_steps(spark, tmp_path):
         spark, args, robots_results=results, jsonl_path=str(jsonl)
     )
     assert stats["total_processed"] == 2 and stats["filtered_kept"] == 2
+
+
+def test_warc_timestamps_flow_into_domain_stats(spark, tmp_path):
+    """Reference parity (fineweb_analyzer.py:181-187): WARC-derived
+    records carry WARC-Date as `timestamp`, and first_seen/last_seen
+    must record it — not the run timestamp fallback."""
+    warc = tmp_path / "ts.warc"
+    write_warc_file(
+        [
+            {
+                "rec_type": "response",
+                "url": "https://t1.example.com/a",
+                "date": "2024-06-12T01:02:03Z",
+                "body": b"one",
+            },
+            {
+                "rec_type": "response",
+                "url": "https://t1.example.com/b",
+                "date": "2024-06-13T04:05:06Z",
+                "body": b"two",
+            },
+        ],
+        str(warc),
+    )
+    args = _args(input=str(warc), output=str(tmp_path / "out"))
+    jsonl = cli.warc_to_json(spark, args)
+    # reference filename parity: Path('ts.warc').stem == 'ts'
+    assert Path(jsonl).name == "ts.jsonl"
+    detailed = cli.extract_domains(spark, args, str(jsonl))
+    stats = detailed["t1.example.com"]
+    assert stats["first_seen"] == "2024-06-12T01:02:03Z"
+    assert stats["last_seen"] == "2024-06-13T04:05:06Z"
