@@ -106,19 +106,31 @@ def langid_heuristic(text: Column) -> Column:
     return langid_from_hits(hits, cjk_ratio)
 
 
-def with_langid(df, text_col: str = "text", out_col: str = "langid"):
+def with_langid(
+    df,
+    text_col: str = "text",
+    out_col: str = "langid",
+    lower_tokens_col: str | None = None,
+):
     """Staged-projection langid: token array materialized once, per-lang
-    hit counts as their own columns, decision from attribute refs."""
+    hit counts as their own columns, decision from attribute refs.
+
+    ``lower_tokens_col`` lets the caller share an already-staged
+    ws_tokens(lower(text)) column (the pipeline stages it once for
+    langid AND the quality features — tokenization is the dominant
+    per-row cost, so computing it once matters)."""
     text = F.col(text_col)
-    df = df.withColumn("_li_toks", ws_tokens(F.lower(text)))
+    if lower_tokens_col is None:
+        df = df.withColumn("_li_toks", ws_tokens(F.lower(text)))
+        toks, drop_toks = F.col("_li_toks"), ["_li_toks"]
+    else:
+        toks, drop_toks = F.col(lower_tokens_col), []
     for lang in LANG_STOPWORDS:
-        df = df.withColumn(
-            f"_li_h_{lang}", langid_hits_from_tokens(F.col("_li_toks"), lang)
-        )
+        df = df.withColumn(f"_li_h_{lang}", langid_hits_from_tokens(toks, lang))
     cjk_ratio = cjk_char_count(text) / F.greatest(F.length(text), F.lit(1))
     hits = {lang: F.col(f"_li_h_{lang}") for lang in LANG_STOPWORDS}
     df = df.withColumn(out_col, langid_from_hits(hits, cjk_ratio))
-    return df.drop("_li_toks", *[f"_li_h_{lang}" for lang in LANG_STOPWORDS])
+    return df.drop(*drop_toks, *[f"_li_h_{lang}" for lang in LANG_STOPWORDS])
 
 
 # --- fingerprinting ---------------------------------------------------------

@@ -35,7 +35,9 @@ from fineweb_domain_analyzer_spark.functions.textfns import (
 STOPWORDS_EN = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
 
 
-def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality_features(
+    df: DataFrame, text_col: str = "text", lower_tokens_col: str | None = None
+) -> DataFrame:
     """The heuristic feature set as staged-projection columns:
 
     * word_count, mean_word_len        (Gopher doc-length rules)
@@ -66,13 +68,17 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     run.
     """
     text = F.col(text_col)
-    df = df.withColumn("_qf_w", ws_tokens(text)).withColumn(
-        "_qf_lw", ws_tokens(F.lower(text))
-    )
+    drop_cols = ["_qf_w", "_qf_n", "_qf_st", "_qf_rb", "_qf_ix", "_qf_maxrun"]
+    df = df.withColumn("_qf_w", ws_tokens(text))
+    if lower_tokens_col is None:
+        df = df.withColumn("_qf_lw", ws_tokens(F.lower(text)))
+        lower_tokens_col = "_qf_lw"
+        drop_cols.append("_qf_lw")
+    lw = F.col(lower_tokens_col)
     df = df.withColumn(
         "_qf_n",
         F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size("_qf_w")),
-    ).withColumn("_qf_st", F.array_sort("_qf_lw"))
+    ).withColumn("_qf_st", F.array_sort(lw))
     df = df.withColumn(
         "_qf_rb",
         F.zip_with(
@@ -132,7 +138,7 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn(
             "stopword_density",
             F.round(
-                F.size(F.filter(F.col("_qf_lw"), lambda t: F.array_contains(stop_arr, t)))
+                F.size(F.filter(lw, lambda t: F.array_contains(stop_arr, t)))
                 / n1,
                 4,
             ),
@@ -144,7 +150,7 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
-    return df.drop("_qf_w", "_qf_lw", "_qf_n", "_qf_st", "_qf_rb", "_qf_ix", "_qf_maxrun")
+    return df.drop(*drop_cols)
 
 
 def gopher_keep(

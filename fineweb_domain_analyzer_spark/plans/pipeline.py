@@ -75,10 +75,17 @@ def quality_filter_pipeline(
     labeled = labeled.withColumnRenamed("keep", "_robots_keep").withColumnRenamed(
         "drop_reason", "_robots_reason"
     )
-    from fineweb_domain_analyzer_spark.functions.textfns import with_langid
+    from fineweb_domain_analyzer_spark.functions.textfns import (
+        with_langid,
+        ws_tokens,
+    )
 
-    labeled = with_langid(labeled)
-    labeled = with_quality_features(labeled)
+    # tokenize+lowercase once; langid and the quality features share the
+    # array (regex split is the dominant per-row cost of both stages)
+    labeled = labeled.withColumn("_toks_lw", ws_tokens(F.lower(F.col("text"))))
+    labeled = with_langid(labeled, lower_tokens_col="_toks_lw")
+    labeled = with_quality_features(labeled, lower_tokens_col="_toks_lw")
+    labeled = labeled.drop("_toks_lw")
     q_keep = gopher_keep(
         F.col("word_count"),
         F.col("mean_word_len"),
