@@ -1014,6 +1014,56 @@ FROM policy
 """
 
 
+def q34_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-100 tokens by frequency
+    (tokenizer-training prep). Explode → partial-agg count → top-k;
+    the shuffle key is the token (near-uniform), the top-k is a single
+    final sort of O(vocab) grouped rows."""
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+Q34_SQL = f"""
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest({TOKS_SQL}) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 100
+"""
+
+
+def q35_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (100-char buckets) with corpus share —
+    the distribution report a curation pipeline emits per snapshot."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.floor(F.length("text") / 100).cast("bigint")
+    agg = docs.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("cnt"))
+    total = docs.count()
+    return agg.select(
+        "bucket", "cnt", F.round(F.col("cnt") / F.lit(total), 6).alias("share")
+    )
+
+
+Q35_SQL = """
+SELECT floor(length(text) / 100)::BIGINT AS bucket,
+       count(*) AS cnt,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 6) AS share
+FROM documents
+GROUP BY 1
+"""
+
+
 def q26_salted_domain_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (skew defuse) — result must equal a
     plain GROUP BY, which is exactly what the oracle runs."""
@@ -1128,6 +1178,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_c4_line_clean": q31_c4_line_clean,
     "q32_ann_ivf": q32_ann_ivf,
     "q33_domain_summary": q33_domain_summary,
+    "q34_vocab_topk": q34_vocab_topk,
+    "q35_length_histogram": q35_length_histogram,
 }
 
 
@@ -1163,4 +1215,6 @@ def oracle_sql() -> dict[str, str]:
         "q31_c4_line_clean": Q31_SQL,
         "q32_ann_ivf": Q32_SQL,
         "q33_domain_summary": Q33_SQL,
+        "q34_vocab_topk": Q34_SQL,
+        "q35_length_histogram": Q35_SQL,
     }
