@@ -111,15 +111,34 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = False,
 ) -> DataFrame:
-    """ANN top-k scored only within the query's sign-LSH bucket.
-    Approximate: recall < 1; the benchmark reports recall vs the brute
-    force baseline. Bucket keys are hash-like → uniform shuffle."""
+    """ANN top-k scored only within the query's sign-LSH bucket(s).
+    Approximate: recall < 1; BENCH/ann_recall.json reports recall vs
+    the brute-force baseline. Bucket keys are hash-like → uniform
+    shuffle.
+
+    ``multi_probe=True`` additionally probes every bucket at hamming
+    distance 1 from the query's (flip each plane bit once) — the
+    standard recall/cost knob: (n_planes+1)× the candidates without
+    touching the candidate-side index. Only the (small) query side
+    fans out, so the join stays broadcast."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("_bucket"),
+            *[
+                F.col("_bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
+                for p in range(n_planes)
+            ],
+        )
+        q = (
+            q.withColumn("_bucket", F.explode(probes))
+        )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),

@@ -57,13 +57,23 @@ def main() -> None:
         "k": K,
         "recall": {
             "lsh_8planes": recall(topk_sets(lsh_bucketed_topk(queries, emb, k=K, n_planes=8)), exact),
+            "lsh_8planes_multiprobe": recall(
+                topk_sets(lsh_bucketed_topk(queries, emb, k=K, n_planes=8, multi_probe=True)),
+                exact,
+            ),
             "lsh_4planes": recall(topk_sets(lsh_bucketed_topk(queries, emb, k=K, n_planes=4)), exact),
+            "lsh_4planes_multiprobe": recall(
+                topk_sets(lsh_bucketed_topk(queries, emb, k=K, n_planes=4, multi_probe=True)),
+                exact,
+            ),
             "ivf_8cent": recall(topk_sets(ivf_topk(queries, emb, k=K, n_centroids=8)), exact),
             "ivf_4cent": recall(topk_sets(ivf_topk(queries, emb, k=K, n_centroids=4)), exact),
         },
         "candidate_fraction": {
             "lsh_8planes": round(1 / 2**8, 4),
+            "lsh_8planes_multiprobe": round(9 / 2**8, 4),
             "lsh_4planes": round(1 / 2**4, 4),
+            "lsh_4planes_multiprobe": round(5 / 2**4, 4),
             "ivf_8cent": round(1 / 8, 4),
             "ivf_4cent": round(1 / 4, 4),
         },

@@ -96,3 +96,28 @@ def test_pandas_cosine_matches_sql(emb, spark):
     }
     for k in sql_scores:
         assert abs(sql_scores[k] - udf_scores[k]) < 1e-5
+
+
+def test_lsh_multiprobe_recall_superset(spark, sf_dir):
+    """Hamming-1 multi-probe must find everything the single-bucket
+    probe finds (its probe set includes the exact bucket)."""
+    from fineweb_domain_analyzer_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet(str(sf_dir / "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    # k >= corpus so no truncation: candidate SETS must nest
+    big_k = emb.count()
+    base = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_topk(queries, emb, k=big_k, n_planes=4).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_topk(
+            queries, emb, k=big_k, n_planes=4, multi_probe=True
+        ).collect()
+    }
+    assert base <= multi
+    assert len(multi) >= len(base)
