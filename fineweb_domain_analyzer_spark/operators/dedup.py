@@ -208,6 +208,82 @@ def near_dedup_minhash(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+# --- near-dup clusters (connected components) --------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node in the pair graph; cluster_id =
+    min node id of its connected component.
+
+    The step that COMPLETES near-dup dedup: verified pairs only relate
+    two docs, but keep-one-per-group needs the transitive closure.
+    Iterative min-label propagation over DataFrame joins — each sweep
+    takes the min label in a node's closed neighborhood; converges in
+    O(component diameter) sweeps, which for near-dup graphs (dense
+    cliques of mutual near-copies) is small. No GraphX/graphframes
+    dependency.
+
+    Scale notes: every iteration is one shuffle keyed by node id
+    (uniform); ``localCheckpoint`` truncates the lineage so the plan
+    doesn't grow per sweep (on a cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    fault-tolerant truncation). The convergence check is one count per
+    sweep — driver-side O(1).
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    sym = sym.distinct()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 25
+) -> DataFrame:
+    """Drop every doc that belongs to a near-dup cluster but isn't its
+    min-id canonical. Docs not in any pair are kept untouched."""
+    clusters = connected_components(pairs, max_iter=max_iter)
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 # --- SimHash ------------------------------------------------------------------
 
 def simhash16(text: Column) -> Column:

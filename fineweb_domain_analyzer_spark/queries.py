@@ -1064,6 +1064,74 @@ GROUP BY 1
 """
 
 
+def q36_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup path as one query: MinHash-LSH candidates → exact
+    shingle-Jaccard verify ≥ 0.5, over head docs ∪ mutated copies."""
+    from fineweb_domain_analyzer_spark.operators.dedup import near_dedup_minhash
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutated tail")).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionAll(mutated)
+    return near_dedup_minhash(aug, threshold=0.5, k=16, bands=4).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+Q36_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' mutated tail' AS text
+  FROM documents WHERE doc_id < 200
+),
+shingled AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM aug
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           i -> list_aggregate(
+                  list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)),
+                  'min')) AS sig
+  FROM shingled
+),
+banded AS (
+  SELECT doc_id, b.band_id,
+         md5(array_to_string(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4], '|')) AS band_key
+  FROM sigs, (SELECT unnest(range(0, 4)) AS band_id) b(band_id)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(sh) AS s FROM shingled
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+FROM cand c JOIN sets a ON c.id_a = a.doc_id JOIN sets b ON c.id_b = b.doc_id
+WHERE round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+            / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.5
+"""
+
+
+def q37_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via iterative min-label connected components
+    over the q36 pair graph. Deliberately has NO oracle_sql entry: the
+    fixpoint loop is not single-statement-SQL-expressible (DuckDB has
+    no recursive semantics matching the converging label propagation we
+    run) — the driver records the weaker rows-only check for this one."""
+    from fineweb_domain_analyzer_spark.operators.dedup import connected_components
+
+    pairs = q36_near_dedup(spark, sf_dir)
+    return connected_components(pairs).orderBy("node")
+
+
 def q26_salted_domain_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (skew defuse) — result must equal a
     plain GROUP BY, which is exactly what the oracle runs."""
@@ -1180,6 +1248,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_domain_summary": q33_domain_summary,
     "q34_vocab_topk": q34_vocab_topk,
     "q35_length_histogram": q35_length_histogram,
+    "q36_near_dedup": q36_near_dedup,
+    "q37_dedup_clusters": q37_dedup_clusters,
 }
 
 
@@ -1217,4 +1287,5 @@ def oracle_sql() -> dict[str, str]:
         "q33_domain_summary": Q33_SQL,
         "q34_vocab_topk": Q34_SQL,
         "q35_length_histogram": Q35_SQL,
+        "q36_near_dedup": Q36_SQL,
     }

