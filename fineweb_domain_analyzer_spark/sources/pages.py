@@ -68,16 +68,32 @@ def synth_pages(
         .otherwise(F.lit(""))
     )
     cjk = F.when(h % 23 == 0, F.lit(" 這是一段中文測試文字內容")).otherwise(F.lit(""))
-    text = F.concat(base_text, pii, cjk)
+    # FIXTURES.md §1 coverage: toxicity-lexicon terms and repeated
+    # boilerplate lines appear in a deterministic fraction of rows so
+    # the scrub and dup-line operators do real work on the bench corpus
+    tox = F.when(h % 29 == 0, F.lit(" badword1 spam")).otherwise(F.lit(""))
+    rep = F.when(
+        h % 19 == 0, F.lit("\nsubscribe to our newsletter\nsubscribe to our newsletter")
+    ).otherwise(F.lit(""))
+    text = F.concat(base_text, pii, cjk, tox, rep)
     ts = F.to_timestamp(
         F.from_unixtime(F.lit(1718150400) + (h % 864000))
     )  # 2024-06-12 ± 10 days
     lang = F.when(h % 23 == 0, F.lit("zh")).otherwise(F.lit("en"))
+    # ~9% of rows ship text only as html bytes — with a trailing
+    # invalid-utf8 run — so the decode-with-ignore pandas UDF is on the
+    # bench hot path and byte-identity (errors='ignore' drops the tail)
+    # is exercised at scale, per FIXTURES.md §1
+    html = F.when(
+        h % 11 == 3,
+        F.concat(F.encode(text, "utf-8"), F.unhex(F.lit("FFFE80"))),
+    ).otherwise(F.encode(text, "utf-8"))
+    text_out = F.when(h % 11 == 3, F.lit(None).cast("string")).otherwise(text)
     return df.select(
         url.alias("url"),
         ts.alias("warc_ts"),
-        F.encode(text, "utf-8").alias("html"),
-        text.alias("text"),
+        html.alias("html"),
+        text_out.alias("text"),
         lang.alias("lang"),
     )
 

@@ -32,8 +32,8 @@ def policy(spark):
 
 def test_synth_pages_deterministic(spark, pages):
     again = synth_pages(spark, n_rows=2000, n_domains=50, seed=7, partitions=3)
-    a = sorted(r["url"] + "|" + r["text"][:40] for r in pages.collect())
-    b = sorted(r["url"] + "|" + r["text"][:40] for r in again.collect())
+    a = sorted(r["url"] + "|" + (r["text"] or "<null>")[:40] for r in pages.collect())
+    b = sorted(r["url"] + "|" + (r["text"] or "<null>")[:40] for r in again.collect())
     assert a == b
 
 
@@ -132,3 +132,34 @@ def test_checkpoint_idempotent_overwrite(spark, tmp_path):
     os.remove(manifest)
     run_resumable(spark, ["9"], process, out, Checkpointer(manifest))
     assert spark.read.parquet(out).count() == 50
+
+
+def test_synth_pages_null_text_decodes_byte_identical(spark):
+    """Rows shipping text only as html bytes (with an invalid-utf8
+    tail) must come out of the pipeline byte-identical to the utf-8
+    portion — Python's errors='ignore' semantics (FIXTURES.md §1)."""
+    from pyspark.sql import functions as F
+
+    from fineweb_domain_analyzer_spark.plans.pipeline import quality_filter_pipeline
+    from fineweb_domain_analyzer_spark.sources.pages import (
+        synth_pages,
+        synth_policy_for_domains,
+    )
+
+    pages = synth_pages(spark, 2000, n_domains=50, seed=42)
+    null_text = pages.filter(F.col("text").isNull())
+    n_null = null_text.count()
+    assert n_null > 0  # the decode path is actually exercised
+    policy = synth_policy_for_domains(spark, 50)
+    out = quality_filter_pipeline(pages, policy)
+    # decoded text equals utf-8 decode-ignore of html for those rows
+    joined = out.filter(F.col("text").isNotNull()).count()
+    assert joined == 2000  # every null text was recovered from html
+    row = (
+        out.join(null_text.select("url"), "url", "left_semi")
+        .select("url", "text")
+        .limit(1)
+        .collect()[0]
+    )
+    src = pages.filter(F.col("url") == row["url"]).select("html").collect()[0]
+    assert row["text"] == bytes(src["html"]).decode("utf-8", "ignore")
