@@ -209,6 +209,32 @@ def filter_content(spark, args, robots_results: dict | None = None, jsonl_path=N
     stem = Path(jsonl_path).stem
     filtered_file = out_dir / f"filtered_{stem}_{ts}.jsonl"
     excluded_file = out_dir / f"excluded_{stem}_{ts}.jsonl"
+    if getattr(args, "partitioned_output", False):
+        # scale path: one fully parallel pass, partitioned text dirs
+        # (filtered_*.jsonl/ and excluded_*.jsonl/ become DIRECTORIES of
+        # part files with the same byte-identical lines). The default
+        # single-file mode below funnels everything through one task
+        # purely to mirror the reference's one-file artifact shape.
+        from fineweb_domain_analyzer_spark.sources.jsonl import (
+            write_jsonl_passthrough,
+        )
+
+        part_root = str(out_dir / f"parts_{stem}_{ts}")
+        write_jsonl_passthrough(labeled, part_root)
+        os.symlink(f"{part_root}/keep=true", filtered_file)
+        os.symlink(f"{part_root}/keep=false", excluded_file)
+        s = filter_stats(labeled).collect()[0]
+        stats = {
+            "total_processed": s["total_processed"],
+            "filtered_kept": s["filtered_kept"],
+            "excluded_count": s["excluded_count"],
+            "keep_ratio": s["keep_ratio"],
+        }
+        print(
+            f"filter -> kept {stats['filtered_kept']} / excluded "
+            f"{stats['excluded_count']} ({stats['keep_ratio']}%) -> {part_root}"
+        )
+        return filtered_file, excluded_file, stats
     for keep, target in ((True, filtered_file), (False, excluded_file)):
         part_dir = str(target) + "_spark"
         (
@@ -277,6 +303,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--robots-content",
         help="JSON map domain→robots.txt body (frozen snapshot; replaces live fetch)",
+    )
+    p.add_argument(
+        "--partitioned-output",
+        action="store_true",
+        help="write filtered/excluded as partitioned part-file dirs "
+        "(fully parallel) instead of the reference's single-file shape",
     )
     p.add_argument("--run-ts", help="inject run timestamp (YYYYmmdd_HHMMSS) for determinism")
     p.add_argument("--run-iso", help="inject ISO timestamp for determinism")

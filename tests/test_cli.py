@@ -176,3 +176,31 @@ def test_warc_timestamps_flow_into_domain_stats(spark, tmp_path):
     stats = detailed["t1.example.com"]
     assert stats["first_seen"] == "2024-06-12T01:02:03Z"
     assert stats["last_seen"] == "2024-06-13T04:05:06Z"
+
+
+def test_filter_content_partitioned_output_same_lines(spark, fixtures_dir, tmp_path):
+    """--partitioned-output must produce the same byte-identical line
+    sets as the single-file reference-shape mode."""
+    args = _args(
+        input=str(fixtures_dir / "test_data.jsonl"),
+        robots=str(fixtures_dir / "robots_check_20250724_133214.json"),
+        output=str(tmp_path),
+        partitioned_output=True,
+    )
+    filtered, excluded, stats = cli.filter_content(spark, args)
+    assert stats["filtered_kept"] == 34 and stats["excluded_count"] == 16
+    import glob
+
+    def lines(d):
+        out = []
+        for p in sorted(glob.glob(f"{d}/*.txt")):
+            out += [l.rstrip("\n") for l in open(p, encoding="utf-8") if l.strip()]
+        return out
+
+    kept = lines(filtered)
+    gold = [
+        l.rstrip("\n")
+        for l in open(fixtures_dir / "filtered_test_data_20250724_133214.jsonl", encoding="utf-8")
+        if l.strip()
+    ]
+    assert sorted(kept) == sorted(gold)
