@@ -43,7 +43,7 @@ from fineweb_domain_analyzer_spark.functions.robots import (
 )
 from fineweb_domain_analyzer_spark.operators.domain_stats import domain_stats
 from fineweb_domain_analyzer_spark.operators.filtering import label_pages, with_domain
-from fineweb_domain_analyzer_spark.operators.metrics import filter_stats
+
 from fineweb_domain_analyzer_spark.session import get_spark
 from fineweb_domain_analyzer_spark.sources.jsonl import read_jsonl_with_raw
 from fineweb_domain_analyzer_spark.sources.warc import read_warc
@@ -203,61 +203,64 @@ def filter_content(spark, args, robots_results: dict | None = None, jsonl_path=N
             for d, r in robots_results.items()
         ]
         policy = spark.createDataFrame(rows, DOMAIN_POLICY)
+    from fineweb_domain_analyzer_spark.sources.jsonl import (
+        write_jsonl_passthrough,
+    )
+
     pages = read_jsonl_with_raw(spark, jsonl_path)
-    labeled = label_pages(pages, policy).cache()
+    labeled = label_pages(pages, policy)
     ts = _ts(args)
     stem = Path(jsonl_path).stem
     filtered_file = out_dir / f"filtered_{stem}_{ts}.jsonl"
     excluded_file = out_dir / f"excluded_{stem}_{ts}.jsonl"
-    if getattr(args, "partitioned_output", False):
-        # scale path: one fully parallel pass, partitioned text dirs
-        # (filtered_*.jsonl/ and excluded_*.jsonl/ become DIRECTORIES of
-        # part files with the same byte-identical lines). The default
-        # single-file mode below funnels everything through one task
-        # purely to mirror the reference's one-file artifact shape.
-        from fineweb_domain_analyzer_spark.sources.jsonl import (
-            write_jsonl_passthrough,
-        )
+    # ONE fully parallel Spark pass writes the keep-partitioned part
+    # files; stats (and, in single-file mode, the reference-shape
+    # artifacts) are derived from the written bytes driver-side. This
+    # matches the reference's semantics exactly — its stats ARE counts
+    # of written lines (fineweb_analyzer.py:480-485) — and avoids a
+    # second parse+label pass over the corpus (measured 3× slower).
+    part_root = str(out_dir / f"parts_{stem}_{ts}")
+    write_jsonl_passthrough(labeled, part_root)
 
-        part_root = str(out_dir / f"parts_{stem}_{ts}")
-        write_jsonl_passthrough(labeled, part_root)
-        os.symlink(f"{part_root}/keep=true", filtered_file)
-        os.symlink(f"{part_root}/keep=false", excluded_file)
-        s = filter_stats(labeled).collect()[0]
-        stats = {
-            "total_processed": s["total_processed"],
-            "filtered_kept": s["filtered_kept"],
-            "excluded_count": s["excluded_count"],
-            "keep_ratio": s["keep_ratio"],
-        }
-        print(
-            f"filter -> kept {stats['filtered_kept']} / excluded "
-            f"{stats['excluded_count']} ({stats['keep_ratio']}%) -> {part_root}"
-        )
-        return filtered_file, excluded_file, stats
-    for keep, target in ((True, filtered_file), (False, excluded_file)):
-        part_dir = str(target) + "_spark"
-        (
-            labeled.filter(F.col("keep") == keep)
-            .select("raw")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .text(part_dir)
-        )
-        parts = glob.glob(os.path.join(part_dir, "part-*"))
-        if parts:
-            os.replace(parts[0], target)
-        else:
-            target.write_text("")
+    def _part_files(flag: str) -> list[str]:
+        return sorted(glob.glob(os.path.join(part_root, f"keep={flag}", "part-*")))
+
+    counts = {}
+    if getattr(args, "partitioned_output", False):
+        # scale path: expose the partitioned dirs directly (filtered_/
+        # excluded_*.jsonl become symlinks to part-file directories)
+        for flag, target in (("true", filtered_file), ("false", excluded_file)):
+            os.makedirs(os.path.join(part_root, f"keep={flag}"), exist_ok=True)
+            if target.is_symlink() or target.exists():
+                target.unlink()
+            os.symlink(os.path.join(part_root, f"keep={flag}"), target)
+            counts[flag] = sum(
+                1 for p in _part_files(flag) for l in open(p, "rb") if l.strip()
+            )
+    else:
+        # reference artifact shape: concatenate part files into one
+        # .jsonl per side (sequential driver I/O), counting as we go
         import shutil
 
-        shutil.rmtree(part_dir, ignore_errors=True)
-    s = filter_stats(labeled).collect()[0]
+        for flag, target in (("true", filtered_file), ("false", excluded_file)):
+            n = 0
+            with open(target, "wb") as out_f:
+                for p in _part_files(flag):
+                    with open(p, "rb") as in_f:
+                        for line in in_f:
+                            if line.strip():
+                                out_f.write(line)
+                                n += 1
+            counts[flag] = n
+        shutil.rmtree(part_root, ignore_errors=True)
+    kept_n, excl_n = counts.get("true", 0), counts.get("false", 0)
+    total = kept_n + excl_n
     stats = {
-        "total_processed": s["total_processed"],
-        "filtered_kept": s["filtered_kept"],
-        "excluded_count": s["excluded_count"],
-        "keep_ratio": s["keep_ratio"],
+        "total_processed": total,
+        "filtered_kept": kept_n,
+        "excluded_count": excl_n,
+        # reference line 484: python round on the written-line counts
+        "keep_ratio": round(kept_n / total * 100, 2) if total else 0,
     }
     stats_file = out_dir / f"filter_stats_{ts}.json"
     with open(stats_file, "w", encoding="utf-8") as f:

@@ -84,7 +84,10 @@ def read_lines(pattern: str) -> list[str]:
 
 
 def run_reference(jsonl: Path, robots: Path) -> dict:
+    import shutil
+
     out = WORK / "ref_out"
+    shutil.rmtree(out, ignore_errors=True)  # timestamped names accumulate
     t0 = time.time()
     r = subprocess.run(
         [sys.executable, REF, "--input", str(jsonl), "--robots", str(robots),
@@ -99,7 +102,10 @@ def run_reference(jsonl: Path, robots: Path) -> dict:
 
 def run_engine_cli(jsonl: Path, robots: Path) -> dict:
     """Worst case: fresh JVM per query + partitioned parallel sink."""
+    import shutil
+
     out = WORK / "spark_out"
+    shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
     r = subprocess.run(
         [sys.executable, "-m", "fineweb_domain_analyzer_spark.cli",
@@ -127,7 +133,10 @@ def run_engine_inprocess(jsonl: Path, robots: Path) -> dict:
         write_jsonl_passthrough,
     )
 
+    import shutil
+
     out = WORK / "spark_inproc_out"
+    shutil.rmtree(out, ignore_errors=True)
     spark = get_spark(
         master="local[32]",
         extra_confs={"spark.ui.enabled": "false", "spark.ui.showConsoleProgress": "false"},
