@@ -155,11 +155,68 @@ def run_engine_inprocess(jsonl: Path, robots: Path) -> dict:
     return {"sec": round(sec, 3), "docs_per_sec": round(ROWS / sec, 1), "out": str(out)}
 
 
+def run_reference_domains(jsonl: Path) -> dict:
+    """Stage-2 head-to-head: the reference's --extract-domains."""
+    import shutil
+
+    out = WORK / "ref_dom_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, REF, "--input", str(jsonl), "--extract-domains",
+         "--output", str(out)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    sec = time.time() - t0
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    detailed = json.loads(open(glob.glob(f"{out}/domains_detailed_*.json")[0]).read())
+    return {"sec": round(sec, 3), "docs_per_sec": round(ROWS / sec, 1),
+            "domains": detailed["domains"]}
+
+
+def run_engine_domains(jsonl: Path) -> dict:
+    """Stage-2 on a warm session (steady state)."""
+    from pyspark.sql import functions as F
+
+    from fineweb_domain_analyzer_spark.operators.domain_stats import domain_stats
+    from fineweb_domain_analyzer_spark.operators.filtering import with_domain
+    from fineweb_domain_analyzer_spark.session import get_spark
+    from fineweb_domain_analyzer_spark.sources.jsonl import read_jsonl_with_raw
+
+    spark = get_spark(
+        master="local[32]",
+        extra_confs={"spark.ui.enabled": "false", "spark.ui.showConsoleProgress": "false"},
+    )
+    pages_w = with_domain(
+        read_jsonl_with_raw(spark, str(jsonl)).limit(1000).filter(
+            F.col("url").isNotNull() & (F.col("url") != "")
+        )
+    )
+    domain_stats(pages_w, order_col="url", run_ts="warm").collect()  # warm-up
+    t0 = time.time()
+    pages = with_domain(
+        read_jsonl_with_raw(spark, str(jsonl)).filter(
+            F.col("url").isNotNull() & (F.col("url") != "")
+        )
+    )
+    rows = domain_stats(pages, order_col="url", run_ts="2025-07-24T00:00:00").collect()
+    sec = time.time() - t0
+    spark.stop()
+    return {"sec": round(sec, 3), "docs_per_sec": round(ROWS / sec, 1),
+            "domains": {r["domain"]: {"count": r["count"]} for r in rows}}
+
+
 def main() -> None:
     jsonl, robots = build_inputs()
     ref = run_reference(jsonl, robots)
     eng = run_engine_cli(jsonl, robots)
     inproc = run_engine_inprocess(jsonl, robots)
+    ref_dom = run_reference_domains(jsonl)
+    eng_dom = run_engine_domains(jsonl)
+    dom_counts_match = {
+        d: v["count"] for d, v in ref_dom["domains"].items()
+    } == {d: v["count"] for d, v in eng_dom["domains"].items()}
     ref_kept = read_lines(f"{ref['out']}/filtered_*.jsonl")
     ref_excl = read_lines(f"{ref['out']}/excluded_*.jsonl")
     eng_kept = read_lines(f"{eng['out']}/filtered_*.jsonl/*.txt")
@@ -177,6 +234,12 @@ def main() -> None:
         "engine_steady_state": {k: inproc[k] for k in ("sec", "docs_per_sec")},
         "speedup_incl_jvm_startup": round(ref["sec"] / eng["sec"], 2),
         "speedup_steady_state": round(ref["sec"] / inproc["sec"], 2),
+        "extract_domains": {
+            "reference": {k: ref_dom[k] for k in ("sec", "docs_per_sec")},
+            "engine_steady_state": {k: eng_dom[k] for k in ("sec", "docs_per_sec")},
+            "speedup_steady_state": round(ref_dom["sec"] / eng_dom["sec"], 2),
+            "per_domain_counts_match": dom_counts_match,
+        },
         "kept": len(eng_kept),
         "excluded": len(eng_excl),
         "labels_and_lines_byte_identical": labels_match,
@@ -189,6 +252,7 @@ def main() -> None:
         ),
     }
     assert labels_match, "keep/drop partitions diverge from the reference!"
+    assert dom_counts_match, "per-domain counts diverge from the reference!"
     (REPO / "BENCH" / "reference_comparison.json").write_text(
         json.dumps(result, indent=2) + "\n"
     )
