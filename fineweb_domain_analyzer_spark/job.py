@@ -59,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
+    # only stop the session on exit if this entry point created it —
+    # under getOrCreate, stopping a pre-existing (caller-owned) session
+    # would kill the caller's SparkContext too
+    pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="fineweb-quality-filter", master=args.master)
     t0 = time.time()
 
@@ -116,7 +122,8 @@ def main(argv: list[str] | None = None) -> int:
             }
         )
     )
-    spark.stop()
+    if not pre_existing:
+        spark.stop()
     return 0
 
 
