@@ -228,14 +228,18 @@ def filter_content(spark, args, robots_results: dict | None = None, jsonl_path=N
     counts = {}
     if getattr(args, "partitioned_output", False):
         # scale path: expose the partitioned dirs directly (filtered_/
-        # excluded_*.jsonl become symlinks to part-file directories)
+        # excluded_*.jsonl become symlinks to part-file directories);
+        # counts come from a distributed text scan, not driver I/O
         for flag, target in (("true", filtered_file), ("false", excluded_file)):
-            os.makedirs(os.path.join(part_root, f"keep={flag}"), exist_ok=True)
+            part_dir = os.path.join(part_root, f"keep={flag}")
+            os.makedirs(part_dir, exist_ok=True)
             if target.is_symlink() or target.exists():
                 target.unlink()
-            os.symlink(os.path.join(part_root, f"keep={flag}"), target)
-            counts[flag] = sum(
-                1 for p in _part_files(flag) for l in open(p, "rb") if l.strip()
+            # absolute target: a relative one would resolve against the
+            # symlink's own directory and dangle for relative --output
+            os.symlink(os.path.abspath(part_dir), target)
+            counts[flag] = (
+                spark.read.text(part_dir).count() if _part_files(flag) else 0
             )
     else:
         # reference artifact shape: concatenate part files into one

@@ -59,12 +59,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
-    from pyspark.sql import SparkSession
+    from pyspark import SparkContext
 
     # only stop the session on exit if this entry point created it —
     # under getOrCreate, stopping a pre-existing (caller-owned) session
-    # would kill the caller's SparkContext too
-    pre_existing = SparkSession.getActiveSession() is not None
+    # would kill the caller's SparkContext too. SparkContext's active
+    # context is process-global (getActiveSession is thread-local and
+    # misses sessions created in other threads).
+    pre_existing = SparkContext._active_spark_context is not None
     spark = get_spark(app_name="fineweb-quality-filter", master=args.master)
     t0 = time.time()
 

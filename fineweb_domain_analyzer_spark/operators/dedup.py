@@ -237,12 +237,17 @@ def connected_components(
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    sym = sym.distinct()
+    # materialize the edge list once — without this every sweep's join,
+    # checkpoint, and convergence count would recompute the (often
+    # expensive: minhash + LSH + Jaccard) upstream pairs pipeline
+    sym = sym.distinct().localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -268,7 +273,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} sweeps — "
+            "a component's diameter exceeds max_iter; returning partial "
+            "labels would silently split clusters. Raise max_iter."
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -55,7 +55,8 @@ def build_inputs() -> tuple[Path, Path]:
 
     shutil.rmtree(tmp, ignore_errors=True)
     # policy snapshot in the reference's robots_check format: every 2nd
-    # host covered, every 6th covered host denied (matches synth_policy)
+    # host covered, covered hosts with i % 7 == 0 denied (matches
+    # synth_policy_for_domains deny_every=7)
     results = {}
     for i in range(0, 2000, 2):
         d = f"host{i}.example.com"
