@@ -113,3 +113,67 @@ def test_domain_extraction_matches_reference(ref_mod):
     ]
     for u in urls:
         assert extract_domain_py(u) == ref_filter._extract_domain(u), u
+
+
+def test_filter_stage_matches_reference_on_adversarial_input(
+    ref_mod, spark, tmp_path
+):
+    """Execute the reference's ContentFilter on an adversarial JSONL and
+    require identical keep/drop line partitions from label_pages."""
+    import glob as _glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from fineweb_domain_analyzer_spark.operators.filtering import label_pages
+    from fineweb_domain_analyzer_spark.schema import DOMAIN_POLICY
+    from fineweb_domain_analyzer_spark.sources.jsonl import read_jsonl_with_raw
+
+    lines = [
+        '{"url": "https://allowed.example.com/a", "text": "x"}',
+        '{"url": "https://www.denied.example.com/b", "text": "y"}',
+        '{"url": "https://unknown.example.com/c", "text": "z"}',
+        '{"text": "no url"}',
+        '{"url": "", "text": "empty"}',
+        '{"url": "not-a-url", "text": "bad"}',
+        '{"url": "http://port.example.com:8080/q", "text": "quirk"}',
+        '{"url": "http://port.example.com:9090/q", "text": "other-port"}',
+        '{"url": "https://denied.example.com/path?x=1#f", "text": "frag"}',
+    ]
+    src = tmp_path / "adv.jsonl"
+    src.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    robots_results = {
+        "allowed.example.com": {"crawl_allowed": True},
+        "denied.example.com": {"crawl_allowed": False},
+        "port.example.com:8080": {"crawl_allowed": False},
+        "port.example.com": {"crawl_allowed": True},
+    }
+    # reference run
+    ref_out = tmp_path / "ref_out"
+    flt = ref_mod.ContentFilter(verbose=False)
+    flt.filter_jsonl_by_robots(str(src), robots_results, str(ref_out))
+    ref_kept = [
+        l.rstrip("\n")
+        for p in _glob.glob(f"{ref_out}/filtered_*.jsonl")
+        for l in open(p, encoding="utf-8")
+        if l.strip()
+    ]
+    ref_excl = [
+        l.rstrip("\n")
+        for p in _glob.glob(f"{ref_out}/excluded_*.jsonl")
+        for l in open(p, encoding="utf-8")
+        if l.strip()
+    ]
+    # engine run
+    rows = [
+        (d, True, r["crawl_allowed"], None, [], None, None, None)
+        for d, r in robots_results.items()
+    ]
+    policy = spark.createDataFrame(rows, DOMAIN_POLICY)
+    labeled = label_pages(read_jsonl_with_raw(spark, str(src)), policy)
+    got_kept = [r["raw"] for r in labeled.filter(F.col("keep")).select("raw").collect()]
+    got_excl = [
+        r["raw"] for r in labeled.filter(~F.col("keep")).select("raw").collect()
+    ]
+    assert sorted(got_kept) == sorted(ref_kept)
+    assert sorted(got_excl) == sorted(ref_excl)
