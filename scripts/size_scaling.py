@@ -9,6 +9,7 @@ Writes BENCH/size_scaling.json."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -16,7 +17,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SIZES = (300_000, 1_200_000, 4_800_000)
+SIZES = tuple(
+    int(x)
+    for x in os.environ.get("FW_SIZES", "300000,1200000,4800000").split(",")
+)
 
 
 def main() -> None:
@@ -70,7 +74,7 @@ def main() -> None:
     out = {
         "cores": 32,
         "runs": results,
-        "throughput_ratio_16x_vs_1x": round(results[-1]["docs_per_sec"] / base, 3),
+        "throughput_ratio_largest_vs_smallest": round(results[-1]["docs_per_sec"] / base, 3),
     }
     (REPO / "BENCH" / "size_scaling.json").write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out))
