@@ -79,7 +79,9 @@ def _run_pipeline(spark) -> dict:
     )
 
     cache_dir = os.environ.get("BENCH_PAGES_CACHE", f"/tmp/fw_bench_pages_{PIPELINE_ROWS}")
-    if not os.path.exists(cache_dir):
+    # _SUCCESS guards against a partial parquet from a killed run; on a
+    # synth_pages generator change, delete /tmp/fw_bench_pages_* caches
+    if not os.path.exists(os.path.join(cache_dir, "_SUCCESS")):
         synth_pages(spark, PIPELINE_ROWS, n_domains=2000, seed=42).write.mode(
             "overwrite"
         ).parquet(cache_dir)

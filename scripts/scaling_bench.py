@@ -38,7 +38,7 @@ spark = get_spark(
         "spark.ui.showConsoleProgress": "false",
     },
 )
-if not os.path.exists(cache):
+if not os.path.exists(os.path.join(cache, "_SUCCESS")):
     synth_pages(spark, rows, n_domains=2000, seed=42, partitions=64).write.mode("overwrite").parquet(cache)
 pages = spark.read.parquet(cache)
 policy = synth_policy_for_domains(spark, 2000)
