@@ -1132,6 +1132,113 @@ def q37_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("node")
 
 
+def q38_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots-parser + fetch-semantics tail of the policy pre-fetch
+    job (S8/§2.3), oracle-checked: deterministic robots bodies per
+    document source, parsed with the exact-reference pandas UDF;
+    the DuckDB oracle re-implements the line-state machine with window
+    functions (last preceding User-agent governs each directive)."""
+    from fineweb_domain_analyzer_spark.functions.robots import (
+        policy_from_robots_content,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int")
+    body = (
+        F.when(idx % 5 == 0, F.lit("User-agent: *\nDisallow: /"))
+        .when(
+            idx % 5 == 1,
+            F.lit("User-agent: *\nDisallow: /private/\nCrawl-delay: 2.5"),
+        )
+        .when(idx % 5 == 2, F.lit("# comments only\n"))
+        .when(idx % 5 == 3, F.lit("User-agent: googlebot\nDisallow: /"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    err = F.when(idx % 10 == 9, F.lit("connection refused")).otherwise(
+        F.lit(None).cast("string")
+    )
+    robots_df = (
+        docs.select(F.col("source"), idx.alias("_i"))
+        .distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+            body.alias("robots_content"),
+            err.alias("error"),
+        )
+    )
+    pol = policy_from_robots_content(robots_df)
+    return pol.select(
+        "domain",
+        "robots_exists",
+        "crawl_allowed",
+        "crawl_delay",
+        F.size("disallowed_paths").cast("bigint").alias("n_disallowed"),
+        F.col("error").isNotNull().alias("had_error"),
+    )
+
+
+Q38_SQL = """
+WITH src AS (
+  SELECT DISTINCT source,
+         CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS i
+  FROM documents
+),
+robots AS (
+  SELECT source || '.example.com' AS domain, i,
+         CASE WHEN i % 5 = 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+              WHEN i % 5 = 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10) || 'Crawl-delay: 2.5'
+              WHEN i % 5 = 2 THEN '# comments only' || chr(10)
+              WHEN i % 5 = 3 THEN 'User-agent: googlebot' || chr(10) || 'Disallow: /'
+              ELSE NULL END AS content,
+         CASE WHEN i % 10 = 9 THEN 'connection refused' ELSE NULL END AS error
+  FROM src
+),
+-- line-state machine: the last preceding User-agent line governs
+lines AS (
+  SELECT domain, lineno, trim(line) AS line
+  FROM (SELECT domain, unnest(string_split(content, chr(10))) AS line,
+               generate_subscripts(string_split(content, chr(10)), 1) AS lineno
+        FROM robots WHERE content IS NOT NULL)
+),
+tagged AS (
+  SELECT domain, lineno, line,
+         CASE WHEN lower(line) LIKE 'user-agent:%'
+              THEN trim(substr(line, 12)) END AS agent_decl
+  FROM lines
+),
+governed AS (
+  SELECT domain, lineno, line,
+         last_value(agent_decl IGNORE NULLS)
+           OVER (PARTITION BY domain ORDER BY lineno
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent
+  FROM tagged
+),
+directives AS (
+  SELECT domain,
+         bool_or(lower(line) LIKE 'disallow:%'
+                 AND trim(substr(line, 10)) = '/'
+                 AND agent = '*') AS root_disallow,
+         count(*) FILTER (WHERE lower(line) LIKE 'disallow:%'
+                          AND trim(substr(line, 10)) <> '/'
+                          AND trim(substr(line, 10)) <> ''
+                          AND agent = '*') AS n_disallowed,
+         max(CASE WHEN lower(line) LIKE 'crawl-delay:%' AND agent = '*'
+                  THEN try_cast(trim(substr(line, 13)) AS DOUBLE) END) AS crawl_delay
+  FROM governed
+  GROUP BY domain
+)
+SELECT r.domain,
+       r.content IS NOT NULL AS robots_exists,
+       CASE WHEN r.error IS NOT NULL THEN FALSE
+            WHEN r.content IS NOT NULL THEN NOT coalesce(d.root_disallow, FALSE)
+            ELSE TRUE END AS crawl_allowed,
+       d.crawl_delay,
+       coalesce(d.n_disallowed, 0) AS n_disallowed,
+       r.error IS NOT NULL AS had_error
+FROM robots r LEFT JOIN directives d USING (domain)
+"""
+
+
 def q26_salted_domain_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (skew defuse) — result must equal a
     plain GROUP BY, which is exactly what the oracle runs."""
@@ -1250,6 +1357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_length_histogram": q35_length_histogram,
     "q36_near_dedup": q36_near_dedup,
     "q37_dedup_clusters": q37_dedup_clusters,
+    "q38_robots_policy": q38_robots_policy,
 }
 
 
@@ -1288,4 +1396,5 @@ def oracle_sql() -> dict[str, str]:
         "q34_vocab_topk": Q34_SQL,
         "q35_length_histogram": Q35_SQL,
         "q36_near_dedup": Q36_SQL,
+        "q38_robots_policy": Q38_SQL,
     }
