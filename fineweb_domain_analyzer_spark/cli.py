@@ -329,6 +329,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.filter_content and not args.robots:
         p.error("--filter-content requires --robots")
 
+    from pyspark import SparkContext
+
+    # stop only sessions this entry point created (see job.main) —
+    # getOrCreate would otherwise hand us a caller-owned session whose
+    # SparkContext we'd kill on exit
+    pre_existing = SparkContext._active_spark_context is not None
     spark = get_spark(app_name="fineweb-cli", master=args.master)
     try:
         if args.all_steps:
@@ -351,7 +357,8 @@ def main(argv: list[str] | None = None) -> int:
             p.print_help()
             return 1
     finally:
-        spark.stop()
+        if not pre_existing:
+            spark.stop()
     return 0
 
 

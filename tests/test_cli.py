@@ -204,3 +204,24 @@ def test_filter_content_partitioned_output_same_lines(spark, fixtures_dir, tmp_p
         if l.strip()
     ]
     assert sorted(kept) == sorted(gold)
+
+
+def test_cli_main_in_process_preserves_caller_session(spark, fixtures_dir, tmp_path):
+    """cli.main must not stop a caller-owned SparkSession (same
+    ownership contract as job.main)."""
+    rc = cli.main(
+        [
+            "--input",
+            str(fixtures_dir / "test_data.jsonl"),
+            "--robots",
+            str(fixtures_dir / "robots_check_20250724_133214.json"),
+            "--filter-content",
+            "--output",
+            str(tmp_path),
+            "--run-ts",
+            "20250724_000000",
+        ]
+    )
+    assert rc == 0
+    # the shared session must still be alive and usable
+    assert spark.range(3).count() == 3
