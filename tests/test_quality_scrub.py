@@ -174,3 +174,41 @@ def test_fingerprints(spark):
     assert got[1]["cf"] == got[2]["cf"]  # order-insensitive
     assert got[1]["cf"] != got[3]["cf"]
     assert got[1]["ef"] != got[2]["ef"]  # byte-exact differs
+
+
+def test_scrub_randomized_postcondition(spark):
+    """After scrub_all, no PII pattern may match anywhere in any output
+    (the patterns are in the Java∩RE2∩Python-re subset, so Python's re
+    verifies the Spark-side result)."""
+    import random
+    import re
+
+    from fineweb_domain_analyzer_spark.functions.scrub import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        scrub_all,
+    )
+
+    rng = random.Random(4242)
+    words = "alpha beta gamma delta ip mail call dot com net org 12 345".split()
+    rows = []
+    for i in range(300):
+        base = " ".join(rng.choices(words, k=rng.randint(0, 25)))
+        pii = rng.choice(
+            [
+                f" user{i}@mail-{i}.example.org ",
+                f" ({rng.randint(200, 999)}) {rng.randint(200, 999)}-{rng.randint(1000, 9999)} ",
+                f" {rng.randint(1, 255)}.{rng.randint(0, 255)}.{rng.randint(0, 255)}.{rng.randint(0, 255)} ",
+                " badword1 ",
+                "",
+            ]
+        )
+        pos = rng.randint(0, max(len(base), 1))
+        rows.append((i, base[:pos] + pii + base[pos:]))
+    df = spark.createDataFrame(rows, ["i", "text"])
+    out = df.select("i", scrub_all(F.col("text")).alias("s")).collect()
+    for pat in (EMAIL_RE, PHONE_RE, IPV4_RE, r"\bbadword1\b"):
+        rx = re.compile(pat)
+        for r in out:
+            assert not rx.search(r["s"]), (pat, r["s"])
