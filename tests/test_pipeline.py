@@ -163,3 +163,19 @@ def test_synth_pages_null_text_decodes_byte_identical(spark):
     )
     src = pages.filter(F.col("url") == row["url"]).select("html").collect()[0]
     assert row["text"] == bytes(src["html"]).decode("utf-8", "ignore")
+
+
+@pytest.mark.parametrize("seed", [3, 17, 1234])
+def test_partition_invariant_across_seeds(spark, seed):
+    """SURVEY §5.4 property: kept ⊎ dropped == input for arbitrary
+    corpora/policies, and drop reasons always sum to the total."""
+    pages_df = synth_pages(spark, 1500, n_domains=37, seed=seed)
+    policy_df = synth_policy_for_domains(
+        spark, 37, deny_every=3 + seed % 4, cover_every=1 + seed % 3
+    )
+    out = quality_filter_pipeline(pages_df, policy_df)
+    hist = {r["drop_reason"]: r["cnt"] for r in drop_reason_histogram(out).collect()}
+    assert sum(hist.values()) == 1500
+    stats = filter_stats(out).collect()[0]
+    assert stats["filtered_kept"] + stats["excluded_count"] == 1500
+    assert stats["filtered_kept"] == hist.get("kept", 0)
