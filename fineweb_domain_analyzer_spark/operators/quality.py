@@ -211,6 +211,53 @@ def unigram_perplexity(
     )
 
 
+def bigram_perplexity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity against a corpus-estimated bigram LM (MLE,
+    p(w|prev) = c(prev,w)/c(prev)) — one step closer to the KenLM-style
+    n-gram scorer, still fully distributed with no model artifact.
+
+    Plan: posexplode tokens → window lag per doc for bigrams → two
+    count aggregations (bigram, unigram-prefix) → broadcast both LM
+    tables back onto the bigram stream → per-doc average. The LM tables
+    are O(vocab²-observed) but tiny relative to the corpus; docs with
+    fewer than 2 tokens have no bigrams and are excluded (consistent in
+    both engines).
+
+    Returns (id_col, bigram_perplexity = 2 ** avg(-log2 p)).
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (
+        toks.withColumn("prev", F.lag("token").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(id_col, "prev", "token")
+    )
+    bi_lm = bigrams.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("bi_cnt"))
+    uni_lm = bigrams.groupBy("prev").agg(F.count(F.lit(1)).alias("prev_cnt"))
+    scored = bigrams.join(F.broadcast(bi_lm), ["prev", "token"]).join(
+        F.broadcast(uni_lm), ["prev"]
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.avg(-F.log2(F.col("bi_cnt") / F.col("prev_cnt"))).alias("avg_nll")
+        )
+        .select(
+            F.col(id_col),
+            F.round(F.pow(F.lit(2.0), F.col("avg_nll")), 4).alias(
+                "bigram_perplexity"
+            ),
+        )
+    )
+
+
 # --- model-based scorers (pandas UDFs; deterministic stand-ins here) --------
 
 _MODEL_CACHE: dict[str, object] = {}

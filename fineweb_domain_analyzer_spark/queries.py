@@ -1239,6 +1239,41 @@ FROM robots r LEFT JOIN directives d USING (domain)
 """
 
 
+def q39_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM perplexity per document (KenLM-style n-gram
+    scoring, distributed, no model file; complements q23's unigram)."""
+    from fineweb_domain_analyzer_spark.operators.quality import bigram_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_perplexity(docs)
+
+
+Q39_SQL = """
+WITH toks AS (
+  SELECT doc_id, pos, token
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token,
+               generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+        FROM documents)
+),
+bigrams AS (
+  SELECT doc_id, prev, token
+  FROM (SELECT doc_id, token, pos,
+               lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM toks)
+  WHERE prev IS NOT NULL
+),
+bi_lm AS (SELECT prev, token, count(*) AS bi_cnt FROM bigrams GROUP BY prev, token),
+uni_lm AS (SELECT prev, count(*) AS prev_cnt FROM bigrams GROUP BY prev)
+SELECT b.doc_id,
+       round(pow(2.0, avg(-log2(l.bi_cnt::DOUBLE / u.prev_cnt))), 4) AS bigram_perplexity
+FROM bigrams b
+JOIN bi_lm l ON b.prev = l.prev AND b.token = l.token
+JOIN uni_lm u ON b.prev = u.prev
+GROUP BY b.doc_id
+"""
+
+
 def q26_salted_domain_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (skew defuse) — result must equal a
     plain GROUP BY, which is exactly what the oracle runs."""
@@ -1358,6 +1393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_near_dedup": q36_near_dedup,
     "q37_dedup_clusters": q37_dedup_clusters,
     "q38_robots_policy": q38_robots_policy,
+    "q39_bigram_perplexity": q39_bigram_perplexity,
 }
 
 
@@ -1397,4 +1433,5 @@ def oracle_sql() -> dict[str, str]:
         "q35_length_histogram": Q35_SQL,
         "q36_near_dedup": Q36_SQL,
         "q38_robots_policy": Q38_SQL,
+        "q39_bigram_perplexity": Q39_SQL,
     }

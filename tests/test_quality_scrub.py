@@ -212,3 +212,23 @@ def test_scrub_randomized_postcondition(spark):
         rx = re.compile(pat)
         for r in out:
             assert not rx.search(r["s"]), (pat, r["s"])
+
+
+def test_bigram_perplexity_properties(spark):
+    """Deterministic repeated text has perplexity 1 (every bigram fully
+    predictable); mixed corpus yields ppl > 1; <2-token docs excluded."""
+    from fineweb_domain_analyzer_spark.operators.quality import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),
+            (2, "x y z w q r s t"),
+            (3, "solo"),
+            (4, "x z y w r q t s"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["bigram_perplexity"] for r in bigram_perplexity(df).collect()}
+    assert 3 not in got  # no bigrams
+    assert got[1] == 1.0  # fully predictable
+    assert got[2] > 1.0 and got[4] > 1.0
