@@ -212,18 +212,26 @@ def unigram_perplexity(
 
 
 def bigram_perplexity(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_lm: bool = True,
 ) -> DataFrame:
     """Perplexity against a corpus-estimated bigram LM (MLE,
     p(w|prev) = c(prev,w)/c(prev)) — one step closer to the KenLM-style
     n-gram scorer, still fully distributed with no model artifact.
 
     Plan: posexplode tokens → window lag per doc for bigrams → two
-    count aggregations (bigram, unigram-prefix) → broadcast both LM
-    tables back onto the bigram stream → per-doc average. The LM tables
-    are O(vocab²-observed) but tiny relative to the corpus; docs with
-    fewer than 2 tokens have no bigrams and are excluded (consistent in
-    both engines).
+    count aggregations (bigram, unigram-prefix) → join both LM tables
+    back onto the bigram stream → per-doc average. Docs with fewer than
+    2 tokens have no bigrams and are excluded (consistent in both
+    engines).
+
+    ``broadcast_lm=True`` fits corpora whose observed-bigram table is
+    executor-memory-sized; at full web scale that table is itself huge
+    (observed bigrams grow ~linearly with corpus size), so pass False
+    to fall back to shuffle joins keyed by (prev, token) / prev —
+    near-uniform keys, AQE handles the residue.
 
     Returns (id_col, bigram_perplexity = 2 ** avg(-log2 p)).
     """
@@ -241,9 +249,9 @@ def bigram_perplexity(
     )
     bi_lm = bigrams.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("bi_cnt"))
     uni_lm = bigrams.groupBy("prev").agg(F.count(F.lit(1)).alias("prev_cnt"))
-    scored = bigrams.join(F.broadcast(bi_lm), ["prev", "token"]).join(
-        F.broadcast(uni_lm), ["prev"]
-    )
+    if broadcast_lm:
+        bi_lm, uni_lm = F.broadcast(bi_lm), F.broadcast(uni_lm)
+    scored = bigrams.join(bi_lm, ["prev", "token"]).join(uni_lm, ["prev"])
     return (
         scored.groupBy(id_col)
         .agg(
