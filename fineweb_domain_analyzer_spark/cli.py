@@ -44,7 +44,7 @@ from fineweb_domain_analyzer_spark.functions.robots import (
 from fineweb_domain_analyzer_spark.operators.domain_stats import domain_stats
 from fineweb_domain_analyzer_spark.operators.filtering import label_pages, with_domain
 
-from fineweb_domain_analyzer_spark.session import get_spark
+
 from fineweb_domain_analyzer_spark.sources.jsonl import read_jsonl_with_raw
 from fineweb_domain_analyzer_spark.sources.warc import read_warc
 
@@ -329,13 +329,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.filter_content and not args.robots:
         p.error("--filter-content requires --robots")
 
-    from pyspark import SparkContext
+    has_action = (
+        args.all_steps
+        or args.warc_to_json
+        or args.extract_domains
+        or args.check_robots
+        or args.filter_content
+    )
+    if not has_action:
+        p.print_help()
+        return 1
 
-    # stop only sessions this entry point created (see job.main) —
-    # getOrCreate would otherwise hand us a caller-owned session whose
-    # SparkContext we'd kill on exit
-    pre_existing = SparkContext._active_spark_context is not None
-    spark = get_spark(app_name="fineweb-cli", master=args.master)
+    from fineweb_domain_analyzer_spark.session import get_spark_owned
+
+    spark, created = get_spark_owned(app_name="fineweb-cli", master=args.master)
     try:
         if args.all_steps:
             if Path(args.input).suffix in (".warc", ".gz"):
@@ -353,11 +360,8 @@ def main(argv: list[str] | None = None) -> int:
             check_robots(spark, args)
         elif args.filter_content:
             filter_content(spark, args)
-        else:
-            p.print_help()
-            return 1
     finally:
-        if not pre_existing:
+        if created:
             spark.stop()
     return 0
 

@@ -41,7 +41,7 @@ from fineweb_domain_analyzer_spark.plans.pipeline import (
     PipelineConfig,
     quality_filter_pipeline,
 )
-from fineweb_domain_analyzer_spark.session import get_spark
+
 from fineweb_domain_analyzer_spark.sources.pages import (
     synth_pages,
     synth_policy_for_domains,
@@ -59,15 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
-    from pyspark import SparkContext
+    from fineweb_domain_analyzer_spark.session import get_spark_owned
 
-    # only stop the session on exit if this entry point created it —
-    # under getOrCreate, stopping a pre-existing (caller-owned) session
-    # would kill the caller's SparkContext too. SparkContext's active
-    # context is process-global (getActiveSession is thread-local and
-    # misses sessions created in other threads).
-    pre_existing = SparkContext._active_spark_context is not None
-    spark = get_spark(app_name="fineweb-quality-filter", master=args.master)
+    spark, created = get_spark_owned(
+        app_name="fineweb-quality-filter", master=args.master
+    )
     t0 = time.time()
 
     def bucket_split(df, split):
@@ -124,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
             }
         )
     )
-    if not pre_existing:
+    if created:
         spark.stop()
     return 0
 

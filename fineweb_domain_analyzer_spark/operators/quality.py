@@ -221,11 +221,12 @@ def bigram_perplexity(
     p(w|prev) = c(prev,w)/c(prev)) — one step closer to the KenLM-style
     n-gram scorer, still fully distributed with no model artifact.
 
-    Plan: posexplode tokens → window lag per doc for bigrams → two
-    count aggregations (bigram, unigram-prefix) → join both LM tables
-    back onto the bigram stream → per-doc average. Docs with fewer than
-    2 tokens have no bigrams and are excluded (consistent in both
-    engines).
+    Plan: bigram pairs built INSIDE the token array (adjacency is known
+    there — a lag window would shuffle every token by doc_id for
+    nothing) → explode → two count aggregations (bigram,
+    unigram-prefix) → join both LM tables back onto the bigram stream →
+    per-doc average. Docs with fewer than 2 tokens have no bigrams and
+    are excluded (consistent in both engines).
 
     ``broadcast_lm=True`` fits corpora whose observed-bigram table is
     executor-memory-sized; at full web scale that table is itself huge
@@ -235,18 +236,20 @@ def bigram_perplexity(
 
     Returns (id_col, bigram_perplexity = 2 ** avg(-log2 p)).
     """
-    from pyspark.sql.window import Window
-
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(ws_tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    bigrams = (
-        toks.withColumn("prev", F.lag("token").over(w))
-        .filter(F.col("prev").isNotNull())
-        .select(id_col, "prev", "token")
-    )
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i.cast("int")).alias("prev"),
+                F.element_at(toks, (i + 1).cast("int")).alias("token"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,token:string>>"))
+    bigrams = docs.select(
+        F.col(id_col), F.explode(pairs).alias("_bg")
+    ).select(id_col, "_bg.prev", "_bg.token")
     bi_lm = bigrams.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("bi_cnt"))
     uni_lm = bigrams.groupBy("prev").agg(F.count(F.lit(1)).alias("prev_cnt"))
     if broadcast_lm:

@@ -145,9 +145,9 @@ def policy_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 POLICY_CTE = """
 policy AS (
   SELECT source || '.example.com' AS domain,
-         (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 6 <> 0) AS crawl_allowed
+         (TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 6 <> 0) AS crawl_allowed
   FROM (SELECT DISTINCT source FROM documents)
-  WHERE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
+  WHERE TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
 )
 """
 
@@ -1143,7 +1143,10 @@ def q38_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    idx = F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int")
+    raw_idx = F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int")
+    # _i is computed ONCE and reused as an attribute ref — inlining the
+    # regexp into every CASE branch would evaluate it ~9× per row
+    idx = F.col("_i")
     body = (
         F.when(idx % 5 == 0, F.lit("User-agent: *\nDisallow: /"))
         .when(
@@ -1158,7 +1161,7 @@ def q38_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string")
     )
     robots_df = (
-        docs.select(F.col("source"), idx.alias("_i"))
+        docs.select(F.col("source"), raw_idx.alias("_i"))
         .distinct()
         .select(
             F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
@@ -1180,7 +1183,7 @@ def q38_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q38_SQL = """
 WITH src AS (
   SELECT DISTINCT source,
-         CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS i
+         TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS i
   FROM documents
 ),
 robots AS (
@@ -1222,8 +1225,13 @@ directives AS (
                           AND trim(substr(line, 10)) <> '/'
                           AND trim(substr(line, 10)) <> ''
                           AND agent = '*') AS n_disallowed,
-         max(CASE WHEN lower(line) LIKE 'crawl-delay:%' AND agent = '*'
-                  THEN try_cast(trim(substr(line, 13)) AS DOUBLE) END) AS crawl_delay
+         -- last PARSEABLE applicable delay wins (the parser overwrites
+         -- result['crawl_delay'] per line; unparseable lines are skipped)
+         arg_max(CASE WHEN lower(line) LIKE 'crawl-delay:%' AND agent = '*'
+                      THEN try_cast(trim(substr(line, 13)) AS DOUBLE) END,
+                 CASE WHEN lower(line) LIKE 'crawl-delay:%' AND agent = '*'
+                       AND try_cast(trim(substr(line, 13)) AS DOUBLE) IS NOT NULL
+                      THEN lineno END) AS crawl_delay
   FROM governed
   GROUP BY domain
 )

@@ -36,6 +36,25 @@ DEFAULT_CONFS: dict[str, str] = {
 }
 
 
+def get_spark_owned(
+    app_name: str = "fineweb-domain-analyzer-spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> tuple[SparkSession, bool]:
+    """(session, created): entry points use this so they only ever stop
+    — or reconfigure — sessions they created themselves. When a
+    SparkContext already exists the caller's session is returned
+    UNTOUCHED (getOrCreate would silently apply DEFAULT_CONFS to it)."""
+    from pyspark import SparkContext
+
+    if SparkContext._active_spark_context is not None:
+        existing = SparkSession.getActiveSession()
+        if existing is None:  # context created in another thread
+            existing = SparkSession.builder.getOrCreate()
+        return existing, False
+    return get_spark(app_name, master, extra_confs), True
+
+
 def get_spark(
     app_name: str = "fineweb-domain-analyzer-spark",
     master: str | None = None,

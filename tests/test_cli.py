@@ -223,5 +223,8 @@ def test_cli_main_in_process_preserves_caller_session(spark, fixtures_dir, tmp_p
         ]
     )
     assert rc == 0
-    # the shared session must still be alive and usable
+    # the shared session must still be alive and usable...
     assert spark.range(3).count() == 3
+    # ...and UNRECONFIGURED: get_spark_owned must not apply the
+    # engine's default confs to a caller-owned session
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
