@@ -13,40 +13,24 @@ combine. Two divergences, both deliberate and documented:
   runs are reproducible.
 
 Scale note: ``groupBy(domain)`` is the engine's one unavoidable
-shuffle. Head domains are Zipf-heavy at CC scale, so the skew-safe
-variant (``domain_stats_salted``) does a two-phase salted aggregation:
-partial per (domain, salt), final per domain. count/min/max compose
-exactly; the top-5 url list composes because each partial keeps its 5
-smallest (order_col) candidates — the global top-5 is a subset of the
-union of per-salt top-5s.
+shuffle. Both variants bound per-key memory with a ``row_number ≤ 5``
+window before any collect (the per-domain sort spills via Tungsten's
+external sorter; aggregation buffers hold ≤ 5 rows). Head domains are
+Zipf-heavy at CC scale, so the skew-safe variant
+(``domain_stats_salted``) additionally defuses single-task wall-clock
+skew with a two-phase salted aggregation: partial per (domain, salt),
+final per domain. count/min/max compose exactly; the top-5 url list
+composes because each partial keeps its 5 smallest (order_col)
+candidates — the global top-5 is a subset of the union of per-salt
+top-5s.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fineweb_domain_analyzer_spark.functions.domains import extract_tld_sql
-
-
-def _top5_urls(order_col: str, url_col: str) -> Column:
-    """Deterministic smallest-5 by order_col via collect+sort+slice.
-
-    NOTE: the collect_list buffers ALL of a domain's rows before the
-    slice — fine for the reference-parity path (fixture-scale domain
-    cardinality) but unbounded state on a Zipf head domain. The scale
-    path is ``domain_stats_salted``, whose window-based top-k keeps
-    per-task state O(5) and lets the sort spill.
-
-    The order field gets its own alias — with the default
-    order_col == url_col a bare struct would carry two `url` fields and
-    the s["url"] projection becomes an ambiguous reference."""
-    pairs = F.collect_list(
-        F.struct(F.col(order_col).alias("ord"), F.col(url_col).alias("url"))
-    )
-    return F.slice(
-        F.transform(F.array_sort(pairs), lambda s: s["url"]), 1, 5
-    )
 
 
 def domain_stats(
@@ -59,7 +43,24 @@ def domain_stats(
 ) -> DataFrame:
     """pages(domain, url, [ts]) → (domain, count, urls, tld, first_seen,
     last_seen). Rows with null/empty domain are excluded, mirroring the
-    reference's ``if url:`` / ``if domain:`` guards (lines 172-174)."""
+    reference's ``if url:`` / ``if domain:`` guards (lines 172-174).
+
+    Bounded state by construction: the deterministic smallest-5 urls
+    come from a ``row_number ≤ 5`` window filter, so Tungsten's
+    external sorter (spillable) does the per-domain ordering and every
+    aggregation buffer afterwards holds at most 5 rows per domain — a
+    Zipf head domain costs disk, never an OOM. count/first/last ride
+    the same window partitioning, and the follow-up groupBy reuses the
+    window's hash exchange, so the whole operator is still ONE shuffle.
+    For 45%+ hot keys where even the spill-sort wall-time matters, use
+    ``domain_stats_salted``.
+
+    The struct's order field gets its own alias — with the default
+    order_col == url_col a bare struct would carry two `url` fields and
+    the s["url"] projection becomes an ambiguous reference.
+    """
+    from pyspark.sql.window import Window
+
     df = pages.filter(
         F.col(domain_col).isNotNull() & (F.col(domain_col) != "")
     )
@@ -67,13 +68,37 @@ def domain_stats(
     if ts_col is None:
         ts_expr = F.lit(run_ts) if run_ts else F.lit(None).cast("string")
     else:
-        ts_expr = F.coalesce(F.col(ts_col).cast("string"), F.lit(run_ts))
+        # falsy check, not just null: the reference does
+        # `record.get('timestamp') or now()` (fineweb_analyzer.py), so an
+        # empty-string timestamp must also fall back to run_ts
+        s = F.col(ts_col).cast("string")
+        ts_expr = F.coalesce(F.when(s != "", s), F.lit(run_ts))
     df = df.withColumn("_seen_ts", ts_expr)
-    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
-        F.count(F.lit(1)).alias("count"),
-        _top5_urls(order_col, url_col).alias("urls"),
-        F.min("_seen_ts").alias("first_seen"),
-        F.max("_seen_ts").alias("last_seen"),
+    w_ord = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col), F.col(url_col)
+    )
+    w_all = Window.partitionBy(domain_col)
+    ranked = (
+        df.withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w_all))
+        .withColumn("_first", F.min("_seen_ts").over(w_all))
+        .withColumn("_last", F.max("_seen_ts").over(w_all))
+        .filter(F.col("_rn") <= 5)
+    )
+    agg = ranked.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.first("_cnt").alias("count"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("ord"), F.col(url_col).alias("url")
+                    )
+                )
+            ),
+            lambda s: s["url"],
+        ).alias("urls"),
+        F.first("_first").alias("first_seen"),
+        F.first("_last").alias("last_seen"),
     )
     return agg.withColumn("tld", extract_tld_sql(F.col("domain"))).select(
         "domain", "count", "urls", "tld", "first_seen", "last_seen"
@@ -108,7 +133,11 @@ def domain_stats_salted(
     if ts_col is None:
         ts_expr = F.lit(run_ts) if run_ts else F.lit(None).cast("string")
     else:
-        ts_expr = F.coalesce(F.col(ts_col).cast("string"), F.lit(run_ts))
+        # falsy check, not just null: the reference does
+        # `record.get('timestamp') or now()` (fineweb_analyzer.py), so an
+        # empty-string timestamp must also fall back to run_ts
+        s = F.col(ts_col).cast("string")
+        ts_expr = F.coalesce(F.when(s != "", s), F.lit(run_ts))
     df = df.withColumn("_seen_ts", ts_expr).withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts))
     )

@@ -352,7 +352,7 @@ def q06_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q06_SQL = """
-SELECT user_id, count(*) AS events, sum(is_new) AS sessions
+SELECT user_id, count(*) AS events, sum(is_new)::BIGINT AS sessions
 FROM (
   SELECT user_id,
          CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
@@ -391,25 +391,37 @@ GROUP BY 1, 2
 
 def q11_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 full shape: count + deterministic top-5 sample urls +
-    first/last seen (doc_id stands in for warc_ts in this corpus)."""
+    first/last seen (doc_id stands in for warc_ts in this corpus).
+
+    Bounded-state shape (mirrors operators/domain_stats.py): the top-5
+    comes from a spillable row_number window, so no aggregation buffer
+    ever holds more than 5 rows per domain; the groupBy reuses the
+    window's hash exchange — one shuffle total."""
+    from pyspark.sql.window import Window
+
     d = domains_view(spark, sf_dir)
-    agg = d.groupBy("domain").agg(
-        F.count(F.lit(1)).alias("page_cnt"),
+    w_ord = Window.partitionBy("domain").orderBy("doc_id", "url")
+    w_all = Window.partitionBy("domain")
+    ranked = (
+        d.withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w_all))
+        .withColumn("_first", F.min("doc_id").over(w_all))
+        .withColumn("_last", F.max("doc_id").over(w_all))
+        .filter(F.col("_rn") <= 5)
+    )
+    agg = ranked.groupBy("domain").agg(
+        F.first("_cnt").alias("page_cnt"),
         F.concat_ws(
             ",",
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("doc_id"), F.col("url")))
-                    ),
-                    lambda s: s["url"],
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("doc_id"), F.col("url")))
                 ),
-                1,
-                5,
+                lambda s: s["url"],
             ),
         ).alias("sample_urls"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
+        F.first("_first").alias("first_doc"),
+        F.first("_last").alias("last_doc"),
     )
     return agg
 
@@ -598,8 +610,8 @@ def q16_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q16_SQL = f"""
 SELECT lang, count(*) AS docs,
-       sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END) AS ws_tokens_total,
-       sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS bpe_tokens_total
+       sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END)::BIGINT AS ws_tokens_total,
+       sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')))::BIGINT AS bpe_tokens_total
 FROM documents
 GROUP BY lang
 """
@@ -1008,8 +1020,8 @@ Q33_SQL = f"""
 WITH {PAGES_CTE}, {DOMAINS_CTE}, {POLICY_CTE}
 SELECT (SELECT count(DISTINCT domain) FROM domains) AS total_domains,
        count(*) AS policy_domains,
-       sum(CASE WHEN crawl_allowed THEN 1 ELSE 0 END) AS crawlable_domains,
-       sum(CASE WHEN crawl_allowed THEN 0 ELSE 1 END) AS denied_domains
+       sum(CASE WHEN crawl_allowed THEN 1 ELSE 0 END)::BIGINT AS crawlable_domains,
+       sum(CASE WHEN crawl_allowed THEN 0 ELSE 1 END)::BIGINT AS denied_domains
 FROM policy
 """
 
@@ -1080,8 +1092,9 @@ def q36_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q36_SQL = f"""
-WITH aug AS (
+# CTE chain shared between Q36 (verified near-dup pairs) and Q37 (its
+# transitive closure) so the two oracles cannot drift apart.
+_Q36_CTES = f"""aug AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 200
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text || ' mutated tail' AS text
@@ -1110,7 +1123,9 @@ cand AS (
 ),
 sets AS (
   SELECT doc_id, list_distinct(sh) AS s FROM shingled
-)
+)"""
+
+_Q36_SELECT = """
 SELECT c.id_a, c.id_b,
        round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
              / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
@@ -1119,13 +1134,36 @@ WHERE round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.5
 """
 
+Q36_SQL = f"WITH {_Q36_CTES}\n{_Q36_SELECT}"
+
+# Transitive closure of the Q36 pair graph with min-label per component
+# — the DuckDB mirror of connected_components() (operators/dedup.py).
+# The recursive CTE enumerates every (node, reachable-node) pair; fine
+# at the oracle's few-hundred-node scale, while the Spark side uses
+# converging label propagation that scales to web-size graphs.
+Q37_SQL = f"""
+WITH RECURSIVE {_Q36_CTES},
+pairs AS ({_Q36_SELECT}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.node
+)
+SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
 
 def q37_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters via iterative min-label connected components
-    over the q36 pair graph. Deliberately has NO oracle_sql entry: the
-    fixpoint loop is not single-statement-SQL-expressible (DuckDB has
-    no recursive semantics matching the converging label propagation we
-    run) — the driver records the weaker rows-only check for this one."""
+    over the q36 pair graph. Oracle: Q37_SQL — a DuckDB recursive-CTE
+    transitive closure + min() over the reachable set, tractable at the
+    oracle's few-hundred-node scale (the Spark side's label propagation
+    is the web-scale path)."""
     from fineweb_domain_analyzer_spark.operators.dedup import connected_components
 
     pairs = q36_near_dedup(spark, sf_dir)
@@ -1338,8 +1376,8 @@ labeled AS (
   FROM domains d LEFT JOIN policy p ON d.domain = p.domain
 )
 SELECT count(*) AS total_processed,
-       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS filtered_kept,
-       sum(CASE WHEN keep THEN 0 ELSE 1 END) AS excluded_count,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS filtered_kept,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS excluded_count,
        round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / count(*) * 100, 2) AS keep_ratio
 FROM labeled
 """
@@ -1440,6 +1478,7 @@ def oracle_sql() -> dict[str, str]:
         "q34_vocab_topk": Q34_SQL,
         "q35_length_histogram": Q35_SQL,
         "q36_near_dedup": Q36_SQL,
+        "q37_dedup_clusters": Q37_SQL,
         "q38_robots_policy": Q38_SQL,
         "q39_bigram_perplexity": Q39_SQL,
     }

@@ -69,3 +69,50 @@ def test_distinct_domains_matches_simple_golden(pages, fixtures_dir):
         golden = json.load(f)["domains"]
     ours = sorted(r["domain"] for r in distinct_domains(pages).collect())
     assert ours == sorted(golden)
+
+
+def test_hot_domain_bounded_top5(spark):
+    """One domain holding >50% of rows (Zipf head): the bounded window
+    path must return the exact smallest-5 and agree with the salted
+    variant. Guards the no-unbounded-collect default (VERDICT r1 §3)."""
+    n = 2000
+    rows = spark.range(n).select(
+        F.when(F.col("id") < 1200, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 97).cast("string"), F.lit(".example.com")))
+        .alias("domain"),
+        F.format_string("https://x/%05d", F.col("id")).alias("url"),
+    )
+    plain = {r["domain"]: r for r in domain_stats(rows).collect()}
+    hot = plain["hot.example.com"]
+    assert hot["count"] == 1200
+    assert hot["urls"] == [f"https://x/{i:05d}" for i in range(5)]
+    salted = {r["domain"]: r for r in domain_stats_salted(rows, n_salts=8).collect()}
+    assert {d: (r["count"], tuple(r["urls"])) for d, r in plain.items()} == {
+        d: (r["count"], tuple(r["urls"])) for d, r in salted.items()
+    }
+
+
+def test_empty_string_timestamp_falls_back_to_run_ts(spark):
+    """Reference semantics: `record.get('timestamp') or now()` — an
+    EMPTY-string timestamp must fall back, not propagate '' into
+    first/last_seen (ADVICE r1)."""
+    rows = spark.createDataFrame(
+        [
+            ("a.com", "u1", ""),
+            ("a.com", "u2", None),
+            ("b.com", "u3", "2025-01-02T00:00:00"),
+        ],
+        "domain string, url string, ts string",
+    )
+    out = {
+        r["domain"]: r
+        for r in domain_stats(rows, ts_col="ts", run_ts="RUNTS").collect()
+    }
+    assert out["a.com"]["first_seen"] == "RUNTS"
+    assert out["a.com"]["last_seen"] == "RUNTS"
+    assert out["b.com"]["first_seen"] == "2025-01-02T00:00:00"
+    salted = {
+        r["domain"]: r
+        for r in domain_stats_salted(rows, ts_col="ts", run_ts="RUNTS").collect()
+    }
+    assert salted["a.com"]["first_seen"] == "RUNTS"
