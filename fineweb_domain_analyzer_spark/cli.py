@@ -16,9 +16,11 @@ excluded_*.jsonl / filter_stats_*.json, reference lines 203-244,
 
 * --check-robots performs NO network I/O by default: robots bodies come
   from --robots-content (a JSON map domain → robots.txt text, e.g. a
-  frozen snapshot) or every domain defaults to allowed. Live fetching
-  is an offline pre-fetch concern (north star) and requires `requests`
-  (optional; absent in this environment).
+  frozen snapshot) or every domain defaults to allowed. --fetch-live
+  opts into the distributed live pre-fetch job
+  (functions/robots.py:fetch_robots_policy — bounded per-task
+  concurrency, reference retry semantics); tests exercise it only with
+  an injected mock fetcher, never the network.
 * filtered/excluded JSONL lines are byte-identical to the input lines
   (raw passthrough), exactly like the reference.
 * timestamped filenames use an injectable --run-ts for determinism.
@@ -127,21 +129,39 @@ def extract_domains(spark, args, jsonl_path: str | None = None) -> dict:
     return detailed["domains"]
 
 
-def check_robots(spark, args, domains: list[str] | None = None) -> dict:
+def check_robots(
+    spark, args, domains: list[str] | None = None, fetcher=None
+) -> dict:
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     if domains is None:
         with open(args.domains, encoding="utf-8") as f:
             domains = json.load(f).get("domains", [])
-    contents: dict[str, str] = {}
-    if args.robots_content:
-        with open(args.robots_content, encoding="utf-8") as f:
-            contents = json.load(f)
-    rows = [(d, contents.get(d), None) for d in domains]
-    df = spark.createDataFrame(
-        rows, "domain string, robots_content string, error string"
-    )
-    policy = policy_from_robots_content(df, user_agent=args.user_agent)
+    if getattr(args, "fetch_live", False):
+        # live pre-fetch job (reference RobotsChecker fan-out,
+        # distributed; bounded concurrency per task)
+        from fineweb_domain_analyzer_spark.functions.robots import (
+            fetch_robots_policy,
+        )
+
+        dom_df = spark.createDataFrame([(d,) for d in domains], "domain string")
+        policy = fetch_robots_policy(
+            dom_df,
+            user_agent=args.user_agent,
+            timeout=args.timeout,
+            max_workers_per_task=args.max_workers,
+            fetcher=fetcher,
+        )
+    else:
+        contents: dict[str, str] = {}
+        if args.robots_content:
+            with open(args.robots_content, encoding="utf-8") as f:
+                contents = json.load(f)
+        rows = [(d, contents.get(d), None) for d in domains]
+        df = spark.createDataFrame(
+            rows, "domain string, robots_content string, error string"
+        )
+        policy = policy_from_robots_content(df, user_agent=args.user_agent)
     results = {}
     for r in policy.collect():  # O(domains): small
         results[r["domain"]] = {
@@ -238,8 +258,16 @@ def filter_content(spark, args, robots_results: dict | None = None, jsonl_path=N
             # absolute target: a relative one would resolve against the
             # symlink's own directory and dangle for relative --output
             os.symlink(os.path.abspath(part_dir), target)
+            # count NON-BLANK lines, same invariant as single-file mode
+            # (blank raw lines are excluded upstream, so this usually
+            # equals a plain count — the filter keeps the two modes'
+            # stats identical by construction, not by accident)
             counts[flag] = (
-                spark.read.text(part_dir).count() if _part_files(flag) else 0
+                spark.read.text(part_dir)
+                .filter(F.trim(F.col("value")) != "")
+                .count()
+                if _part_files(flag)
+                else 0
             )
     else:
         # reference artifact shape: concatenate part files into one
@@ -289,7 +317,7 @@ def filter_content(spark, args, robots_results: dict | None = None, jsonl_path=N
     return filtered_file, excluded_file, stats
 
 
-def main(argv: list[str] | None = None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="FineWeb Domain Analyzer — Spark engine, reference-compatible CLI"
     )
@@ -305,7 +333,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--robots")
     p.add_argument("--max-records", type=int)
     p.add_argument("--timeout", type=int, default=10)
-    p.add_argument("--max-workers", type=int, default=10)  # accepted for parity
+    p.add_argument("--max-workers", type=int, default=10)  # per-task fetch pool
+    p.add_argument(
+        "--fetch-live",
+        action="store_true",
+        help="fetch robots.txt over the network (distributed, bounded "
+        "concurrency); default is offline --robots-content / allow-all",
+    )
     p.add_argument("--user-agent", default="*")
     p.add_argument(
         "--robots-content",
@@ -315,11 +349,18 @@ def main(argv: list[str] | None = None) -> int:
         "--partitioned-output",
         action="store_true",
         help="write filtered/excluded as partitioned part-file dirs "
-        "(fully parallel) instead of the reference's single-file shape",
+        "(fully parallel) instead of the reference's single-file shape; "
+        "filtered_*.jsonl / excluded_*.jsonl become SYMLINKS to those "
+        "directories despite their file-like names",
     )
     p.add_argument("--run-ts", help="inject run timestamp (YYYYmmdd_HHMMSS) for determinism")
     p.add_argument("--run-iso", help="inject ISO timestamp for determinism")
     p.add_argument("--master", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = build_parser()
     args = p.parse_args(argv)
 
     if (args.all_steps or args.warc_to_json or args.extract_domains or args.filter_content) and not args.input:

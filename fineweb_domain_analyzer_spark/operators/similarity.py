@@ -104,6 +104,31 @@ def sign_bucket(vec: Column, n_planes: int = 8) -> Column:
     return out.cast("int")
 
 
+def random_planes(n_planes: int, dim: int, seed: int = 42):
+    """Seeded gaussian hyperplane normals, (n_planes, dim) — the
+    production plane family for sign-LSH. Deterministic given seed."""
+    import numpy as np
+
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def plane_bucket(vec: Column, planes) -> Column:
+    """Sign-LSH bucket from an explicit plane matrix (rows = plane
+    normals): bit p = [vec · plane_p ≥ 0].
+
+    The planes are embedded as array literals, so the whole bucket key
+    is one JVM-side codegen expression — the moral equivalent of a
+    broadcast plane matrix, with zero Python in the hot path. For
+    n_planes×dim in the hundreds-of-KB range, switch to a pandas UDF
+    with a real broadcast; at 8×64 literals win.
+    """
+    out = F.lit(0)
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        out = out + F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -112,6 +137,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: bool = False,
+    planes=None,
 ) -> DataFrame:
     """ANN top-k scored only within the query's sign-LSH bucket(s).
     Approximate: recall < 1; BENCH/ann_recall.json reports recall vs
@@ -122,11 +148,27 @@ def lsh_bucketed_topk(
     distance 1 from the query's (flip each plane bit once) — the
     standard recall/cost knob: (n_planes+1)× the candidates without
     touching the candidate-side index. Only the (small) query side
-    fans out, so the join stays broadcast."""
+    fans out, so the join stays broadcast.
+
+    ``planes`` (a (n_planes, dim) matrix, e.g. ``random_planes(...)``)
+    switches from the oracle-portable axis-difference family to real
+    seeded gaussian hyperplanes — the production choice; recall for
+    both is measured in BENCH/ann_recall.json."""
+    if planes is not None:
+        n_planes = len(planes)
+
+        def _bucket(vec: Column) -> Column:
+            return plane_bucket(vec, planes)
+
+    else:
+
+        def _bucket(vec: Column) -> Column:
+            return sign_bucket(vec, n_planes)
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+        _bucket(F.col(vec_col)).alias("_bucket"),
     )
     if multi_probe:
         probes = F.array(
@@ -142,7 +184,7 @@ def lsh_bucketed_topk(
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+        _bucket(F.col(vec_col)).alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), ["_bucket"])
@@ -204,8 +246,12 @@ def deterministic_centroids(
     ``pyspark.ml.clustering.KMeans`` centroids — the assignment and
     search plans below are unchanged (they only see a small centroid
     DataFrame, which is broadcast either way).
+
+    Takes the n LOWEST ids actually present (orderBy + limit), not
+    ``id < n`` — id spaces that don't start at 0 must still yield a
+    full centroid set rather than a silently empty index.
     """
-    return vectors.filter(F.col(id_col) < n_centroids).select(
+    return vectors.orderBy(F.col(id_col)).limit(n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
     )
 

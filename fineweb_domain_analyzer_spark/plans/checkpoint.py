@@ -112,6 +112,14 @@ class IcebergCheckpointer(Checkpointer):
     into the write call. Falls back to the file manifest when no
     Iceberg catalog is present so local tests exercise the same
     control flow.
+
+    SINGLE-WRITER ONLY (both variants): ``mark_processed`` is a
+    read-modify-write of the property with no compare-and-swap, so two
+    drivers resuming the same table concurrently can lose each other's
+    committed splits (the file-manifest path has the same constraint).
+    Concurrent resume requires the snapshot-summary variant above —
+    Iceberg's optimistic commit then detects the conflicting snapshot
+    and retries — or an external lock / catalog-level CAS.
     """
 
     PROP = "processed-splits"

@@ -750,7 +750,9 @@ def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
 
 
-def _simhash_sql() -> str:
+def _simhash_expr_sql() -> str:
+    """DuckDB expression for the 16-bit md5-vote SimHash of column
+    `text` (mirrors operators/dedup.py simhash16 bit-for-bit)."""
     votes = []
     for j in range(16):
         pos = j // 4 + 1
@@ -760,7 +762,11 @@ def _simhash_sql() -> str:
             f"CASE WHEN (((strpos('0123456789abcdef', substr(md5(t), {pos}, 1)) - 1) >> {shift}) & 1) = 1 "
             f"THEN 1 ELSE -1 END)) > 0 THEN {1 << (15 - j)} ELSE 0 END"
         )
-    return f"SELECT doc_id, CAST({' + '.join(votes)} AS INT) AS simhash FROM documents"
+    return f"CAST({' + '.join(votes)} AS INT)"
+
+
+def _simhash_sql() -> str:
+    return f"SELECT doc_id, {_simhash_expr_sql()} AS simhash FROM documents"
 
 
 def q23_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,7 +978,7 @@ round(
 
 Q32_SQL = f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
 ),
 assign AS (
   SELECT vec_id, embedding, centroid_id,
@@ -1141,9 +1147,7 @@ Q36_SQL = f"WITH {_Q36_CTES}\n{_Q36_SELECT}"
 # The recursive CTE enumerates every (node, reachable-node) pair; fine
 # at the oracle's few-hundred-node scale, while the Spark side uses
 # converging label propagation that scales to web-size graphs.
-Q37_SQL = f"""
-WITH RECURSIVE {_Q36_CTES},
-pairs AS ({_Q36_SELECT}),
+_CLOSURE_CTES = f"""pairs AS ({_Q36_SELECT}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -1153,7 +1157,11 @@ reach(node, r) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.node
-)
+)"""
+
+Q37_SQL = f"""
+WITH RECURSIVE {_Q36_CTES},
+{_CLOSURE_CTES}
 SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
 """
 
@@ -1320,6 +1328,67 @@ GROUP BY b.doc_id
 """
 
 
+def q40_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs via prefix-bucket self-join
+    (operators/dedup.py simhash_candidates), over head docs ∪ mutated
+    copies so real near-dups exist. Bucketed equi-join — never
+    all-pairs; the oracle mirrors the 16-bit md5-vote signature
+    bit-for-bit."""
+    from fineweb_domain_analyzer_spark.operators.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutated tail")).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionAll(mutated)
+    return simhash_candidates(aug, prefix_bits=8)
+
+
+def _q40_sql() -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' mutated tail' AS text
+  FROM documents WHERE doc_id < 300
+),
+sh AS (SELECT doc_id, {_simhash_expr_sql()} AS sim FROM aug),
+b AS (SELECT doc_id, sim, sim >> 8 AS bucket FROM sh)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.sim AS sim_a, r.sim AS sim_b
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def q41_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the near-dedup story: LSH pairs → connected
+    components → drop every non-canonical cluster member — the doc_ids
+    a curation pipeline would actually keep. Oracle: aug ids minus the
+    recursive-closure losers (shares Q36/Q37's CTEs)."""
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        dedup_keep_canonical,
+        near_dedup_minhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutated tail")).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionAll(mutated)
+    pairs = near_dedup_minhash(aug, threshold=0.5, k=16, bands=4)
+    return dedup_keep_canonical(aug, pairs).select("doc_id")
+
+
+Q41_SQL = f"""
+WITH RECURSIVE {_Q36_CTES},
+{_CLOSURE_CTES},
+clusters AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT a.doc_id FROM aug a
+WHERE a.doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)
+"""
+
+
 def q26_salted_domain_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (skew defuse) — result must equal a
     plain GROUP BY, which is exactly what the oracle runs."""
@@ -1440,6 +1509,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_dedup_clusters": q37_dedup_clusters,
     "q38_robots_policy": q38_robots_policy,
     "q39_bigram_perplexity": q39_bigram_perplexity,
+    "q40_simhash_candidates": q40_simhash_candidates,
+    "q41_dedup_keep_canonical": q41_dedup_keep_canonical,
 }
 
 
@@ -1481,4 +1552,6 @@ def oracle_sql() -> dict[str, str]:
         "q37_dedup_clusters": Q37_SQL,
         "q38_robots_policy": Q38_SQL,
         "q39_bigram_perplexity": Q39_SQL,
+        "q40_simhash_candidates": _q40_sql(),
+        "q41_dedup_keep_canonical": Q41_SQL,
     }

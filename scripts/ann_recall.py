@@ -85,6 +85,71 @@ def main() -> None:
             "on real embedding corpora locality is far stronger."
         ),
     }
+
+    # --- planted-cluster corpus: what recall looks like when locality is
+    # real (the regime ANN is actually used in) ------------------------------
+    import numpy as np
+
+    from fineweb_domain_analyzer_spark.operators.similarity import random_planes
+
+    rng = np.random.RandomState(7)
+    n_clusters, per_cluster, dim, noise = 40, 25, 64, 0.25
+    centers = rng.standard_normal((n_clusters, dim))
+    pts = np.repeat(centers, per_cluster, axis=0) + noise * rng.standard_normal(
+        (n_clusters * per_cluster, dim)
+    )
+    planted = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id bigint, embedding array<double>",
+    ).cache()
+    pq = planted.filter(F.col("vec_id") % per_cluster == 0).filter(
+        F.col("vec_id") < 25 * per_cluster
+    )
+    p_exact = topk_sets(brute_force_topk(pq, planted, k=K))
+    gplanes = random_planes(8, dim, seed=42)
+    result["planted"] = {
+        "corpus": n_clusters * per_cluster,
+        "clusters": n_clusters,
+        "noise_sigma": noise,
+        "queries": 25,
+        "k": K,
+        "recall": {
+            "lsh_axis8": recall(
+                topk_sets(lsh_bucketed_topk(pq, planted, k=K, n_planes=8)), p_exact
+            ),
+            "lsh_axis8_multiprobe": recall(
+                topk_sets(
+                    lsh_bucketed_topk(pq, planted, k=K, n_planes=8, multi_probe=True)
+                ),
+                p_exact,
+            ),
+            "lsh_gauss8": recall(
+                topk_sets(lsh_bucketed_topk(pq, planted, k=K, planes=gplanes)),
+                p_exact,
+            ),
+            "lsh_gauss8_multiprobe": recall(
+                topk_sets(
+                    lsh_bucketed_topk(
+                        pq, planted, k=K, planes=gplanes, multi_probe=True
+                    )
+                ),
+                p_exact,
+            ),
+            "ivf_8cent": recall(
+                topk_sets(ivf_topk(pq, planted, k=K, n_centroids=8)), p_exact
+            ),
+        },
+        "candidate_fraction": {
+            "lsh_*8": round(1 / 2**8, 4),
+            "lsh_*8_multiprobe": round(9 / 2**8, 4),
+            "ivf_8cent": round(1 / 8, 4),
+        },
+        "note": (
+            "seeded gaussian hyperplanes (random_planes) vs the "
+            "oracle-portable axis family, on a corpus with genuine "
+            "cluster structure — the production operating point."
+        ),
+    }
     out = REPO / "BENCH" / "ann_recall.json"
     out.write_text(json.dumps(result, indent=2) + "\n", encoding="utf-8")
     print(json.dumps(result))

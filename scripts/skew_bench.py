@@ -54,9 +54,12 @@ def main() -> None:
     pages = spark.read.parquet("/tmp/fw_skew_pages")
     hot_share = pages.filter(F.col("domain") == "hot.example.com").count() / ROWS
 
-    # equivalence check on a sample-sized prefix (full compare is itself skew-bound)
-    a = {r["domain"]: (r["count"], tuple(r["urls"])) for r in domain_stats(pages.limit(100000)).collect()}
-    b = {r["domain"]: (r["count"], tuple(r["urls"])) for r in domain_stats_salted(pages.limit(100000)).collect()}
+    # equivalence check on a sample: a DETERMINISTIC predicate, not
+    # limit() — LIMIT without ordering may pick different rows per
+    # execution, making the compare spuriously flaky
+    sample = pages.filter(F.pmod(F.xxhash64("url"), F.lit(20)) == 0)
+    a = {r["domain"]: (r["count"], tuple(r["urls"])) for r in domain_stats(sample).collect()}
+    b = {r["domain"]: (r["count"], tuple(r["urls"])) for r in domain_stats_salted(sample).collect()}
     assert a == b, "salted aggregation diverged from plain"
 
     def timed(fn, n=2):
@@ -76,9 +79,12 @@ def main() -> None:
         "salted_sec": salted,
         "speedup": round(plain / salted, 2),
         "note": (
-            "collect_list top-5 per domain; AQE disabled to isolate the "
-            "two-phase salting effect. On a 1000-executor cluster the "
-            "plain plan's hot reducer is the whole job's critical path."
+            "both paths use the bounded row_number<=5 window (no "
+            "unbounded collect buffers); AQE disabled to isolate the "
+            "two-phase salting effect. The remaining speedup is pure "
+            "wall-clock: salting fans the hot domain's spill-sort over "
+            "n_salts tasks instead of one hot reducer, which on a "
+            "1000-executor cluster is the whole job's critical path."
         ),
     }
     (REPO / "BENCH" / "skew_bench.json").write_text(json.dumps(result, indent=2) + "\n")

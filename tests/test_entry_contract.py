@@ -18,10 +18,9 @@ def test_every_query_has_oracle():
     oracles = entrymod.oracle_sql()
     assert qs, "queries() must not be empty"
     missing = set(qs) - set(oracles)
-    # iterative algorithms may deliberately lack an oracle (driver
-    # records a rows-only check); everything else must have one
-    ALLOWED_ORACLE_LESS = {"q37_dedup_clusters"}
-    assert missing <= ALLOWED_ORACLE_LESS, f"queries without oracle: {missing}"
+    # every query is oracle-checked since r2 (q37's fixpoint gained a
+    # recursive-CTE oracle)
+    assert not missing, f"queries without oracle: {missing}"
     extra = set(oracles) - set(qs)
     assert not extra, f"oracles without query: {extra}"
 

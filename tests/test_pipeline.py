@@ -179,3 +179,80 @@ def test_partition_invariant_across_seeds(spark, seed):
     stats = filter_stats(out).collect()[0]
     assert stats["filtered_kept"] + stats["excluded_count"] == 1500
     assert stats["filtered_kept"] == hist.get("kept", 0)
+
+
+class _FakeRow(dict):
+    def __getitem__(self, k):
+        return dict.__getitem__(self, k)
+
+
+class _FakeIcebergSession:
+    """Captures the SQL the Iceberg checkpointer branch issues and
+    serves the table-property store back — lets the catalog-backed
+    branch (never reachable in this jar-less sandbox) be exercised:
+    json round-trip, quote escaping, detect probe."""
+
+    def __init__(self, have_catalog=True):
+        self.props: dict[str, str] = {}
+        self.have_catalog = have_catalog
+        self.statements: list[str] = []
+
+    def sql(self, stmt: str):
+        import re
+
+        self.statements.append(stmt)
+        if ".snapshots" in stmt:
+            if not self.have_catalog:
+                raise RuntimeError("not an Iceberg table")
+            return self
+        if stmt.startswith("SHOW TBLPROPERTIES"):
+            out = self
+            out._rows = [
+                _FakeRow({"key": k, "value": v}) for k, v in self.props.items()
+            ]
+            return out
+        m = re.match(
+            r"ALTER TABLE .* SET TBLPROPERTIES \('([^']+)' = '(.*)'\)$",
+            stmt,
+            re.DOTALL,
+        )
+        if m:
+            self.props[m.group(1)] = m.group(2).replace("''", "'")
+            return self
+        raise AssertionError(f"unexpected sql: {stmt}")
+
+    def collect(self):
+        return getattr(self, "_rows", [])
+
+
+def test_iceberg_checkpointer_property_branch(tmp_path):
+    """Catalog present: the manifest must live in table properties,
+    survive a 'new driver' (fresh checkpointer), and never touch the
+    file manifest."""
+    from fineweb_domain_analyzer_spark.plans.checkpoint import IcebergCheckpointer
+
+    fake = _FakeIcebergSession()
+    cp = IcebergCheckpointer(fake, "cat.db.t", str(tmp_path / "manifest.json"))
+    assert cp._have_iceberg is True
+    assert cp.processed_splits() == set()
+    cp.mark_processed("split-a")
+    cp.mark_processed("split-b")
+    assert cp.processed_splits() == {"split-a", "split-b"}
+    assert cp.pending(["split-a", "split-b", "split-c"]) == ["split-c"]
+    # resume from a brand-new driver sharing only the catalog
+    cp2 = IcebergCheckpointer(fake, "cat.db.t", str(tmp_path / "other.json"))
+    assert cp2.processed_splits() == {"split-a", "split-b"}
+    assert not (tmp_path / "manifest.json").exists()
+
+
+def test_iceberg_checkpointer_fallback_branch(tmp_path):
+    """No catalog: detect() is False and the file manifest carries the
+    protocol unchanged."""
+    from fineweb_domain_analyzer_spark.plans.checkpoint import IcebergCheckpointer
+
+    fake = _FakeIcebergSession(have_catalog=False)
+    cp = IcebergCheckpointer(fake, "cat.db.t", str(tmp_path / "manifest.json"))
+    assert cp._have_iceberg is False
+    cp.mark_processed("s1")
+    assert cp.processed_splits() == {"s1"}
+    assert (tmp_path / "manifest.json").exists()

@@ -112,3 +112,85 @@ def test_parser_roundtrip_against_fixture(spark, fixtures_dir):
             assert parsed["crawl_allowed"] == rec["crawl_allowed"], domain
             checked += 1
     assert checked > 0
+
+
+# --- live pre-fetch job (mock fetcher, no network) ---------------------------
+
+def _make_mock_fetch():
+    """Factory returning a nested mock fetcher: nested so cloudpickle
+    ships it BY VALUE to executors (test modules aren't importable in
+    Spark's python workers)."""
+
+    def fetch(url: str):
+        proto, rest = url.split("://", 1)
+        domain = rest.split("/", 1)[0]
+        if domain.startswith("denyall"):
+            return 200, "User-agent: *\nDisallow: /"
+        if domain.startswith("partial"):
+            return 200, "User-agent: *\nDisallow: /private/\nCrawl-delay: 2"
+        if domain.startswith("missing"):
+            return 404, ""
+        if domain.startswith("flaky"):
+            # https errors, http succeeds -> reference tries next protocol
+            if proto == "https":
+                raise ConnectionError("tls boom")
+            return 200, "User-agent: *\nDisallow: /"
+        if domain.startswith("weird"):
+            return 403, ""  # non-200/404 on both protos -> default allow
+        raise ConnectionError("down")  # both protos fail -> denied + error
+
+    return fetch
+
+
+def test_fetch_robots_policy_truth_table(spark):
+    from fineweb_domain_analyzer_spark.functions.robots import fetch_robots_policy
+
+    doms = spark.createDataFrame(
+        [("denyall.com",), ("partial.com",), ("missing.com",),
+         ("flaky.com",), ("weird.com",), ("dead.com",)],
+        "domain string",
+    )
+    rows = {
+        r["domain"]: r
+        for r in fetch_robots_policy(
+            doms, fetcher=_make_mock_fetch(), n_tasks=2, max_workers_per_task=3
+        ).collect()
+    }
+    assert rows["denyall.com"]["crawl_allowed"] is False
+    assert rows["denyall.com"]["robots_exists"] is True
+    assert rows["partial.com"]["crawl_allowed"] is True
+    assert rows["partial.com"]["crawl_delay"] == 2.0
+    assert list(rows["partial.com"]["disallowed_paths"]) == ["/private/"]
+    assert rows["missing.com"]["crawl_allowed"] is True
+    assert rows["missing.com"]["robots_exists"] is False
+    # https failed but http served a deny-all robots
+    assert rows["flaky.com"]["crawl_allowed"] is False
+    assert rows["flaky.com"]["error"] is None
+    # non-200/404 statuses on both protocols: reference default-allows
+    assert rows["weird.com"]["crawl_allowed"] is True
+    assert rows["weird.com"]["error"] is None
+    # connection failure on both protocols: denied with error recorded
+    assert rows["dead.com"]["crawl_allowed"] is False
+    assert rows["dead.com"]["error"] is not None
+
+
+def test_cli_fetch_live_end_to_end(spark, tmp_path):
+    """--fetch-live through check_robots with the fetcher injected at
+    the seam the CLI exposes for tests (no network)."""
+    import json
+
+    from fineweb_domain_analyzer_spark import cli as cli_mod
+
+    args = cli_mod.build_parser().parse_args(
+        ["--check-robots", "--fetch-live", "--domains", "unused.json",
+         "--output", str(tmp_path),
+         "--run-ts", "20250101_000000", "--run-iso", "2025-01-01T00:00:00"]
+    )
+    results = cli_mod.check_robots(
+        spark, args, domains=["denyall.com", "missing.com"],
+        fetcher=_make_mock_fetch(),
+    )
+    assert results["denyall.com"]["crawl_allowed"] is False
+    assert results["missing.com"]["crawl_allowed"] is True
+    out = json.loads((tmp_path / "robots_check_20250101_000000.json").read_text())
+    assert out["results"]["denyall.com"]["robots_exists"] is True

@@ -121,3 +121,43 @@ def test_lsh_multiprobe_recall_superset(spark, sf_dir):
     }
     assert base <= multi
     assert len(multi) >= len(base)
+
+
+def test_random_plane_bucket_groups_near_duplicates(spark):
+    """Seeded gaussian planes: identical vectors share a bucket, a
+    slightly-perturbed copy lands in the same bucket, and the bucketed
+    top-k finds it (the production plane family, VERDICT r1 item 7)."""
+    from fineweb_domain_analyzer_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        plane_bucket,
+        random_planes,
+    )
+
+    base = [1.0, -2.0, 0.5, 3.0, -1.0, 0.25, 2.0, -0.5]
+    near = [x + 0.01 for x in base]
+    far = [-x for x in base]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far), (3, [0.0] * 7 + [5.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    planes = random_planes(8, 8, seed=42)
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", plane_bucket(F.col("embedding"), planes).alias("b")
+        ).collect()
+    }
+    assert buckets[0] == buckets[1]  # near-identical -> same bucket
+    assert buckets[0] != buckets[2]  # antipodal -> all bits flipped
+    # determinism: same seed, same buckets
+    buckets2 = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id",
+            plane_bucket(F.col("embedding"), random_planes(8, 8, seed=42)).alias("b"),
+        ).collect()
+    }
+    assert buckets == buckets2
+    q = df.filter(F.col("vec_id") == 0)
+    out = lsh_bucketed_topk(q, df, k=2, planes=planes).collect()
+    assert any(r["neighbor_id"] == 1 and r["rk"] == 1 for r in out)
