@@ -62,10 +62,16 @@ def exact_dedup_keep_first(
 
 # --- shingling + MinHash ------------------------------------------------------
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string>. Docs shorter than n words
-    collapse to a single whole-doc shingle."""
-    w = ws_tokens(F.lower(text))
+def word_shingles_from_tokens(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a MATERIALIZED token-array column.
+    Docs shorter than n words collapse to a single whole-doc shingle.
+
+    The token column MUST be staged in its own projection first
+    (``select(ws_tokens(lower(text)).alias("_tk"))`` then shingle from
+    ``_tk``): higher-order functions run outside whole-stage codegen
+    and get no common-subexpression elimination, so an inline tokenize
+    expression is re-evaluated for every element_at — measured 18×
+    slower (6.7 s vs 0.37 s for 5k-doc signatures, local[32])."""
     idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
     grams = F.transform(
         idx,
@@ -74,6 +80,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         ),
     )
     return F.when(F.size(w) >= n, grams).otherwise(F.array(F.array_join(w, " ")))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Convenience one-expression form — tokenizes inline. For anything
+    hot, stage tokens and use ``word_shingles_from_tokens`` (see its
+    docstring for the 18× reason)."""
+    return word_shingles_from_tokens(ws_tokens(F.lower(text)), n)
 
 
 def _hash_shingle(shingle: Column, seed: int) -> Column:
@@ -106,6 +119,19 @@ def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
     return minhash_signature_from_shingles(word_shingles(text, shingle_n), k)
 
 
+def minhash_signature_from_shingles_xx(shingles: Column, k: int = 16) -> Column:
+    """PRODUCTION hash family: array<bigint> of k minhashes via
+    xxhash64(seed, shingle) — JVM-native 64-bit hashing, no hex-string
+    materialization, markedly cheaper than k chained md5s (measured in
+    BENCH/minhash_family.json). Not engine-portable (DuckDB has no
+    xxhash64), so the md5 family remains the oracle-checked default;
+    both share every plan downstream of the signature."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
+    )
+
+
 def minhash_bands(sig: Column, bands: int = 4, rows_per_band: int = 4) -> Column:
     """array<struct<band_id:int, band_key:string>> — md5 of each band's
     concatenated minhashes."""
@@ -122,6 +148,24 @@ def minhash_bands(sig: Column, bands: int = 4, rows_per_band: int = 4) -> Column
     )
 
 
+def minhash_bands_xx(
+    sig: Column, bands: int = 4, rows_per_band: int = 4
+) -> Column:
+    """Band keys for the xx family: xxhash64 of each band's slice
+    (hash functions accept array columns directly — no string
+    round-trip). Key rendered as string so both families share one
+    downstream schema."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band_id"),
+            F.xxhash64(F.slice(sig, b * rows_per_band + 1, rows_per_band))
+            .cast("string")
+            .alias("band_key"),
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -129,6 +173,7 @@ def lsh_candidate_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via MinHash-LSH.
 
@@ -136,18 +181,32 @@ def lsh_candidate_pairs(
     (band_id, band_key) → in-bucket self-join → distinct. The join key
     is a hash, so bucket sizes are driven by true near-duplicate
     cluster sizes, not input skew.
+
+    ``hash_family``: "md5" (engine-portable, oracle-checked) or "xx"
+    (xxhash64, the production/scale choice — same plan, cheaper map
+    stage; BENCH/minhash_family.json quantifies the gap).
     """
     rows_per_band = k // bands
+    # tokens staged in their own projection — see word_shingles_from_tokens
     shingled = docs.select(
         F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+        ws_tokens(F.lower(F.col(text_col))).alias("_tk"),
+    ).select(
+        "_id", word_shingles_from_tokens(F.col("_tk"), shingle_n).alias("_sh")
     )
-    sigged = shingled.select(
-        "_id", minhash_signature_from_shingles(F.col("_sh"), k).alias("_sig")
-    )
+    if hash_family == "xx":
+        sigged = shingled.select(
+            "_id", minhash_signature_from_shingles_xx(F.col("_sh"), k).alias("_sig")
+        )
+        band_col = minhash_bands_xx(F.col("_sig"), bands, rows_per_band)
+    else:
+        sigged = shingled.select(
+            "_id", minhash_signature_from_shingles(F.col("_sh"), k).alias("_sig")
+        )
+        band_col = minhash_bands(F.col("_sig"), bands, rows_per_band)
     banded = sigged.select(
         "_id",
-        F.explode(minhash_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
+        F.explode(band_col).alias("b"),
     ).select("_id", "b.band_id", "b.band_key")
     left = banded.alias("l")
     right = banded.alias("r")
@@ -178,8 +237,12 @@ def jaccard_on_pairs(
     Joins the (small) pair list to docs twice; each join is keyed by
     doc id (uniform). Output: (id_a, id_b, jaccard)."""
     sh = docs.select(
+        F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("_tk")
+    ).select(
         F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+        F.array_distinct(
+            word_shingles_from_tokens(F.col("_tk"), shingle_n)
+        ).alias("_sh"),
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
@@ -201,9 +264,12 @@ def near_dedup_minhash(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
-    cands = lsh_candidate_pairs(docs, id_col, text_col, k, bands, shingle_n)
+    cands = lsh_candidate_pairs(
+        docs, id_col, text_col, k, bands, shingle_n, hash_family
+    )
     verified = jaccard_on_pairs(cands, docs, id_col, text_col, shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -298,16 +364,23 @@ def dedup_keep_canonical(
 
 # --- SimHash ------------------------------------------------------------------
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over whitespace tokens, engine-portable.
+def token_hex4(text: Column) -> Column:
+    """array<string> of each token's first-4-hex-chars md5 — the staged
+    input for simhash16_from_hex. Stage this in its own projection:
+    the 16 per-bit aggregates downstream run outside whole-stage
+    codegen with no CSE, so an inline hash array would be re-hashed
+    once per bit (same 10×+ trap as word_shingles_from_tokens)."""
+    return F.transform(
+        ws_tokens(F.lower(text)), lambda t: F.substring(F.md5(t), 1, 4)
+    )
 
-    Bit j of md5(token)'s first 4 hex chars votes ±1; the sign of the
-    per-bit sum over all tokens sets that signature bit. 16 bits keeps
-    the oracle SQL tractable; the package also exposes simhash64 for
-    production use (same construction, xxhash64-based).
-    """
-    toks = ws_tokens(F.lower(text))
-    hx = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 4))
+
+def simhash16_from_hex(hx: Column) -> Column:
+    """16-bit SimHash from a MATERIALIZED token_hex4 column,
+    engine-portable. Bit j of each 4-hex-char hash votes ±1; the sign
+    of the per-bit sum over all tokens sets that signature bit. 16 bits
+    keeps the oracle SQL tractable; simhash64 is the production
+    variant (same construction, xxhash64-based)."""
 
     # NB: higher-order-function lambdas must take exactly the arity
     # Spark expects — capture j via a factory, not a default arg.
@@ -329,11 +402,24 @@ def simhash16(text: Column) -> Column:
     return out.cast("int")
 
 
-def simhash64(text: Column) -> Column:
-    """Production 64-bit SimHash using xxhash64 (fast, JVM-native).
-    Not oracle-portable; used by the dedup pipeline at scale."""
-    toks = ws_tokens(F.lower(text))
-    hs = F.transform(toks, lambda t: F.xxhash64(t))
+def simhash16(text: Column) -> Column:
+    """Convenience one-expression form — hashes inline, re-evaluated
+    per bit. For anything hot, stage token_hex4 and use
+    simhash16_from_hex."""
+    return simhash16_from_hex(token_hex4(text))
+
+
+def token_xx64(text: Column) -> Column:
+    """array<bigint> of per-token xxhash64 — staged input for
+    simhash64_from_hashes (same no-CSE-under-HOF reason as
+    token_hex4, ×64 bits here)."""
+    return F.transform(ws_tokens(F.lower(text)), lambda t: F.xxhash64(t))
+
+
+def simhash64_from_hashes(hs: Column) -> Column:
+    """Production 64-bit SimHash from a MATERIALIZED token_xx64 column
+    (fast, JVM-native). Not oracle-portable; used by the dedup
+    pipeline at scale."""
 
     def _vote(mask):
         def _merge(acc, h):
@@ -352,6 +438,12 @@ def simhash64(text: Column) -> Column:
     return out
 
 
+def simhash64(text: Column) -> Column:
+    """Convenience one-expression form; stage token_xx64 +
+    simhash64_from_hashes on hot paths."""
+    return simhash64_from_hashes(token_xx64(text))
+
+
 def simhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -364,8 +456,8 @@ def simhash_candidates(
     hamming balls; one rotation shown here, the others are unions of
     the same plan.)"""
     sh = docs.select(
-        F.col(id_col).alias("_id"), simhash16(F.col(text_col)).alias("_sim")
-    )
+        F.col(id_col).alias("_id"), token_hex4(F.col(text_col)).alias("_hx")
+    ).select("_id", simhash16_from_hex(F.col("_hx")).alias("_sim"))
     bucketed = sh.withColumn(
         "_bucket", F.shiftright(F.col("_sim"), 16 - prefix_bits)
     )

@@ -46,8 +46,9 @@ from fineweb_domain_analyzer_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_on_pairs,
     lsh_candidate_pairs,
-    simhash16,
-    word_shingles,
+    simhash16_from_hex,
+    token_hex4,
+    word_shingles_from_tokens,
 )
 from fineweb_domain_analyzer_spark.operators.quality import (
     STOPWORDS_EN,
@@ -655,8 +656,13 @@ def q19_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature_from_shingles,
     )
 
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+
     docs = _t(spark, sf_dir, "documents")
-    shingled = docs.select("doc_id", word_shingles(F.col("text")).alias("_sh"))
+    # tokens staged separately: HOFs get no CSE (word_shingles_from_tokens)
+    shingled = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("_tk")
+    ).select("doc_id", word_shingles_from_tokens(F.col("_tk")).alias("_sh"))
     return shingled.select(
         "doc_id",
         F.concat_ws("|", minhash_signature_from_shingles(F.col("_sh"), k=8)).alias(
@@ -747,7 +753,10 @@ FROM pairs p JOIN sh a ON p.id_a = a.doc_id JOIN sh b ON p.id_b = b.doc_id
 def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (engine-portable md5 bit votes)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    # hash array staged: the 16 bit-aggregates get no CSE under HOFs
+    return docs.select("doc_id", token_hex4(F.col("text")).alias("_hx")).select(
+        "doc_id", simhash16_from_hex(F.col("_hx")).alias("simhash")
+    )
 
 
 def _simhash_expr_sql() -> str:

@@ -165,3 +165,44 @@ def test_dedup_keep_canonical(spark, sf_dir):
     # every cluster's min-id canonical survives; unpaired docs survive
     assert all(c in kept_ids for c in set(clusters.values()))
     assert (all_ids - set(clusters)) <= kept_ids
+
+
+def test_xx_hash_family_matches_md5_verified_pairs(spark, fixtures_dir):
+    """The production xxhash64 family must behave like the
+    oracle-portable md5 family: zero false positives (exact-Jaccard
+    verification) and near-total recall of planted near-dup pairs."""
+    from fineweb_domain_analyzer_spark.operators.dedup import near_dedup_minhash
+
+    # per-doc-unique tokens: cross-document Jaccard is 0, so the ONLY
+    # true near-dups are the planted (i, i+1000) pairs (19/20 shared
+    # tokens → shingle-Jaccard 0.85)
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda j: F.concat(
+            F.lit("w"), F.col("doc_id").cast("string"), F.lit("_"), j.cast("string")
+        ),
+    )
+    docs = spark.range(120).select(
+        F.col("id").alias("doc_id")
+    ).select("doc_id", F.array_join(toks, " ").alias("text"))
+    mutated = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutated")).alias("text"),
+    )
+    aug = docs.unionAll(mutated)
+    planted = {(i, i + 1000) for i in range(120)}
+    for family in ("md5", "xx"):
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in near_dedup_minhash(
+                aug, threshold=0.5, bands=8, hash_family=family
+            ).collect()
+        }
+        # exact-Jaccard verification guarantees zero false positives in
+        # EITHER family; LSH recall is probabilistic per family (the
+        # families legitimately bucket borderline pairs differently),
+        # so assert high recall, not set equality
+        assert found <= planted, f"{family}: false positives {found - planted}"
+        assert len(found) >= 0.95 * len(planted), (
+            f"{family}: recall {len(found)}/{len(planted)}"
+        )
