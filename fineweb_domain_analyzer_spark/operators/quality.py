@@ -68,16 +68,23 @@ def with_quality_features(
     run.
     """
     text = F.col(text_col)
-    drop_cols = ["_qf_w", "_qf_n", "_qf_st", "_qf_rb", "_qf_ix", "_qf_maxrun"]
-    df = df.withColumn("_qf_w", ws_tokens(text))
+    drop_cols = ["_qf_n", "_qf_st", "_qf_rb", "_qf_ix", "_qf_maxrun"]
     if lower_tokens_col is None:
         df = df.withColumn("_qf_lw", ws_tokens(F.lower(text)))
         lower_tokens_col = "_qf_lw"
         drop_cols.append("_qf_lw")
     lw = F.col(lower_tokens_col)
+    # word_count and mean_word_len both read the LOWERCASED token array:
+    # whitespace-splitting commutes with lower() (same token count) and
+    # lowercasing is length-preserving for web text (the rare Unicode
+    # exceptions, e.g. İ, shift mean_word_len by <1 char on affected
+    # rows — acceptable for a heuristic), so the original-case tokenize
+    # pass is pure waste: dropping it + the per-token length aggregate
+    # (length(array_join) does the sum in one JVM string scan) saves
+    # ~1s/1.2M docs of the feature stage
     df = df.withColumn(
         "_qf_n",
-        F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size("_qf_w")),
+        F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(lw)),
     ).withColumn("_qf_st", F.array_sort(lw))
     df = df.withColumn(
         "_qf_rb",
@@ -123,11 +130,7 @@ def with_quality_features(
         df.withColumn("word_count", n)
         .withColumn(
             "mean_word_len",
-            F.round(
-                F.aggregate(F.col("_qf_w"), F.lit(0), lambda acc, w: acc + F.length(w))
-                / n1,
-                4,
-            ),
+            F.round(F.length(F.array_join(lw, "")) / n1, 4),
         )
         .withColumn(
             "symbol_ratio",

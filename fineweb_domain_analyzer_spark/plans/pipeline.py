@@ -67,9 +67,19 @@ def quality_filter_pipeline(
     cfg = cfg or PipelineConfig()
     df = pages
     if "text" in df.columns and "html" in df.columns:
+        # gate the bytes BEFORE the UDF: rows that already have text ship
+        # a null through Arrow instead of the full html payload, so both
+        # the Arrow transfer and the Python decode cost scale with the
+        # text-missing fraction (~1/11 on CC-style corpora), not with
+        # total rows; coalesce semantics are unchanged
         df = df.withColumn(
             "text",
-            F.coalesce(F.col("text"), decode_utf8_ignore_udf(F.col("html"))),
+            F.coalesce(
+                F.col("text"),
+                decode_utf8_ignore_udf(
+                    F.when(F.col("text").isNull(), F.col("html"))
+                ),
+            ),
         )
     labeled = label_pages(df, policy, exact_domain=cfg.exact_domain)
     labeled = labeled.withColumnRenamed("keep", "_robots_keep").withColumnRenamed(
