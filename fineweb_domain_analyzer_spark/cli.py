@@ -67,12 +67,19 @@ def warc_to_json(spark, args) -> Path:
     # — 'data.warc.gz' → 'data.warc.jsonl', 'data.warc' → 'data.jsonl'
     stem = Path(args.input).stem
     target = out_dir / f"{stem}.jsonl"
-    # one distributed pass; small outputs coalesce to a single file so
-    # the artifact matches the reference's single-jsonl shape
+    # parse + JSON-encode fully in parallel (one file per task via
+    # read_warc's repartition), then concatenate part files driver-side
+    # into the reference's single-jsonl shape — a coalesce(1) here
+    # would collapse the whole parse into ONE task, serializing every
+    # shard (same pattern filter_content uses)
     tmp = str(target) + "_spark"
-    df.coalesce(1).write.mode("overwrite").json(tmp)
-    part = glob.glob(os.path.join(tmp, "part-*"))[0]
-    os.replace(part, target)
+    df.write.mode("overwrite").json(tmp)
+    with open(target, "wb") as out_f:
+        for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):
+            with open(part, "rb") as in_f:
+                for line in in_f:
+                    if line.strip():
+                        out_f.write(line)
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)

@@ -153,15 +153,30 @@ def _default_fetcher(timeout: float):
 
         return fetch
     except ImportError:  # pragma: no cover
+        import time as _time
         import urllib.error
         import urllib.request
 
+        # mirror the requests path's Retry semantics exactly: statuses
+        # in the forcelist retry with backoff and RAISE once exhausted
+        # (urllib3 Retry's raise_on_status default) — so a persistent
+        # 503 is a connection failure (denied) under EITHER backend,
+        # while e.g. 403 returns immediately (allowed downstream)
+        RETRYABLE = {429, 500, 502, 503, 504}
+
         def fetch(url: str):
-            try:
-                with urllib.request.urlopen(url, timeout=timeout) as resp:
-                    return resp.status, resp.read().decode("utf-8", "ignore")
-            except urllib.error.HTTPError as e:
-                return e.code, ""
+            last_exc: Exception | None = None
+            for attempt in range(4):  # total=3 retries + first try
+                if attempt:
+                    _time.sleep(min(2 ** (attempt - 1), 4))  # backoff_factor=1
+                try:
+                    with urllib.request.urlopen(url, timeout=timeout) as resp:
+                        return resp.status, resp.read().decode("utf-8", "ignore")
+                except urllib.error.HTTPError as e:
+                    if e.code not in RETRYABLE:
+                        return e.code, ""
+                    last_exc = e
+            raise ConnectionError(f"retries exhausted: {last_exc}")
 
         return fetch
 
@@ -172,8 +187,14 @@ def _check_domain(domain: str, fetch, protocols=("https", "http")) -> tuple:
 
     * 200 on either protocol  → content (parse downstream)
     * 404 on either protocol  → no content, no error (allowed)
-    * other status            → try next protocol; exhausted → allowed
-    * exception on LAST proto → error recorded (denied downstream)
+    * other NON-RETRYABLE status (e.g. 403) → try next protocol;
+      exhausted → allowed (the reference's loop falls through with the
+      default-allow result)
+    * retryable status (429/5xx) exhausting its retries, or a
+      connection failure, surfaces as an exception from ``fetch``; on
+      the LAST protocol that records the error (denied downstream) —
+      both default fetcher backends implement the same
+      raise-on-exhausted-retry semantics
     """
     err = None
     for proto in protocols:

@@ -129,11 +129,13 @@ def with_langid(
     # 1 << (16 * lang_index) to a packed long (isin compiles to an
     # InSet hash probe), and the counts unpack as 16-bit fields — ~25%
     # cheaper than one filter() pass per language (measured 2.9 s vs
-    # 3.9 s per 1.2M docs). 16 bits per language caps at 65,535
-    # stopword hits per doc per language (~130k+ words of pure
-    # stopwords) — beyond Gopher's max_words bound; an overflowing doc
-    # would bleed carries into the next language's count.
+    # 3.9 s per 1.2M docs). 16 bits per language caps at 65,535 hits
+    # per doc per language, so docs with ≥ 65,536 TOKENS (which could
+    # carry into the neighboring field) take the per-language filter()
+    # path instead — F.when evaluates it only on those rows, so the
+    # fast path's cost is unchanged and monster docs stay correct.
     langs = list(LANG_STOPWORDS)
+    assert len(langs) <= 4, "packed langid fields: 4 × 16-bit max in a long"
 
     def _enc(t):
         e = F.lit(0).cast("long")
@@ -143,13 +145,20 @@ def with_langid(
             ).otherwise(F.lit(0).cast("long"))
         return e
 
+    small = F.size(toks) < 65536
     df = df.withColumn(
         "_li_packed",
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + _enc(t)),
+        F.when(
+            small,
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + _enc(t)),
+        ),
     )
     cjk_ratio = cjk_char_count(text) / F.greatest(F.length(text), F.lit(1))
     hits = {
-        lang: F.shiftright(F.col("_li_packed"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+        lang: F.when(
+            small,
+            F.shiftright(F.col("_li_packed"), 16 * i).bitwiseAND(F.lit(0xFFFF)),
+        ).otherwise(langid_hits_from_tokens(toks, lang))
         for i, lang in enumerate(langs)
     }
     df = df.withColumn(out_col, langid_from_hits(hits, cjk_ratio))

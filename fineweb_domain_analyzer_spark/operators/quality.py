@@ -74,14 +74,14 @@ def with_quality_features(
         lower_tokens_col = "_qf_lw"
         drop_cols.append("_qf_lw")
     lw = F.col(lower_tokens_col)
-    # word_count and mean_word_len both read the LOWERCASED token array:
-    # whitespace-splitting commutes with lower() (same token count) and
-    # lowercasing is length-preserving for web text (the rare Unicode
-    # exceptions, e.g. İ, shift mean_word_len by <1 char on affected
-    # rows — acceptable for a heuristic), so the original-case tokenize
-    # pass is pure waste: dropping it + the per-token length aggregate
-    # (length(array_join) does the sum in one JVM string scan) saves
-    # ~1s/1.2M docs of the feature stage
+    # word_count and mean_word_len both read the LOWERCASED token array
+    # (whitespace-splitting commutes with lower(), so token counts are
+    # identical, and the q13 oracle sums lowercase token lengths too —
+    # both sides use the same formulation, so parity holds even on the
+    # rare Unicode chars whose lowercase changes length). This drops
+    # the original-case tokenize pass, and length(array_join) does the
+    # length sum in one JVM string scan instead of a per-token
+    # aggregate: ~1s/1.2M docs off the feature stage.
     df = df.withColumn(
         "_qf_n",
         F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(lw)),

@@ -232,3 +232,14 @@ def test_bigram_perplexity_properties(spark):
     assert 3 not in got  # no bigrams
     assert got[1] == 1.0  # fully predictable
     assert got[2] > 1.0 and got[4] > 1.0
+
+
+def test_langid_monster_doc_no_packed_overflow(spark):
+    """A doc with >= 65,536 tokens must take the per-language fallback
+    path: without it the packed 16-bit 'en' counter wraps to 0 and the
+    carry bleeds into the next language's field (code-review r2)."""
+    from fineweb_domain_analyzer_spark.functions.textfns import with_langid
+
+    text = "the " * 70_000
+    df = spark.createDataFrame([("u", text.strip())], "url string, text string")
+    assert with_langid(df).collect()[0]["langid"] == "en"

@@ -194,3 +194,37 @@ def test_cli_fetch_live_end_to_end(spark, tmp_path):
     assert results["missing.com"]["crawl_allowed"] is True
     out = json.loads((tmp_path / "robots_check_20250101_000000.json").read_text())
     assert out["results"]["denyall.com"]["robots_exists"] is True
+
+
+def test_urllib_fallback_fetcher_matches_requests_retry_semantics(monkeypatch):
+    """With requests absent, the urllib fallback must RAISE after
+    exhausting retries on 429/5xx (denied downstream, like the requests
+    path's Retry) and return non-retryable statuses immediately."""
+    import sys
+    import time as time_mod
+    import urllib.error
+    import urllib.request
+
+    import fineweb_domain_analyzer_spark.functions.robots as robots_mod
+
+    monkeypatch.setitem(sys.modules, "requests", None)  # force ImportError
+    monkeypatch.setattr(time_mod, "sleep", lambda s: None)
+    calls = {"n": 0}
+
+    def fake_urlopen(url, timeout=None):
+        calls["n"] += 1
+        code = 503 if "flaky503" in url else 403
+        raise urllib.error.HTTPError(url, code, "boom", {}, None)
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    fetch = robots_mod._default_fetcher(timeout=1)
+    # non-retryable: one attempt, returned as a status
+    assert fetch("https://forbidden.example/robots.txt") == (403, "")
+    assert calls["n"] == 1
+    # retryable: 4 attempts then ConnectionError
+    calls["n"] = 0
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectionError):
+        fetch("https://flaky503.example/robots.txt")
+    assert calls["n"] == 4
