@@ -256,6 +256,35 @@ def deterministic_centroids(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """REAL k-means centroids via pyspark.ml (Lloyd's, distributed,
+    seeded) — the production IVF "training" step. Returns the same
+    (centroid_id, centroid_vec) shape as deterministic_centroids, so
+    the assignment/search plans are interchangeable. Not
+    oracle-checkable (k-means has no single-statement SQL mirror), so
+    the driver queries keep the deterministic variant; the recall bench
+    measures this one."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    spark = vectors.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(
+        rows, "centroid_id int, centroid_vec array<double>"
+    )
+
+
 def assign_ivf_cluster(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -279,6 +308,27 @@ def assign_ivf_cluster(
     )
 
 
+def assign_ivf_clusters_topn(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cluster_id) with one row per probed cluster — the
+    nprobe nearest centroids by cosine. nprobe=1 degenerates to
+    assign_ivf_cluster."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cc", F.round(cosine(F.col(vec_col), F.col("centroid_vec")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cc").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("cluster_id"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -286,22 +336,33 @@ def ivf_topk(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF ANN: score only candidates in the query's cluster (nprobe=1).
+    """IVF ANN: score only candidates in the query's nprobe nearest
+    cluster(s).
 
     The scale path: the candidate table is partitioned by cluster_id
     once (in production: written bucketed/partitioned by cluster so the
     probe is a partition-pruned scan), queries are broadcast, and each
-    query touches |corpus| / n_centroids candidates. Approximate —
-    recall vs brute force is reported by the bench. Output:
+    query touches nprobe × |corpus| / n_centroids candidates.
+    Approximate — recall vs brute force is reported by the bench.
+    ``centroids_df`` accepts real k-means centroids (kmeans_centroids);
+    default is the deterministic oracle-checkable set. Output:
     (query_id, neighbor_id, cos, rk)."""
-    centroids = deterministic_centroids(candidates, n_centroids, id_col, vec_col)
+    centroids = (
+        centroids_df
+        if centroids_df is not None
+        else deterministic_centroids(candidates, n_centroids, id_col, vec_col)
+    )
     cand = assign_ivf_cluster(candidates, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         "cluster_id",
     )
-    qry = assign_ivf_cluster(queries, centroids, id_col, vec_col).select(
+    qry = assign_ivf_clusters_topn(
+        queries, centroids, nprobe, id_col, vec_col
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         "cluster_id",

