@@ -106,6 +106,19 @@ def _run_pipeline(spark) -> dict:
     t0 = time.time()
     write_pipeline_output(quality_filter_pipeline(pages, policy), out_dir)
     wsec = time.time() - t0
+    # JVM-only variant: exact_domain=False swaps the urlparse-parity
+    # Arrow UDF for the staged SQL domain path — the whole pipeline
+    # becomes one UDF-free codegen stage. Quantifies the byte-parity
+    # tax and the throughput available when strict reference parity
+    # isn't required (labels are identical on well-formed URLs).
+    from fineweb_domain_analyzer_spark.plans.pipeline import PipelineConfig
+
+    jvm_cfg = PipelineConfig(exact_domain=False)
+    jvm = quality_filter_pipeline(pages, policy, jvm_cfg)
+    filter_stats(jvm).collect()  # warm
+    t0 = time.time()
+    jstats = filter_stats(quality_filter_pipeline(pages, policy, jvm_cfg)).collect()[0]
+    jsec = time.time() - t0
     return {
         "docs": int(docs),
         "sec": round(sec, 3),
@@ -113,6 +126,8 @@ def _run_pipeline(spark) -> dict:
         "kept": int(stats["filtered_kept"]),
         "write_sec": round(wsec, 3),
         "write_docs_per_sec": round(docs / wsec, 1),
+        "jvm_only_sec": round(jsec, 3),
+        "jvm_only_docs_per_sec": round(int(jstats["total_processed"]) / jsec, 1),
     }
 
 
