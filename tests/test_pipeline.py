@@ -256,3 +256,28 @@ def test_iceberg_checkpointer_fallback_branch(tmp_path):
     cp.mark_processed("s1")
     assert cp.processed_splits() == {"s1"}
     assert (tmp_path / "manifest.json").exists()
+
+
+def test_jvm_domain_path_labels_match_exact_udf(spark, pages, policy):
+    """exact_domain=False (staged SQL domain) must produce the same
+    keep/drop_reason labels as the urlparse-parity Arrow UDF on
+    well-formed URLs — the equivalence the bench's jvm_only_* metric
+    relies on."""
+    from fineweb_domain_analyzer_spark.plans.pipeline import (
+        PipelineConfig,
+        quality_filter_pipeline,
+    )
+
+    exact = {
+        r["url"]: (r["keep"], r["drop_reason"])
+        for r in quality_filter_pipeline(pages, policy).select(
+            "url", "keep", "drop_reason"
+        ).collect()
+    }
+    jvm = {
+        r["url"]: (r["keep"], r["drop_reason"])
+        for r in quality_filter_pipeline(
+            pages, policy, PipelineConfig(exact_domain=False)
+        ).select("url", "keep", "drop_reason").collect()
+    }
+    assert exact == jvm
