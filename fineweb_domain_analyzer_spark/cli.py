@@ -59,6 +59,30 @@ def _iso(args) -> str:
     return args.run_iso or datetime.now().isoformat()
 
 
+def _concat_parts(parts, target, count_lines: bool = False) -> int:
+    """Concatenate Spark part files into one artifact file driver-side.
+
+    With count_lines, iterates lines and counts the non-blank ones
+    (filter_content's stats contract); otherwise block-copies each part
+    (shutil.copyfileobj — Spark writers never emit blank lines, so the
+    fast path loses nothing). Returns the non-blank line count, or -1
+    when not counting."""
+    import shutil
+
+    n = 0
+    with open(target, "wb") as out_f:
+        for p in parts:
+            with open(p, "rb") as in_f:
+                if count_lines:
+                    for line in in_f:
+                        if line.strip():
+                            out_f.write(line)
+                            n += 1
+                else:
+                    shutil.copyfileobj(in_f, out_f)
+    return n if count_lines else -1
+
+
 def warc_to_json(spark, args) -> Path:
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -74,12 +98,7 @@ def warc_to_json(spark, args) -> Path:
     # shard (same pattern filter_content uses)
     tmp = str(target) + "_spark"
     df.write.mode("overwrite").json(tmp)
-    with open(target, "wb") as out_f:
-        for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):
-            with open(part, "rb") as in_f:
-                for line in in_f:
-                    if line.strip():
-                        out_f.write(line)
+    _concat_parts(sorted(glob.glob(os.path.join(tmp, "part-*"))), target)
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
@@ -282,15 +301,9 @@ def filter_content(spark, args, robots_results: dict | None = None, jsonl_path=N
         import shutil
 
         for flag, target in (("true", filtered_file), ("false", excluded_file)):
-            n = 0
-            with open(target, "wb") as out_f:
-                for p in _part_files(flag):
-                    with open(p, "rb") as in_f:
-                        for line in in_f:
-                            if line.strip():
-                                out_f.write(line)
-                                n += 1
-            counts[flag] = n
+            counts[flag] = _concat_parts(
+                _part_files(flag), target, count_lines=True
+            )
         shutil.rmtree(part_root, ignore_errors=True)
     kept_n, excl_n = counts.get("true", 0), counts.get("false", 0)
     total = kept_n + excl_n

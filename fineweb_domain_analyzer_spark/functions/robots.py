@@ -157,11 +157,12 @@ def _default_fetcher(timeout: float):
         import urllib.error
         import urllib.request
 
-        # mirror the requests path's Retry semantics exactly: statuses
-        # in the forcelist retry with backoff and RAISE once exhausted
-        # (urllib3 Retry's raise_on_status default) — so a persistent
-        # 503 is a connection failure (denied) under EITHER backend,
-        # while e.g. 403 returns immediately (allowed downstream)
+        # mirror the requests path's Retry semantics: forcelist statuses
+        # AND connection-level failures (URLError / timeout) retry with
+        # backoff and RAISE once exhausted (urllib3 Retry also retries
+        # connect/read errors) — so a persistent 503 or flaky TLS is a
+        # connection failure (denied) under EITHER backend, while e.g.
+        # 403 returns immediately (allowed downstream)
         RETRYABLE = {429, 500, 502, 503, 504}
 
         def fetch(url: str):
@@ -175,6 +176,8 @@ def _default_fetcher(timeout: float):
                 except urllib.error.HTTPError as e:
                     if e.code not in RETRYABLE:
                         return e.code, ""
+                    last_exc = e
+                except Exception as e:  # URLError, socket.timeout, ...
                     last_exc = e
             raise ConnectionError(f"retries exhausted: {last_exc}")
 

@@ -186,6 +186,10 @@ def lsh_candidate_pairs(
     (xxhash64, the production/scale choice — same plan, cheaper map
     stage; BENCH/minhash_family.json quantifies the gap).
     """
+    if hash_family not in ("md5", "xx"):
+        raise ValueError(
+            f"hash_family must be 'md5' or 'xx', got {hash_family!r}"
+        )
     rows_per_band = k // bands
     # tokens staged in their own projection — see word_shingles_from_tokens
     shingled = docs.select(

@@ -74,14 +74,16 @@ def with_quality_features(
         lower_tokens_col = "_qf_lw"
         drop_cols.append("_qf_lw")
     lw = F.col(lower_tokens_col)
-    # word_count and mean_word_len both read the LOWERCASED token array
-    # (whitespace-splitting commutes with lower(), so token counts are
-    # identical, and the q13 oracle sums lowercase token lengths too —
-    # both sides use the same formulation, so parity holds even on the
-    # rare Unicode chars whose lowercase changes length). This drops
-    # the original-case tokenize pass, and length(array_join) does the
-    # length sum in one JVM string scan instead of a per-token
-    # aggregate: ~1s/1.2M docs off the feature stage.
+    # word_count reads the LOWERCASED token array (whitespace-splitting
+    # commutes with lower(), so token counts are identical), dropping
+    # the original-case tokenize pass; mean_word_len's length sum is
+    # length(whitespace-stripped ORIGINAL text) — one regex scan, same
+    # cost as summing the array, and deliberately case-mapping-free:
+    # Spark (Java full case mapping) and DuckDB (utf8proc simple
+    # mapping) lowercase chars like U+0130 to different lengths, so any
+    # lower()-based sum would break oracle parity on such text.
+    # Together ~1s/1.2M docs off the feature stage vs the original
+    # tokenize + per-token aggregate.
     df = df.withColumn(
         "_qf_n",
         F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(lw)),
@@ -130,7 +132,9 @@ def with_quality_features(
         df.withColumn("word_count", n)
         .withColumn(
             "mean_word_len",
-            F.round(F.length(F.array_join(lw, "")) / n1, 4),
+            F.round(
+                F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / n1, 4
+            ),
         )
         .withColumn(
             "symbol_ratio",

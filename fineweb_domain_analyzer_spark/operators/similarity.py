@@ -292,20 +292,10 @@ def assign_ivf_cluster(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, vec, cluster_id): nearest centroid by cosine, ties → lowest
-    centroid id. Centroids are broadcast; the argmax is a per-row window
-    over |centroids| scored rows — at scale this is one map stage plus a
-    window keyed by the (uniformly distributed) vector id."""
-    # rounded to 6dp so near-tie assignments resolve identically in any
-    # engine (ties then break on centroid_id, deterministic everywhere)
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "_cc", F.round(cosine(F.col(vec_col), F.col("centroid_vec")), 6)
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cc").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("cluster_id"))
-    )
+    centroid id. The nprobe=1 case of assign_ivf_clusters_topn (single
+    source of truth for the scoring + 6dp-round + tie-break logic, which
+    the q32 oracle mirrors exactly)."""
+    return assign_ivf_clusters_topn(vectors, centroids, 1, id_col, vec_col)
 
 
 def assign_ivf_clusters_topn(

@@ -492,7 +492,7 @@ _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
 Q13_SQL = f"""
 SELECT doc_id,
   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END AS word_count,
-  round(list_sum(list_transform({TOKS_SQL}, w -> length(w)))::DOUBLE
+  round(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
         / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END, 1), 4) AS mean_word_len,
   round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
         / greatest(length(text), 1), 4) AS symbol_ratio,

@@ -197,9 +197,13 @@ def read_warc(
     # selected — this scan is a listing, not a read
     files = spark.read.format("binaryFile").load(path).select("path")
     n_files = files.count()  # one cheap listing-only job
-    # round-robin so every file gets its own task (the listing often
-    # arrives as a single tiny partition)
-    files = files.repartition(max(n_files, 1))
+    # range-partition on path so every file deterministically gets its
+    # own task. Plain repartition(n) round-robins from a RANDOM start
+    # per input partition, and with the one-row-per-partition listing
+    # that large (non-splittable) shards produce, balls-into-bins
+    # leaves ~1/e of tasks empty and others with 2-3 shards — straggler
+    # wall-clock at the 100k-shard scale this source targets.
+    files = files.repartitionByRange(max(n_files, 1), "path")
     names = [f.name for f in WARC_RECORD.fields]
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
