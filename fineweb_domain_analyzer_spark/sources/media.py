@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -70,8 +71,52 @@ def sniff_format(payload: bytes | None) -> str | None:
 
 def _decode_image(payload: bytes) -> tuple[int, int]:
     """STUB: real impl returns (width, height) via PIL.Image.open.
-    Raises until a codec library is wired in."""
+    Raises until a codec library is wired in. (Header-level dimension
+    extraction — which needs no codec — is parse_image_dims below.)"""
     raise NotImplementedError("image decode requires PIL; not available here")
+
+
+def parse_image_dims(payload: bytes | None) -> tuple[int | None, int | None]:
+    """(width, height) from the container HEADER — pure byte-format
+    parsing per the public PNG/GIF/JPEG specs, no codec library:
+
+    * PNG: IHDR chunk — width/height big-endian u32 at offsets 16/20
+    * GIF: logical screen descriptor — little-endian u16 at 6/8
+    * JPEG: scan markers for SOF0-SOF15 (skipping non-frame markers);
+      height/width big-endian u16 at +5/+7 inside the SOF segment
+
+    Pixel decoding stays stubbed (_decode_image); header dims are all
+    a curation pipeline needs for resize/aspect/size filters.
+    """
+    import struct
+
+    if payload is None or len(payload) < 10:
+        return (None, None)
+    if payload[:4] == b"\x89PNG" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return (w, h)
+    if payload[:4] in (b"GIF8",) and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return (w, h)
+    if payload[:3] == b"\xff\xd8\xff":
+        i = 2
+        n = len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            # SOF0..SOF15 except DHT(C4)/DAC(CC)/RST
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return (w, h)
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return (None, None)
+    return (None, None)
 
 
 def _fake_feature_vec(payload: bytes, dim: int = 8) -> list[float]:
@@ -91,6 +136,9 @@ def extract_media_features(assets: DataFrame, feature_dim: int = 8) -> DataFrame
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            dims = pdf["payload"].map(
+                lambda p: parse_image_dims(None if p is None else bytes(p))
+            )
             out = {
                 "asset_id": pdf["asset_id"],
                 "media_type": pdf["media_type"],
@@ -98,8 +146,10 @@ def extract_media_features(assets: DataFrame, feature_dim: int = 8) -> DataFrame
                 "sniffed_format": pdf["payload"].map(
                     lambda p: sniff_format(None if p is None else bytes(p))
                 ),
-                "width": pd.Series([None] * len(pdf), dtype="object"),
-                "height": pd.Series([None] * len(pdf), dtype="object"),
+                # header-level dims (real, codec-free); pixel decode
+                # stays stubbed in _decode_image
+                "width": dims.map(lambda d: d[0]),
+                "height": dims.map(lambda d: d[1]),
                 "n_frames": pd.Series([None] * len(pdf), dtype="object"),
                 "feature_vec": pdf["payload"].map(
                     lambda p: None if p is None else _fake_feature_vec(bytes(p), feature_dim)
@@ -110,20 +160,82 @@ def extract_media_features(assets: DataFrame, feature_dim: int = 8) -> DataFrame
     return assets.mapInPandas(_extract, MEDIA_FEATURES)
 
 
+def sample_video_frames(
+    assets: DataFrame, frame_bytes: int = 16, max_frames: int = 8
+) -> DataFrame:
+    """Video frame sampling — one output row per sampled frame
+    (asset_id, frame_idx, frame_payload). The one-to-many mapInPandas
+    shape (explode inside the Python worker, bounded by max_frames) is
+    the real plumbing; "frames" here are deterministic payload slices —
+    a real deployment swaps the slicer for ffmpeg/pyav keyframe
+    extraction, nothing else changes."""
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_payload", BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                n_frames = min(max(len(b) // frame_bytes, 1), max_frames)
+                for j in range(n_frames):
+                    ids.append(aid)
+                    idxs.append(j)
+                    frames.append(b[j * frame_bytes : (j + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return assets.mapInPandas(_sample, schema)
+
+
 def synth_media_assets(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake assets (payload = seeded bytes with real magic
-    prefixes) for tests/benchmarks."""
+    """Deterministic fake assets for tests/benchmarks. Image payloads
+    carry REAL container headers (PNG IHDR / GIF screen descriptor /
+    JPEG SOF0) with known dimensions so the header-dim parser is
+    exercised end-to-end; bodies are seeded random bytes."""
+    import struct
+
     rows = []
-    magics = [b"\xff\xd8\xff", b"\x89PNG", b"GIF8", b"RIFF", b"ID3"]
-    types = ["image", "image", "image", "audio", "audio"]
     for i in range(n):
-        m = i % len(magics)
-        payload = magics[m] + hashlib.md5(f"{seed}:{i}".encode()).digest() * 4
+        m = i % 5
+        w, h = 16 + (i % 7) * 10, 9 + (i % 5) * 12
+        body = hashlib.md5(f"{seed}:{i}".encode()).digest() * 4
+        if m == 0:  # jpeg: SOI + APP0 + SOF0(h, w)
+            payload = (
+                b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+                + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+                + body
+            )
+            mtype = "image"
+        elif m == 1:  # png: signature + IHDR len/type + w/h
+            payload = (
+                b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + body
+            )
+            mtype = "image"
+        elif m == 2:  # gif: header + logical screen w/h (LE)
+            payload = b"GIF89a" + struct.pack("<HH", w, h) + body
+            mtype = "image"
+        elif m == 3:
+            payload = b"RIFF" + body
+            mtype = "audio"
+        else:
+            payload = b"ID3" + body
+            mtype = "video" if i % 10 == 9 else "audio"
         rows.append(
             (
                 i,
                 f"https://media.example.com/a/{i}",
-                types[m],
+                mtype,
                 payload,
                 len(payload),
                 hashlib.md5(payload).hexdigest(),
