@@ -1429,6 +1429,47 @@ FROM documents
 """
 
 
+def q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL media feature path (sources/media.py
+    extract_media_features — Arrow mapInPandas, magic sniff, md5-seeded
+    feature vec) over text payloads cast to binary, oracle-checked:
+    DuckDB reproduces the md5-byte embedding from the hex digest. The
+    one Python-crossing operator with a value-level oracle."""
+    from fineweb_domain_analyzer_spark.sources.media import (
+        extract_media_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    feats = extract_media_features(assets, feature_dim=8)
+    return feats.select(
+        "asset_id",
+        "byte_len",
+        "sniffed_format",
+        F.concat_ws(
+            ",", F.transform(F.col("feature_vec"), lambda x: x.cast("string"))
+        ).alias("fv"),
+    )
+
+
+Q42_SQL = """
+SELECT doc_id AS asset_id,
+       strlen(text)::BIGINT AS byte_len,
+       'unknown' AS sniffed_format,  -- utf-8 text never carries a media magic prefix
+       array_to_string(
+         list_transform(range(0, 8),
+           i -> CAST(round(
+                  ('0x' || substr(md5(text), i * 2 + 1, 2))::INT / 255.0,
+                  6) AS FLOAT)::VARCHAR),
+         ',') AS fv
+FROM documents WHERE doc_id < 300
+"""
+
+
 def q28_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: the reference's global filter metrics over the flagship
     labels (total/kept/excluded/keep_ratio)."""
@@ -1520,6 +1561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_bigram_perplexity": q39_bigram_perplexity,
     "q40_simhash_candidates": q40_simhash_candidates,
     "q41_dedup_keep_canonical": q41_dedup_keep_canonical,
+    "q42_media_features": q42_media_features,
 }
 
 
@@ -1563,4 +1605,5 @@ def oracle_sql() -> dict[str, str]:
         "q39_bigram_perplexity": Q39_SQL,
         "q40_simhash_candidates": _q40_sql(),
         "q41_dedup_keep_canonical": Q41_SQL,
+        "q42_media_features": Q42_SQL,
     }
