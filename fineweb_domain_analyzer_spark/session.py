@@ -32,7 +32,12 @@ DEFAULT_CONFS: dict[str, str] = {
     # Parquet scans: 128 MiB splits keep task count sane at 100 TB.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local mode runs ALL task threads in the driver JVM, so this is the
+    # whole cluster's heap: 32 threads × token-array-heavy stages OOM'd
+    # at 8g on a 9.6M-doc input. On a real cluster this conf is the
+    # (small) driver only and spark-submit sizes executor memory; Xmx
+    # is reserved lazily, so a generous local default costs nothing.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }
 
 
