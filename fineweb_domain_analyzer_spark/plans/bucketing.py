@@ -64,11 +64,18 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
 
 
 def n_exchanges(df: DataFrame) -> int:
-    """Count shuffle Exchange operators in the physical plan (the
-    metric bucketing exists to drive to zero)."""
+    """Count SHUFFLE Exchange operators in the physical plan (the metric
+    bucketing exists to drive to zero). Counts every ``Exchange``
+    variant — hash, range, AND SinglePartition (global aggregates) —
+    while deliberately excluding BroadcastExchange (no fact-side
+    shuffle) and ReusedExchange (no new work). Under AQE the initial
+    plan is inspected; assertions that must pin a non-broadcast shape
+    should disable AQE around the check (see tests)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line
-    )
+    n = 0
+    for line in plan.splitlines():
+        if "BroadcastExchange" in line or "ReusedExchange" in line:
+            continue
+        if "Exchange" in line:
+            n += 1
+    return n

@@ -1456,10 +1456,19 @@ def q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the sniff CASE mirrors sources/media.py _MAGIC in declaration order
+# for every prefix representable in valid UTF-8 text (jpeg/png magics
+# contain bare continuation bytes and cannot occur); NULL text keeps
+# Spark's byte_len-0 / sniffed-NULL shape via the coalesce + CASE
 Q42_SQL = """
 SELECT doc_id AS asset_id,
-       strlen(text)::BIGINT AS byte_len,
-       'unknown' AS sniffed_format,  -- utf-8 text never carries a media magic prefix
+       coalesce(strlen(text), 0)::BIGINT AS byte_len,
+       CASE WHEN text IS NULL THEN NULL
+            WHEN starts_with(text, 'GIF8') THEN 'gif'
+            WHEN starts_with(text, 'RIFF') THEN 'riff'
+            WHEN starts_with(text, 'ID3') THEN 'mp3'
+            WHEN starts_with(text, chr(0) || chr(0) || chr(0)) THEN 'mp4-ish'
+            ELSE 'unknown' END AS sniffed_format,
        array_to_string(
          list_transform(range(0, 8),
            i -> CAST(round(

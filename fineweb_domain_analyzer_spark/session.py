@@ -36,13 +36,31 @@ DEFAULT_CONFS: dict[str, str] = {
     # — at 100 TB that is both the cheaper storage and the faster job.
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.shuffle.partitions": "32",
-    # local mode runs ALL task threads in the driver JVM, so this is the
-    # whole cluster's heap: 32 threads × token-array-heavy stages OOM'd
-    # at 8g on a 9.6M-doc input. On a real cluster this conf is the
-    # (small) driver only and spark-submit sizes executor memory; Xmx
-    # is reserved lazily, so a generous local default costs nothing.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    # (driver memory is set below — derived from host RAM, env-overridable)
 }
+
+
+def _default_driver_mem() -> str:
+    """Local mode runs ALL task threads in the driver JVM, so this conf
+    is the whole cluster's heap: 32 threads × token-array-heavy stages
+    OOM'd at 8g on a 9.6M-doc input, while a fixed large Xmx on a small
+    host risks the kernel OOM-killer instead of Spark-managed spill.
+    Default: half of physical RAM, clamped to [4g, 24g]; override with
+    SPARK_GRAFT_DRIVER_MEM. On a real cluster this conf is the (small)
+    driver only and spark-submit sizes executor memory."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo", encoding="ascii") as f:
+            total_kb = int(f.readline().split()[1])
+        half_g = total_kb // (2 * 1024 * 1024)
+        return f"{min(max(half_g, 4), 24)}g"
+    except Exception:  # non-Linux / unreadable — conservative fallback
+        return "8g"
+
+
+DEFAULT_CONFS["spark.driver.memory"] = _default_driver_mem()
 
 
 def get_spark_owned(

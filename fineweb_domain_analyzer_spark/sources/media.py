@@ -90,26 +90,36 @@ def parse_image_dims(payload: bytes | None) -> tuple[int | None, int | None]:
     """
     import struct
 
+    def _valid(w: int, h: int) -> tuple[int | None, int | None]:
+        # PNG caps dims at 2^31-1; anything larger is corrupt/adversarial
+        # and would also overflow the IntegerType feature columns
+        if 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF:
+            return (w, h)
+        return (None, None)
+
     if payload is None or len(payload) < 10:
         return (None, None)
     if payload[:4] == b"\x89PNG" and len(payload) >= 24:
         w, h = struct.unpack(">II", payload[16:24])
-        return (w, h)
+        return _valid(w, h)
     if payload[:4] in (b"GIF8",) and len(payload) >= 10:
         w, h = struct.unpack("<HH", payload[6:10])
-        return (w, h)
+        return _valid(w, h)
     if payload[:3] == b"\xff\xd8\xff":
         i = 2
         n = len(payload)
-        while i + 9 < n:
+        while i + 9 <= n:
             if payload[i] != 0xFF:
                 i += 1
                 continue
             marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte — any number may pad a marker
+                i += 1
+                continue
             # SOF0..SOF15 except DHT(C4)/DAC(CC)/RST
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
-                return (w, h)
+                return _valid(w, h)
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue

@@ -45,10 +45,11 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
     """Equi-join of two same-bucketed tables: co-located, zero shuffle.
     AQE is disabled for the assertion because it can re-plan the tiny
     side as a broadcast (also shuffle-free, but not what we're pinning)."""
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         pages = read_bucketed(spark, bucketed_tables[0])
         policy = read_bucketed(spark, bucketed_tables[1])
         joined = pages.join(policy, "domain")
@@ -56,7 +57,7 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         assert joined.count() == 2000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
 def test_unbucketed_baseline_does_shuffle(spark):
