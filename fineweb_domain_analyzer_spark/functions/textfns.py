@@ -129,11 +129,13 @@ def with_langid(
     # 1 << (16 * lang_index) to a packed long (isin compiles to an
     # InSet hash probe), and the counts unpack as 16-bit fields — ~25%
     # cheaper than one filter() pass per language (measured 2.9 s vs
-    # 3.9 s per 1.2M docs). 16 bits per language caps at 65,535 hits
-    # per doc per language, so docs with ≥ 65,536 TOKENS (which could
-    # carry into the neighboring field) take the per-language filter()
-    # path instead — F.when evaluates it only on those rows, so the
-    # fast path's cost is unchanged and monster docs stay correct.
+    # 3.9 s per 1.2M docs). The fast path is gated to docs with
+    # < 32,768 tokens: per-field hit counts then max at 32,767, so no
+    # field carries into its neighbor AND the top field stays below
+    # 32767 << 48 < 2^63 — the packed sum can never overflow a signed
+    # long (ANSI mode throws on overflow at COMPUTE time, so the sum
+    # must also only be computed on that branch: CaseWhen evaluates
+    # branches lazily per row, making the gate itself the protection).
     langs = list(LANG_STOPWORDS)
     assert len(langs) <= 4, "packed langid fields: 4 × 16-bit max in a long"
 
@@ -145,12 +147,13 @@ def with_langid(
             ).otherwise(F.lit(0).cast("long"))
         return e
 
-    small = F.size(toks) < 65536
-    # packed counts computed unconditionally (a >=65536-token doc may
-    # overflow a field, but its value is only READ on the small branch)
+    small = F.size(toks) < 32768
     df = df.withColumn(
         "_li_packed",
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + _enc(t)),
+        F.when(
+            small,
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + _enc(t)),
+        ).otherwise(F.lit(0).cast("long")),
     )
     cjk_ratio = cjk_char_count(text) / F.greatest(F.length(text), F.lit(1))
     # hit counts STAGED as columns: langid_from_hits references each

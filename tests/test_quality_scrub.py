@@ -235,11 +235,22 @@ def test_bigram_perplexity_properties(spark):
 
 
 def test_langid_monster_doc_no_packed_overflow(spark):
-    """A doc with >= 65,536 tokens must take the per-language fallback
-    path: without it the packed 16-bit 'en' counter wraps to 0 and the
-    carry bleeds into the next language's field (code-review r2)."""
+    """Docs at or past the 32,768-token fast-path guard must take the
+    per-language fallback path. Two distinct hazards (ADVICE r2):
+    field carry (packed 16-bit counter wraps into the neighbor field)
+    and ANSI long overflow — 33k hits on the TOP language's field
+    ('es', bits 48-63) pushes the packed sum past 2^63, which under
+    Spark 4's default ANSI mode throws at COMPUTE time, so the packed
+    aggregate must be gated inside the CaseWhen, not just unread."""
     from fineweb_domain_analyzer_spark.functions.textfns import with_langid
 
-    text = "the " * 70_000
-    df = spark.createDataFrame([("u", text.strip())], "url string, text string")
-    assert with_langid(df).collect()[0]["langid"] == "en"
+    rows = [
+        ("carry", ("the " * 70_000).strip(), "en"),
+        # 'el' is an es stopword; 33k hits lands in the top packed field
+        ("ansi-overflow", ("el " * 33_000).strip(), "es"),
+        # largest doc still on the fast path, all hits in the top field
+        ("fast-edge", ("el " * 32_767).strip(), "es"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, want string")
+    for r in with_langid(df).collect():
+        assert r["langid"] == r["want"], r["url"]
