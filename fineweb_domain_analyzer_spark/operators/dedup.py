@@ -448,28 +448,91 @@ def simhash64(text: Column) -> Column:
     return simhash64_from_hashes(token_xx64(text))
 
 
-def simhash_candidates(
+def simhash_bands(
+    sim: Column, bands: int = 4, total_bits: int = 64
+) -> Column:
+    """array<struct<band_id:int, band_val:bigint>> — contiguous
+    equal-width bit slices of a simhash signature.
+
+    Pigeonhole guarantee: two signatures within hamming distance
+    ``bands - 1`` differ in fewer bits than there are bands, so at
+    least one band is bit-identical and an equi-join on
+    (band_id, band_val) finds every pair in that hamming ball. Unlike
+    a fixed-prefix bucket scheme (whose bucket count is a constant
+    2^prefix_bits — in-bucket self-joins go quadratic at corpus
+    scale), the join-key space here is bands × 2^(total_bits/bands)
+    and the OBSERVED key count grows with corpus entropy, keeping
+    bucket sizes driven by true near-dup cluster density."""
+    width = total_bits // bands
+    mask = F.lit((1 << width) - 1).cast("long")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("band_id"),
+                F.shiftrightunsigned(sim.cast("long"), i * width)
+                .bitwiseAND(mask)
+                .alias("band_val"),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
+def simhash_banded_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    prefix_bits: int = 8,
+    bands: int = 4,
+    hash_family: str = "xx64",
+    max_hamming: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidates: docs sharing the top `prefix_bits` of their
-    16-bit simhash land in a bucket; pairs within a bucket are
-    candidates. (A production system rotates the signature to cover all
-    hamming balls; one rotation shown here, the others are unions of
-    the same plan.)"""
-    sh = docs.select(
-        F.col(id_col).alias("_id"), token_hex4(F.col(text_col)).alias("_hx")
-    ).select("_id", simhash16_from_hex(F.col("_hx")).alias("_sim"))
-    bucketed = sh.withColumn(
-        "_bucket", F.shiftright(F.col("_sim"), 16 - prefix_bits)
-    )
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    return (
+    """Near-dup candidate pairs via banded SimHash-LSH (replaces the
+    earlier fixed-prefix bucket scheme, whose 2^8 = 256 buckets made
+    the in-bucket self-join O(n²/256) — quadratic at web scale).
+
+    Plan shape mirrors MinHash-LSH (`lsh_candidate_pairs`): map
+    (signature) → explode bands → shuffle on (band_id, band_val) →
+    in-bucket self-join → distinct. Complete for hamming ≤ bands-1 by
+    pigeonhole (see `simhash_bands`).
+
+    ``hash_family``: "xx64" (64-bit xxhash64 signature, 4×16-bit
+    bands by default — the production/scale path) or "md5_16" (16-bit
+    engine-portable md5-vote signature, oracle-checked; use bands=2
+    for 8-bit bands).
+
+    ``max_hamming``: optionally drop candidate pairs whose full
+    signatures differ in more than this many bits (cheap verification
+    — one XOR + popcount per pair, no second pass over the text).
+
+    Output: (id_a, id_b, sim_a, sim_b, hamming), id_a < id_b, distinct.
+    """
+    if hash_family == "xx64":
+        sh = docs.select(
+            F.col(id_col).alias("_id"), token_xx64(F.col(text_col)).alias("_h")
+        ).select("_id", simhash64_from_hashes(F.col("_h")).alias("_sim"))
+        total_bits = 64
+    elif hash_family == "md5_16":
+        sh = docs.select(
+            F.col(id_col).alias("_id"), token_hex4(F.col(text_col)).alias("_h")
+        ).select(
+            "_id", simhash16_from_hex(F.col("_h")).cast("long").alias("_sim")
+        )
+        total_bits = 16
+    else:
+        raise ValueError(
+            f"hash_family must be 'xx64' or 'md5_16', got {hash_family!r}"
+        )
+    banded = sh.select(
+        "_id",
+        "_sim",
+        F.explode(simhash_bands(F.col("_sim"), bands, total_bits)).alias("b"),
+    ).select("_id", "_sim", "b.band_id", "b.band_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
         l.join(
             r,
-            (F.col("l._bucket") == F.col("r._bucket"))
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
             & (F.col("l._id") < F.col("r._id")),
         )
         .select(
@@ -478,4 +541,12 @@ def simhash_candidates(
             F.col("l._sim").alias("sim_a"),
             F.col("r._sim").alias("sim_b"),
         )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
     )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs

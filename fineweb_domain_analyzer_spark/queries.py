@@ -1338,12 +1338,18 @@ GROUP BY b.doc_id
 
 
 def q40_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidate pairs via prefix-bucket self-join
-    (operators/dedup.py simhash_candidates), over head docs ∪ mutated
-    copies so real near-dups exist. Bucketed equi-join — never
-    all-pairs; the oracle mirrors the 16-bit md5-vote signature
-    bit-for-bit."""
-    from fineweb_domain_analyzer_spark.operators.dedup import simhash_candidates
+    """SimHash near-dup candidate pairs via BANDED LSH self-join
+    (operators/dedup.py simhash_banded_candidates), over head docs ∪
+    mutated copies so real near-dups exist. The 16-bit signature is
+    split into 2×8-bit bands and pairs sharing any band are candidates
+    — complete for hamming ≤ 1 by pigeonhole, and the observed
+    join-key count grows with corpus entropy (unlike the earlier
+    fixed-256-bucket prefix scheme, which went quadratic in-bucket at
+    scale). The oracle mirrors the md5-vote signature bit-for-bit and
+    the band explode as a UNION ALL."""
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        simhash_banded_candidates,
+    )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     mutated = docs.select(
@@ -1351,7 +1357,7 @@ def q40_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" mutated tail")).alias("text"),
     )
     aug = docs.select("doc_id", "text").unionAll(mutated)
-    return simhash_candidates(aug, prefix_bits=8)
+    return simhash_banded_candidates(aug, bands=2, hash_family="md5_16")
 
 
 def _q40_sql() -> str:
@@ -1362,10 +1368,22 @@ WITH aug AS (
   SELECT doc_id + 1000000 AS doc_id, text || ' mutated tail' AS text
   FROM documents WHERE doc_id < 300
 ),
-sh AS (SELECT doc_id, {_simhash_expr_sql()} AS sim FROM aug),
-b AS (SELECT doc_id, sim, sim >> 8 AS bucket FROM sh)
-SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.sim AS sim_a, r.sim AS sim_b
-FROM b l JOIN b r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+sh AS (SELECT doc_id, CAST({_simhash_expr_sql()} AS BIGINT) AS sim FROM aug),
+b AS (
+  SELECT doc_id, sim, 0 AS band_id, sim & 255 AS band_val FROM sh
+  UNION ALL
+  SELECT doc_id, sim, 1 AS band_id, (sim >> 8) & 255 AS band_val FROM sh
+),
+p AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.sim AS sim_a, r.sim AS sim_b
+  FROM b l
+  JOIN b r ON l.band_id = r.band_id AND l.band_val = r.band_val
+          AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, sim_a, sim_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM p
 """
 
 

@@ -13,7 +13,7 @@ from fineweb_domain_analyzer_spark.operators.dedup import (
     near_dedup_minhash,
     simhash16,
     simhash64,
-    simhash_candidates,
+    simhash_banded_candidates,
     word_shingles,
 )
 
@@ -103,9 +103,92 @@ def test_simhash64_identical_texts_equal(docs):
     assert rows[0] != rows[3]
 
 
-def test_simhash_candidates_bucket_pairs(docs):
-    pairs = {(r["id_a"], r["id_b"]) for r in simhash_candidates(docs).collect()}
-    assert (0, 1) in pairs
+def test_simhash_banded_candidates_finds_dups(docs):
+    for family in ("xx64", "md5_16"):
+        rows = simhash_banded_candidates(
+            docs, bands=4 if family == "xx64" else 2, hash_family=family
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in rows}
+        assert (0, 1) in pairs, family  # identical docs: hamming 0
+        assert (3, 4) in pairs, family
+        ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+        assert ham[(0, 1)] == 0 and ham[(3, 4)] == 0
+
+
+def test_simhash_banded_pigeonhole_guarantee(spark):
+    """Every pair within hamming <= bands-1 of each other MUST be a
+    candidate (pigeonhole over 4×16-bit bands of the 64-bit simhash) —
+    verified against an exhaustive all-pairs hamming computation."""
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared base tokens alpha beta gamma delta epsilon zeta "),
+            F.lit("eta theta iota kappa word"),
+            (F.col("id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        simhash64,
+        simhash_banded_candidates,
+    )
+
+    sims = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("s")).collect()
+    }
+    want = {
+        (a, b)
+        for a in sims
+        for b in sims
+        if a < b and bin((sims[a] ^ sims[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_banded_candidates(docs, bands=4).collect()
+        if r["hamming"] <= 3
+    }
+    assert want <= got
+    # and max_hamming filters to exactly the verified ball
+    filtered = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_banded_candidates(docs, bands=4, max_hamming=3).collect()
+    }
+    assert filtered == got
+
+
+def test_simhash_banded_bucket_count_grows_with_corpus(spark):
+    """The scale property the fixed-prefix scheme lacked: the number
+    of distinct (band_id, band_val) join keys must GROW with corpus
+    size/entropy, so in-bucket self-joins stay bounded at web scale."""
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        simhash_bands,
+        simhash64,
+        token_xx64,
+    )
+
+    def n_buckets(n_docs: int) -> int:
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("doc body token-"),
+                F.col("id").cast("string"),
+                F.lit(" filler-"),
+                (F.col("id") * 7919 % 104729).cast("string"),
+                F.lit(" more-"),
+                (F.col("id") * 31 % 9973).cast("string"),
+            ).alias("text"),
+        )
+        return (
+            docs.select(simhash64(F.col("text")).alias("_sim"))
+            .select(F.explode(simhash_bands(F.col("_sim"), 4, 64)).alias("b"))
+            .select("b.band_id", "b.band_val")
+            .distinct()
+            .count()
+        )
+
+    small, large = n_buckets(100), n_buckets(800)
+    assert large > small * 2, (small, large)
+    assert small > 256  # already past the old scheme's hard ceiling
 
 
 def test_connected_components_basic(spark):
