@@ -187,14 +187,25 @@ def gopher_keep(
 # --- corpus-derived unigram LM perplexity (distributed, no model file) ------
 
 def unigram_perplexity(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_lm: bool = True,
 ) -> DataFrame:
     """Perplexity against a unigram LM estimated from the corpus itself.
 
     Two shuffles total: (1) token-count aggregation to build the LM,
-    (2) doc-level average after a broadcast join of the LM back onto
-    the exploded tokens. The LM is O(vocab) — tiny — so the join is a
-    broadcast; the explode never materializes to disk.
+    (2) doc-level average after joining the LM back onto the exploded
+    tokens. The explode never materializes to disk.
+
+    ``broadcast_lm=True`` fits corpora whose distinct-token table is
+    executor-memory-sized; a full web-scale vocabulary (hundreds of
+    millions of distinct tokens once typo/noise tokens are counted)
+    will not fit an executor broadcast, so pass False to fall back to
+    a shuffle join keyed by token — Zipf-skewed, but the hot keys
+    ("the", ...) are exactly the ones AQE's skew-join splitting
+    handles, and the join carries only (token, tok_cnt). Mirrors
+    ``bigram_perplexity``'s switch.
 
     Returns (id_col, perplexity) where
     perplexity = 2 ** avg(-log2 p(token)).
@@ -204,10 +215,14 @@ def unigram_perplexity(
     )
     # LM with the corpus total folded in as a broadcast scalar — no
     # driver-side count action, and the exploded tokens are scanned
-    # twice (LM build + scoring join) instead of three times.
+    # twice (LM build + scoring join) instead of three times. The
+    # total is ONE row regardless of broadcast_lm, so it always
+    # broadcasts.
     lm = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_cnt"))
     total_df = lm.agg(F.sum("tok_cnt").cast("double").alias("_total"))
-    scored = toks.join(F.broadcast(lm), "token").crossJoin(F.broadcast(total_df))
+    if broadcast_lm:
+        lm = F.broadcast(lm)
+    scored = toks.join(lm, "token").crossJoin(F.broadcast(total_df))
     return (
         scored.groupBy(id_col)
         .agg(F.avg(-F.log2(F.col("tok_cnt") / F.col("_total"))).alias("avg_nll"))

@@ -234,6 +234,34 @@ def test_bigram_perplexity_properties(spark):
     assert got[2] > 1.0 and got[4] > 1.0
 
 
+def test_perplexity_broadcast_switch_same_values(spark):
+    """broadcast_lm=False (the web-scale path — a full-corpus vocab /
+    bigram table won't fit an executor broadcast) must produce the
+    same scores via shuffle joins, and its static plan must not hint
+    a broadcast of the LM (SortMergeJoin on the scoring join)."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        bigram_perplexity,
+        unigram_perplexity,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"the cat sat on mat number {i % 5} again and again") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    for op, col in (
+        (unigram_perplexity, "perplexity"),
+        (bigram_perplexity, "bigram_perplexity"),
+    ):
+        bcast = {r["doc_id"]: r[col] for r in op(df, broadcast_lm=True).collect()}
+        shuf_df = op(df, broadcast_lm=False)
+        shuf = {r["doc_id"]: r[col] for r in shuf_df.collect()}
+        assert bcast == shuf, op.__name__
+        plan = shuf_df._sc._jvm.PythonSQLUtils.explainString(
+            shuf_df._jdf.queryExecution(), "extended"
+        )
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, op.__name__
+
+
 def test_langid_monster_doc_no_packed_overflow(spark):
     """Docs at or past the 32,768-token fast-path guard must take the
     per-language fallback path. Two distinct hazards (ADVICE r2):
