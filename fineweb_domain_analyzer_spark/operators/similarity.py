@@ -104,6 +104,27 @@ def sign_bucket(vec: Column, n_planes: int = 8) -> Column:
     return out.cast("int")
 
 
+def sized_n_planes(
+    corpus_size: int,
+    target_bucket_size: int = 128,
+    lo: int = 4,
+    hi: int = 30,
+) -> int:
+    """Scale-aware plane count: n_planes ≈ log2(corpus / target bucket
+    size), clamped to [lo, hi].
+
+    With n planes there are 2^n buckets, so the EXPECTED bucket size is
+    corpus/2^n; holding that at ``target_bucket_size`` keeps the
+    in-bucket self-join O(corpus × target) instead of quadratic. A
+    fixed n_planes=8 (256 buckets) is fine at 10^5 vectors and
+    quadratic death at 10^9 — this rule is what turns the knob with the
+    corpus. hi=30 caps the key inside a positive int32."""
+    import math
+
+    spread = max(float(corpus_size), 2.0) / max(target_bucket_size, 1)
+    return max(lo, min(hi, math.ceil(math.log2(max(spread, 2.0)))))
+
+
 def random_planes(n_planes: int, dim: int, seed: int = 42):
     """Seeded gaussian hyperplane normals, (n_planes, dim) — the
     production plane family for sign-LSH. Deterministic given seed."""
@@ -129,15 +150,56 @@ def plane_bucket(vec: Column, planes) -> Column:
     return out.cast("int")
 
 
+def banded_sign_buckets(
+    vec: Column, planes_per_band: int, bands: int, planes=None
+) -> Column:
+    """array<struct<band_id:int, band_key:int>> — ``bands`` independent
+    sign-LSH keys of ``planes_per_band`` bits each.
+
+    The MinHash-LSH-style OR-construction for embeddings: a pair is a
+    candidate if it matches in ANY band, so recall for near-identical
+    vectors is 1-(1-p^r)^b instead of the single-band p^r — the fix for
+    sign-LSH's recall collapsing as the sizing rule raises the bit
+    count. ``planes``: optional (bands×planes_per_band, dim) matrix
+    (e.g. ``random_planes``), sliced per band; None uses the
+    oracle-portable axis-difference family — band b bit j compares
+    vec[b·r+j] against vec[b·r+j + r·bands] (requires
+    2·r·bands ≤ dim; distinct axis pairs across all bands)."""
+    r = planes_per_band
+    structs = []
+    for b in range(bands):
+        if planes is not None:
+            key = plane_bucket(vec, planes[b * r : (b + 1) * r])
+        else:
+            out = F.lit(0)
+            for j in range(r):
+                p = b * r + j
+                q = p + r * bands
+                out = out + F.when(
+                    F.element_at(vec, p + 1).cast("double")
+                    >= F.element_at(vec, q + 1).cast("double"),
+                    F.lit(1 << j),
+                ).otherwise(F.lit(0))
+            key = out.cast("int")
+        structs.append(
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"), key.alias("band_key")
+            )
+        )
+    return F.array(*structs)
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: bool = False,
     planes=None,
+    corpus_size: int | None = None,
+    target_bucket_size: int = 128,
 ) -> DataFrame:
     """ANN top-k scored only within the query's sign-LSH bucket(s).
     Approximate: recall < 1; BENCH/ann_recall.json reports recall vs
@@ -153,7 +215,13 @@ def lsh_bucketed_topk(
     ``planes`` (a (n_planes, dim) matrix, e.g. ``random_planes(...)``)
     switches from the oracle-portable axis-difference family to real
     seeded gaussian hyperplanes — the production choice; recall for
-    both is measured in BENCH/ann_recall.json."""
+    both is measured in BENCH/ann_recall.json.
+
+    ``n_planes=None`` derives the plane count from the candidate-corpus
+    size via ``sized_n_planes`` (pass ``corpus_size`` to skip the
+    count(*) job, which on parquet is a cheap stats-only scan): the
+    expected bucket stays ~``target_bucket_size`` so per-query probe
+    cost is O(target), not O(corpus/256)."""
     if planes is not None:
         n_planes = len(planes)
 
@@ -161,6 +229,11 @@ def lsh_bucketed_topk(
             return plane_bucket(vec, planes)
 
     else:
+        if n_planes is None:
+            n_planes = sized_n_planes(
+                corpus_size if corpus_size is not None else candidates.count(),
+                target_bucket_size,
+            )
 
         def _bucket(vec: Column) -> Column:
             return sign_bucket(vec, n_planes)
@@ -205,9 +278,13 @@ def lsh_bucketed_topk(
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = 1,
+    planes=None,
+    corpus_size: int | None = None,
+    target_bucket_size: int = 128,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
 
@@ -215,21 +292,52 @@ def embedding_near_dups(
     buckets bound the candidate set (near-identical vectors share all
     sign bits, so recall at high thresholds is excellent), then exact
     cosine verifies. Only the bucket self-join shuffles, keyed by the
-    (uniform) bucket hash."""
-    v = vectors.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
-    )
+    (uniform) bucket hash.
+
+    ``n_planes`` is PER BAND; ``None`` derives it from the corpus size
+    via ``sized_n_planes`` (pass ``corpus_size`` to skip the count(*)
+    job) so the expected bucket stays ~``target_bucket_size`` as the
+    corpus grows — a fixed 8-plane default is 256 buckets forever and
+    quadratic in-bucket at web scale.
+
+    ``bands > 1`` switches to the MinHash-LSH-style OR-construction
+    (``banded_sign_buckets``): b independent r-bit keys, candidate on
+    ANY band match — the recall knob that compensates for the sizing
+    rule raising r. ``planes``: optional (bands×n_planes, dim) gaussian
+    matrix for the production plane family."""
+    if n_planes is None:
+        n_planes = sized_n_planes(
+            corpus_size if corpus_size is not None else vectors.count(),
+            target_bucket_size,
+        )
+    if bands <= 1 and planes is None:
+        bucket = sign_bucket(F.col(vec_col), n_planes).alias("_b")
+        v = vectors.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket
+        )
+        join_key = ["_b"]
+    else:
+        v = vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.explode(
+                banded_sign_buckets(F.col(vec_col), n_planes, bands, planes)
+            ).alias("_bb"),
+        ).select("_id", "_v", "_bb.band_id", "_bb.band_key")
+        join_key = ["band_id", "band_key"]
     l, r = v.alias("l"), v.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id")),
-    ).select(
+    cond = F.col("l._id") < F.col("r._id")
+    for kcol in join_key:
+        cond = (F.col(f"l.{kcol}") == F.col(f"r.{kcol}")) & cond
+    pairs = l.join(r, cond).select(
         F.col("l._id").alias("id_a"),
         F.col("r._id").alias("id_b"),
         F.round(cosine(F.col("l._v"), F.col("r._v")), 6).alias("cos"),
     )
+    if bands > 1:
+        # a pair matching in several bands appears once per band; cos is
+        # deterministic, so id-level distinct dedups without re-keying
+        pairs = pairs.distinct()
     return pairs.filter(F.col("cos") >= threshold)
 
 

@@ -1497,6 +1497,67 @@ FROM documents WHERE doc_id < 300
 """
 
 
+def q43_embedding_near_dups_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding near-dups via the multi-band OR-construction
+    (operators/similarity.py banded_sign_buckets): 2 independent 4-bit
+    sign-LSH keys, candidate on ANY band match, exact-cosine verified.
+    The recall knob that lets the bucket-sizing rule raise bits per
+    band without recall collapsing — same construction as MinHash-LSH
+    banding. Oracle mirrors the axis-difference band keys and the band
+    explode as a UNION ALL."""
+    from fineweb_domain_analyzer_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.3, n_planes=4, bands=2)
+
+
+def _q43_band_key_sql(b: int, r: int = 4, bands: int = 2) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN embedding[{b * r + j + 1}]::DOUBLE >= "
+            f"embedding[{b * r + j + r * bands + 1}]::DOUBLE "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(r)
+        )
+        + ")"
+    )
+
+
+Q43_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, 0 AS band_id, {_q43_band_key_sql(0)} AS band_key
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding, 1 AS band_id, {_q43_band_key_sql(1)} AS band_key
+  FROM embeddings
+),
+p AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM b l JOIN b r ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.vec_id < r.vec_id
+)
+SELECT p.id_a, p.id_b,
+       round(
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                 i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+FROM p
+JOIN embeddings a ON p.id_a = a.vec_id
+JOIN embeddings c ON p.id_b = c.vec_id
+WHERE round(
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                 i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.3
+"""
+
+
 def q28_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: the reference's global filter metrics over the flagship
     labels (total/kept/excluded/keep_ratio)."""
@@ -1589,6 +1650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_simhash_candidates": q40_simhash_candidates,
     "q41_dedup_keep_canonical": q41_dedup_keep_canonical,
     "q42_media_features": q42_media_features,
+    "q43_embedding_near_dups_banded": q43_embedding_near_dups_banded,
 }
 
 
@@ -1633,4 +1695,5 @@ def oracle_sql() -> dict[str, str]:
         "q40_simhash_candidates": _q40_sql(),
         "q41_dedup_keep_canonical": Q41_SQL,
         "q42_media_features": Q42_SQL,
+        "q43_embedding_near_dups_banded": Q43_SQL,
     }

@@ -172,6 +172,52 @@ def main() -> None:
             "cluster structure — the production operating point."
         ),
     })
+    # --- near-dup recall: sizing rule + banded OR-construction ---------------
+    from fineweb_domain_analyzer_spark.operators.similarity import (
+        embedding_near_dups,
+        sized_n_planes,
+    )
+
+    jit = pts + 0.1 * rng.standard_normal(pts.shape)
+    nd_rows = [(i, [float(x) for x in row]) for i, row in enumerate(pts)]
+    nd_rows += [(i + 100_000, [float(x) for x in row]) for i, row in enumerate(jit)]
+    nd = spark.createDataFrame(
+        nd_rows, "vec_id bigint, embedding array<double>"
+    ).cache()
+    nd_n = nd.count()
+    planted_pairs = len(pts)
+
+    def nd_recall(**kw):
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dups(nd, threshold=0.9, **kw).collect()
+        }
+        hits = sum(1 for i in range(planted_pairs) if (i, i + 100_000) in found)
+        return round(hits / planted_pairs, 4)
+
+    auto_planes = sized_n_planes(nd_n, target_bucket_size=128)
+    result["near_dup"] = {
+        "corpus": nd_n,
+        "planted_pairs": planted_pairs,
+        "threshold": 0.9,
+        "auto_n_planes_at_this_corpus": auto_planes,
+        "recall": {
+            "single_band_8planes": nd_recall(n_planes=8, bands=1),
+            "single_band_auto_sized": nd_recall(corpus_size=nd_n),
+            "banded_2x4": nd_recall(n_planes=4, bands=2),
+            "banded_4x4_gauss": nd_recall(
+                n_planes=4, bands=4, planes=random_planes(16, 64, seed=5)
+            ),
+        },
+        "note": (
+            "sized_n_planes keeps the expected bucket ~target as the "
+            "corpus grows (the fixed 8-plane default was 256 buckets "
+            "forever); banded OR-construction (any-band match, like "
+            "MinHash-LSH) restores recall as bits-per-corpus rise. All "
+            "variants exact-cosine verify, so precision is 1.0 by "
+            "construction."
+        ),
+    }
     out = REPO / "BENCH" / "ann_recall.json"
     out.write_text(json.dumps(result, indent=2) + "\n", encoding="utf-8")
     print(json.dumps(result))

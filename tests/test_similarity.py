@@ -191,3 +191,81 @@ def test_kmeans_ivf_nprobe(spark):
     # cluster 0 members are ids 1..9; with clean clusters k-means finds them
     assert top1 <= set(range(1, 10))
     assert len(top1) == 5 and len(top2) == 5
+
+
+def test_sized_n_planes_rule(spark):
+    """The bucket-sizing rule: n_planes grows with the corpus so the
+    expected bucket stays ~target — never the fixed-256-bucket trap."""
+    from fineweb_domain_analyzer_spark.operators.similarity import sized_n_planes
+
+    assert sized_n_planes(1_000, target_bucket_size=128) == 4  # lo clamp
+    assert sized_n_planes(100_000, target_bucket_size=128) == 10
+    assert sized_n_planes(10**9, target_bucket_size=128) == 23
+    assert sized_n_planes(10**15, target_bucket_size=128) == 30  # hi clamp
+    # expected bucket size stays ~target across 4 orders of magnitude
+    for n in (10**5, 10**7, 10**9):
+        planes = sized_n_planes(n, target_bucket_size=128)
+        assert 64 <= n / 2**planes <= 256
+
+
+def test_candidate_fraction_bounded_at_two_corpus_sizes(spark):
+    """The scale property the fixed default lacked: with auto-sizing,
+    CANDIDATE PAIRS PER VECTOR must stay bounded as the corpus grows
+    (fixed n_planes would double pairs-per-vector with each corpus
+    doubling). Random unit-ish vectors, tiny target bucket so the rule
+    engages at test scale."""
+    import numpy as np
+
+    from fineweb_domain_analyzer_spark.operators.similarity import (
+        embedding_near_dups,
+        sized_n_planes,
+    )
+
+    def pairs_per_vec(n: int) -> float:
+        rng = np.random.RandomState(7)
+        vecs = rng.standard_normal((n, 64))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<double>",
+        )
+        cnt = embedding_near_dups(
+            df, threshold=-1.0, corpus_size=n, target_bucket_size=8
+        ).count()
+        return cnt / n
+
+    small, large = pairs_per_vec(256), pairs_per_vec(1024)
+    assert sized_n_planes(1024, 8) > sized_n_planes(256, 8)
+    # threshold -1 keeps EVERY candidate, so this measures raw candidate
+    # volume: within 3x despite a 4x corpus (fixed planes would give ~4x)
+    assert large <= small * 3, (small, large)
+
+
+def test_banded_near_dups_recall_beats_single_band(spark):
+    """OR-construction recall: planted near-identical pairs missed by a
+    single 8-bit key are recovered by 2x4-bit bands (any-band match),
+    and banded results are exact-cosine verified (no false positives
+    below threshold)."""
+    import numpy as np
+
+    from fineweb_domain_analyzer_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((80, 64))
+    jitter = base + 0.15 * rng.standard_normal((80, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(i + 1000, [float(x) for x in v]) for i, v in enumerate(jitter)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    planted = {(i, i + 1000) for i in range(80)}
+
+    def found(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dups(df, threshold=0.9, **kw).collect()
+        } & planted
+
+    single = found(n_planes=8, bands=1)
+    banded = found(n_planes=4, bands=2)
+    assert len(banded) > len(single), (len(single), len(banded))
+    assert len(banded) >= 0.9 * len(planted)
