@@ -291,67 +291,88 @@ def connected_components(
 
     The step that COMPLETES near-dup dedup: verified pairs only relate
     two docs, but keep-one-per-group needs the transitive closure.
-    Iterative min-label propagation over DataFrame joins — each sweep
-    takes the min label in a node's closed neighborhood; converges in
-    O(component diameter) sweeps, which for near-dup graphs (dense
-    cliques of mutual near-copies) is small. No GraphX/graphframes
-    dependency.
+    Alternating large-star / small-star edge contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    each round rewires every edge toward the minimum of a local
+    neighborhood, so the edge set collapses to per-component stars
+    rooted at the component minimum in O(log² n) rounds worst case and
+    ~log n in practice — a 1,000-node path converges in 10 rounds,
+    where plain min-label propagation needs 999 sweeps (fatal on an
+    adversarial chain of pairwise near-dups; fine only for
+    clique-shaped dup graphs). No GraphX/graphframes dependency.
 
-    Scale notes: every iteration is one shuffle keyed by node id
-    (uniform); ``localCheckpoint`` truncates the lineage so the plan
-    doesn't grow per sweep (on a cluster prefer
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-    fault-tolerant truncation). The convergence check is one count per
-    sweep — driver-side O(1).
+    Scale notes: each round is two groupBy+join passes over the edge
+    list, keyed by node id (uniform); per-round cost is flat because
+    ``localCheckpoint`` truncates the lineage every round (on a
+    cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint()`` for fault-tolerant truncation). Edge-set-equality
+    convergence check: one count + one exceptAll probe per round.
     """
-    sym = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    # materialize the edge list once — without this every sweep's join,
-    # checkpoint, and convergence count would recompute the (often
-    # expensive: minhash + LSH + Jaccard) upstream pairs pipeline
-    sym = sym.distinct().localCheckpoint()
-    labels = (
-        sym.select(F.col("src").alias("node"))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # for each node u: connect every LARGER neighbor to the min of
+        # u's closed neighborhood
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient edges toward the larger endpoint; connect each node's
+        # smaller neighbors (and itself) to its min smaller neighbor
+        e2 = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = e2.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            e2.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    # materialize the edge list once — without this every round's joins
+    # and convergence checks would recompute the (often expensive:
+    # minhash + LSH + Jaccard) upstream pairs pipeline
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
     converged = False
+    n_edges = edges.count()
     for _ in range(max_iter):
-        neigh_min = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("_nmin"))
-        )
-        new_labels = (
-            labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        n_new = new_edges.count()
+        if n_new == n_edges and new_edges.exceptAll(edges).limit(1).count() == 0:
             converged = True
+            edges = new_edges
             break
+        edges, n_edges = new_edges, n_new
     if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} sweeps — "
-            "a component's diameter exceeds max_iter; returning partial "
-            "labels would silently split clusters. Raise max_iter."
+            f"connected_components did not converge in {max_iter} rounds — "
+            "pathological component shape; returning partial labels would "
+            "silently split clusters. Raise max_iter."
         )
-    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    # star state: every edge is (member, component_min); roots label
+    # themselves
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .unionAll(
+            edges.select(F.col("v").alias("node"), F.col("v").alias("cluster_id"))
+        )
+        .distinct()
+    )
 
 
 def dedup_keep_canonical(

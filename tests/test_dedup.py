@@ -203,16 +203,20 @@ def test_connected_components_basic(spark):
 
 
 def test_connected_components_chain_converges(spark):
-    """A long path graph needs O(diameter) sweeps — worst case for
-    label propagation."""
+    """A long path graph is the worst case for plain label propagation
+    (O(diameter) sweeps); pointer jumping must converge it in
+    O(log diameter) — a 1,000-edge chain within the DEFAULT max_iter,
+    where propagation alone would need 1,000 sweeps."""
     from fineweb_domain_analyzer_spark.operators.dedup import connected_components
 
-    n = 30
+    n = 1000
+    # shuffled ids so the min isn't conveniently at one end
+    perm = [(i * 7919 + 13) % 10007 for i in range(n + 1)]
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+        [(perm[i], perm[i + 1]) for i in range(n)], ["id_a", "id_b"]
     )
-    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs, max_iter=50).collect()}
-    assert set(got.values()) == {0}
+    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {min(perm)}
     assert len(got) == n + 1
 
 
