@@ -129,26 +129,41 @@ def _default_fetcher(timeout: float):
     (fineweb_analyzer.py:262-278: 3 retries, backoff 1, forcelist
     429/500/502/503/504), else stdlib urllib."""
     try:
+        import threading
+
         import requests  # type: ignore
         from requests.adapters import HTTPAdapter  # type: ignore
         from urllib3.util.retry import Retry  # type: ignore
 
-        session = requests.Session()
-        retry = Retry(
-            total=3, backoff_factor=1, status_forcelist=[429, 500, 502, 503, 504]
-        )
-        adapter = HTTPAdapter(max_retries=retry)
-        session.mount("http://", adapter)
-        session.mount("https://", adapter)
-        session.headers.update(
-            {
-                "User-Agent": "Mozilla/5.0 (compatible; FineWebAnalyzer/1.0)",
-                "Accept": "text/plain,text/html,*/*",
-            }
-        )
+        # one Session PER WORKER THREAD: requests.Session is not
+        # documented thread-safe, and the fetch pool runs up to
+        # max_workers_per_task threads concurrently (the reference
+        # shares one session across its pool — a knowing parity break
+        # in favor of correctness; fetch SEMANTICS are unchanged)
+        local = threading.local()
+
+        def _session():
+            if not hasattr(local, "session"):
+                session = requests.Session()
+                retry = Retry(
+                    total=3,
+                    backoff_factor=1,
+                    status_forcelist=[429, 500, 502, 503, 504],
+                )
+                adapter = HTTPAdapter(max_retries=retry)
+                session.mount("http://", adapter)
+                session.mount("https://", adapter)
+                session.headers.update(
+                    {
+                        "User-Agent": "Mozilla/5.0 (compatible; FineWebAnalyzer/1.0)",
+                        "Accept": "text/plain,text/html,*/*",
+                    }
+                )
+                local.session = session
+            return local.session
 
         def fetch(url: str):
-            resp = session.get(url, timeout=timeout)
+            resp = _session().get(url, timeout=timeout)
             return resp.status_code, resp.text
 
         return fetch

@@ -123,6 +123,12 @@ def parse_image_dims(payload: bytes | None) -> tuple[int | None, int | None]:
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
+            if marker in (0xDA, 0xD9):
+                # SOS: everything after is entropy-coded data, where a
+                # read 'segment length' is garbage and a spurious
+                # 0xFFC0-0xFFCF byte pair could yield bogus dims.
+                # EOI: end of image. Either way, no SOF was found.
+                return (None, None)
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             i += 2 + seg_len
         return (None, None)

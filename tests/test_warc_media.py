@@ -160,6 +160,14 @@ def test_parse_image_dims_malformed_payloads():
     assert parse_image_dims(b"\x89PNG") == (None, None)  # truncated
     assert parse_image_dims(b"\xff\xd8\xff" + b"\x00" * 20) == (None, None)
     assert parse_image_dims(b"not an image at all....") == (None, None)
+    # SOS with no prior SOF: the scanner must STOP at SOS, not read a
+    # 'segment length' from entropy-coded data and match the spurious
+    # 0xFFC0 planted there (which would yield garbage dims)
+    entropy = b"\x12\x34" + b"\xff\xc0" + b"\x00\x11\x08\x04\x00\x04\x00" + b"\x55" * 8
+    sos = b"\xff\xd8\xff" + b"\xff\xda" + entropy
+    assert parse_image_dims(sos) == (None, None)
+    # EOI before any SOF likewise terminates the scan
+    assert parse_image_dims(b"\xff\xd8\xff" + b"\xff\xd9" + entropy) == (None, None)
 
 
 def test_sample_video_frames_shape(spark):
