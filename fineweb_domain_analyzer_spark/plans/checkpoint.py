@@ -124,11 +124,25 @@ class IcebergCheckpointer(Checkpointer):
 
     PROP = "processed-splits"
 
-    def __init__(self, spark: SparkSession, table: str, manifest_path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        manifest_path: str,
+        assume_iceberg: bool | None = None,
+    ):
+        """``assume_iceberg``: None auto-detects via the ``.snapshots``
+        metadata table; True/False force the branch. Forcing True is for
+        catalogs that serve the TBLPROPERTIES surface but not the
+        ``.snapshots`` probe (e.g. a plain session-catalog table used as
+        the property store, which is also how the jar-less test
+        environment exercises the catalog branch end-to-end)."""
         super().__init__(manifest_path)
         self.spark = spark
         self.table = table
-        self._have_iceberg = self._detect()
+        self._have_iceberg = (
+            self._detect() if assume_iceberg is None else assume_iceberg
+        )
 
     def _detect(self) -> bool:
         try:

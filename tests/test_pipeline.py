@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -256,6 +258,67 @@ def test_iceberg_checkpointer_fallback_branch(tmp_path):
     cp.mark_processed("s1")
     assert cp.processed_splits() == {"s1"}
     assert (tmp_path / "manifest.json").exists()
+
+
+def test_iceberg_branch_full_resume_against_real_catalog(spark, tmp_path):
+    """The catalog branch end-to-end with REAL SQL execution: a plain
+    session-catalog table serves the exact TBLPROPERTIES surface the
+    Iceberg branch uses (SHOW TBLPROPERTIES / ALTER TABLE ... SET
+    TBLPROPERTIES are identical statements on both), so with the
+    detect probe forced (no Iceberg jar in this sandbox, and no
+    network to vendor one) the whole run_resumable flow exercises
+    _have_iceberg=True: property-store manifest, crash-resume, quote
+    escaping through the real parser — never the file fallback."""
+    from fineweb_domain_analyzer_spark.plans.checkpoint import (
+        IcebergCheckpointer,
+        run_resumable,
+    )
+
+    table = "ckpt_prop_store"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} (k INT) USING parquet "
+        f"LOCATION '{tmp_path / 'tbl'}'"
+    )
+    try:
+        manifest = tmp_path / "never_created.json"
+        out = str(tmp_path / "out")
+        cp = IcebergCheckpointer(spark, table, str(manifest), assume_iceberg=True)
+        assert cp._have_iceberg is True
+        calls = []
+
+        def process(spark_, split):
+            calls.append(split)
+            if split == "b'2" and len(calls) < 3:
+                raise RuntimeError("injected crash")
+            return synth_pages(spark_, 40, n_domains=4, seed=1).select("url")
+
+        # split name with a quote exercises escaping through the real
+        # SQL parser, not a regex fake
+        splits = ["a1", "b'2"]
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_resumable(spark, splits, process, out, cp)
+        assert cp.processed_splits() == {"a1"}
+
+        # 'new driver': fresh checkpointer, same catalog — resumes from
+        # the table property, reprocessing only the failed split
+        cp2 = IcebergCheckpointer(
+            spark, table, str(tmp_path / "other.json"), assume_iceberg=True
+        )
+        done = run_resumable(spark, splits, process, out, cp2)
+        assert done == ["b'2"]
+        assert cp2.processed_splits() == {"a1", "b'2"}
+        assert calls == ["a1", "b'2", "b'2"]
+        assert spark.read.parquet(out).count() == 80
+        # the property store really is the catalog, not a file
+        assert not manifest.exists()
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+        assert json.loads(props[IcebergCheckpointer.PROP]) == ["a1", "b'2"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
 def test_jvm_domain_path_labels_match_exact_udf(spark, pages, policy):
