@@ -291,28 +291,65 @@ def bigram_perplexity(
     )
 
 
-# --- model-based scorers (pandas UDFs; deterministic stand-ins here) --------
+# --- model-based scorers (pandas UDFs, pluggable artifacts) -----------------
+#
+# Artifact contract (the real-cluster mechanism, works identically in
+# local mode):
+#   1. driver: ``register_model_artifact(spark, "langid", path)`` ships
+#      the file to every executor via ``sparkContext.addFile`` under the
+#      well-known name ``fwda_<name>.model``.
+#   2. worker: each UDF batch re-probes SparkFiles for that name (an
+#      os.path.exists — cheap); the CONSTRUCTED model is cached per
+#      Python worker keyed by (name, artifact_path), so registering an
+#      artifact mid-session takes effect without restarting workers.
+#   3. loader: JSON artifacts use the table-stub format below (tests
+#      exercise this end-to-end); binary artifacts load through the
+#      real libs (fasttext.load_model / kenlm.Model) when importable,
+#      and raise loudly if the lib is absent — an explicitly shipped
+#      artifact must never silently degrade to the heuristic.
+#   4. no artifact → deterministic heuristic stand-in (same interface).
+#
+# Model interface: langid → .predict_batch(pd.Series) -> pd.Series of
+# labels; perplexity → .perplexity(str) -> float. The UDF plan is
+# identical for all three backends — swapping models touches zero
+# query code.
 
-_MODEL_CACHE: dict[str, object] = {}
+_MODEL_CACHE: dict[tuple[str, str | None], object] = {}
 
 
-def _load_model(name: str):
-    """Per-executor (per-Python-worker) model cache. On a real cluster
-    this loads fastText/KenLM artifacts from SparkFiles; here it returns
-    a deterministic stand-in so the UDF plumbing is real and testable."""
-    if name not in _MODEL_CACHE:
-        _MODEL_CACHE[name] = object()
-    return _MODEL_CACHE[name]
+def artifact_basename(name: str) -> str:
+    return f"fwda_{name}.model"
 
 
-@pandas_udf(StringType())
-def fasttext_like_langid_udf(texts: pd.Series) -> pd.Series:
-    """fastText-shaped langid UDF. Stand-in: char-class heuristic
-    (deterministic). Swap the body for
-    ``model.predict(batch)`` with a real .bin artifact; the Arrow batch
-    shape, caching and signature stay identical."""
-    _load_model("langid")
+def register_model_artifact(spark, name: str, path: str) -> None:
+    """Ship a model artifact to all executors under the well-known
+    SparkFiles name the UDFs probe for. One registration per name per
+    SparkContext (addFile semantics)."""
+    import os
+    import shutil
+    import tempfile
 
+    staged = os.path.join(tempfile.mkdtemp(prefix="fwda_model_"), artifact_basename(name))
+    shutil.copyfile(path, staged)
+    spark.sparkContext.addFile(staged)
+
+
+def _find_artifact(name: str) -> str | None:
+    import os
+
+    try:
+        from pyspark import SparkFiles
+
+        p = os.path.join(SparkFiles.getRootDirectory(), artifact_basename(name))
+        return p if os.path.exists(p) else None
+    except Exception:
+        return None
+
+
+class _HeuristicLangID:
+    """Deterministic stand-in honoring the fastText-wrapper interface."""
+
+    @staticmethod
     def _guess(t: str | None) -> str | None:
         if t is None:
             return None
@@ -331,18 +368,49 @@ def fasttext_like_langid_udf(texts: pd.Series) -> pd.Series:
         best = max(scores, key=lambda k: (scores[k], -list(scores).index(k)))
         return best if scores[best] > 0 else "unk"
 
-    return texts.map(_guess)
+    def predict_batch(self, texts: pd.Series) -> pd.Series:
+        return texts.map(self._guess)
 
 
-@pandas_udf(DoubleType())
-def kenlm_like_perplexity_udf(texts: pd.Series) -> pd.Series:
-    """KenLM-shaped perplexity UDF. Stand-in: a fixed hash-based
-    character-trigram scorer (deterministic across runs/executors).
-    Real deployment: load a .arpa/.bin via _load_model and call
-    ``model.perplexity(text)`` per row within the Arrow batch."""
-    _load_model("kenlm")
+class _TableLangID:
+    """JSON table-stub backend: exact-text lookup with a default label.
+    Honors the loader contract so tests can inject a real artifact file
+    without fastText being installed."""
 
-    def _ppl(t: str | None) -> float | None:
+    def __init__(self, spec: dict):
+        self.table: dict = spec.get("table", {})
+        self.default: str = spec.get("default", "unk")
+
+    def predict_batch(self, texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: None if t is None else self.table.get(t, self.default)
+        )
+
+
+class _FastTextLangID:
+    """Wrapper over a real fasttext model (.bin)."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def predict_batch(self, texts: pd.Series) -> pd.Series:
+        clean = ["" if t is None else t.replace("\n", " ") for t in texts]
+        labels, _ = self.model.predict(clean)
+        out = [
+            (ls[0].removeprefix("__label__") if ls else "unk") for ls in labels
+        ]
+        return pd.Series(
+            [None if t is None else lab for t, lab in zip(texts, out)],
+            index=texts.index,
+        )
+
+
+class _HeuristicCharLM:
+    """Deterministic stand-in honoring the KenLM-wrapper interface:
+    fixed hash-based character-trigram scorer."""
+
+    @staticmethod
+    def perplexity(t: str | None) -> float | None:
         if t is None:
             return None
         if len(t) < 3:
@@ -359,7 +427,97 @@ def kenlm_like_perplexity_udf(texts: pd.Series) -> pd.Series:
             n += 1
         return round(2 ** (s / max(n, 1)), 4)
 
-    return texts.map(_ppl)
+
+class _TableCharLM:
+    """JSON table-stub backend: exact-text perplexity lookup."""
+
+    def __init__(self, spec: dict):
+        self.scores: dict = spec.get("scores", {})
+        self.default: float = float(spec.get("default", 1e6))
+
+    def perplexity(self, t: str | None) -> float | None:
+        if t is None:
+            return None
+        return float(self.scores.get(t, self.default))
+
+
+class _KenLM:
+    """Wrapper over a real kenlm model (.arpa/.bin)."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def perplexity(self, t: str | None) -> float | None:
+        if t is None:
+            return None
+        return float(self.model.perplexity(t.replace("\n", " ")))
+
+
+def _construct_model(name: str, path: str | None):
+    if path is None:
+        return _HeuristicLangID() if name == "langid" else _HeuristicCharLM()
+    import json as _json
+
+    try:
+        with open(path, encoding="utf-8") as f:
+            spec = _json.load(f)
+        is_json = isinstance(spec, dict) and "kind" in spec
+    except (UnicodeDecodeError, ValueError):
+        is_json, spec = False, None
+    if is_json:
+        kind = spec["kind"]
+        if kind == "table-langid":
+            return _TableLangID(spec)
+        if kind == "table-perplexity":
+            return _TableCharLM(spec)
+        raise ValueError(f"unknown model artifact kind {kind!r} in {path}")
+    # binary artifact → the real library is required; never silently
+    # fall back to the heuristic when an artifact was explicitly shipped
+    if name == "langid":
+        try:
+            import fasttext  # type: ignore
+        except ImportError as e:
+            raise RuntimeError(
+                f"binary langid artifact {path} shipped but fasttext is not "
+                "installed on the executors"
+            ) from e
+        return _FastTextLangID(fasttext.load_model(path))
+    try:
+        import kenlm  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            f"binary perplexity artifact {path} shipped but kenlm is not "
+            "installed on the executors"
+        ) from e
+    return _KenLM(kenlm.Model(path))
+
+
+def _load_model(name: str):
+    """Per-Python-worker model cache keyed by (name, artifact path) so a
+    mid-session artifact registration takes effect on reused workers."""
+    path = _find_artifact(name)
+    key = (name, path)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = _construct_model(name, path)
+    return _MODEL_CACHE[key]
+
+
+@pandas_udf(StringType())
+def fasttext_like_langid_udf(texts: pd.Series) -> pd.Series:
+    """fastText-shaped langid UDF. Backend resolved per the artifact
+    contract above (real .bin → fasttext; JSON stub → table; none →
+    deterministic heuristic). The Arrow batch shape, caching and plan
+    are identical for all backends."""
+    return _load_model("langid").predict_batch(texts)
+
+
+@pandas_udf(DoubleType())
+def kenlm_like_perplexity_udf(texts: pd.Series) -> pd.Series:
+    """KenLM-shaped perplexity UDF. Backend resolved per the artifact
+    contract above (real .arpa/.bin → kenlm; JSON stub → table; none →
+    deterministic hash-trigram stand-in)."""
+    m = _load_model("kenlm")
+    return texts.map(m.perplexity)
 
 
 def perplexity_bits_py(t: str | None) -> float | None:

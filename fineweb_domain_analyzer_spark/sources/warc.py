@@ -182,17 +182,60 @@ def _open_stream(path: str) -> BinaryIO:
     return fsspec.open(path, "rb").open()
 
 
+def stream_warc_file_batches(
+    path: str,
+    names: list[str],
+    batch_rows: int = 2048,
+    max_records: int | None = None,
+    batch_bytes: int = 32 * 1024 * 1024,
+) -> Iterator[pd.DataFrame]:
+    """Stream ONE warc(.gz) file as bounded pandas DataFrames.
+    This is the exact per-file loop the read_warc workers run. A batch
+    flushes at ``batch_rows`` rows OR ``batch_bytes`` of accumulated
+    content — the byte cap matters because record size is
+    corpus-controlled: 2048 rows of 48 KB pages is a 100 MB Arrow
+    batch, so a row-only cap would make worker memory scale with
+    document fatness. With both caps, peak RSS is one record + one
+    bounded batch, independent of file size AND record size — see
+    tests/test_warc_media.py::test_warc_streaming_memory_bounded and
+    BENCH/warc_memory.json."""
+    with _open_stream(path) as fh:
+        stream: BinaryIO = (
+            gzip.GzipFile(fileobj=fh)  # type: ignore[assignment]
+            if path.endswith(".gz")
+            else fh
+        )
+        it = (
+            iter_warc_records_warcio(stream)
+            if HAS_WARCIO
+            else iter_warc_records_builtin(stream)
+        )
+        out: list[dict] = []
+        out_bytes = 0
+        for i, rec in enumerate(it):
+            if max_records is not None and i >= max_records:
+                break
+            out.append(rec)
+            out_bytes += len(rec.get("content") or "")
+            if len(out) >= batch_rows or out_bytes >= batch_bytes:
+                yield pd.DataFrame(out, columns=names)
+                out, out_bytes = [], 0
+        if out:
+            yield pd.DataFrame(out, columns=names)
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
     max_records_per_file: int | None = None,
     batch_rows: int = 2048,
+    batch_bytes: int = 32 * 1024 * 1024,
 ) -> DataFrame:
     """Distributed WARC scan: one task per file; each worker opens its
-    file directly and streams records out in ≤ batch_rows Arrow
-    batches, so peak memory is one record + one batch, never the whole
-    shard. Schema = WARC_RECORD (all strings, matching the reference's
-    JSONL output shape)."""
+    file directly and streams records out in Arrow batches bounded by
+    both row count and content bytes, so peak memory is one record +
+    one bounded batch, never the whole shard. Schema = WARC_RECORD
+    (all strings, matching the reference's JSONL output shape)."""
     # binaryFile prunes the content column away when only `path` is
     # selected — this scan is a listing, not a read
     files = spark.read.format("binaryFile").load(path).select("path")
@@ -209,31 +252,9 @@ def read_warc(
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for p in pdf["path"]:
-                p = str(p)
-                with _open_stream(p) as fh:
-                    stream: BinaryIO = (
-                        gzip.GzipFile(fileobj=fh)  # type: ignore[assignment]
-                        if p.endswith(".gz")
-                        else fh
-                    )
-                    it = (
-                        iter_warc_records_warcio(stream)
-                        if HAS_WARCIO
-                        else iter_warc_records_builtin(stream)
-                    )
-                    out: list[dict] = []
-                    for i, rec in enumerate(it):
-                        if (
-                            max_records_per_file is not None
-                            and i >= max_records_per_file
-                        ):
-                            break
-                        out.append(rec)
-                        if len(out) >= batch_rows:
-                            yield pd.DataFrame(out, columns=names)
-                            out = []
-                    if out:
-                        yield pd.DataFrame(out, columns=names)
+                yield from stream_warc_file_batches(
+                    str(p), names, batch_rows, max_records_per_file, batch_bytes
+                )
 
     return files.mapInPandas(_parse, WARC_RECORD)
 

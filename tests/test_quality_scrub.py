@@ -282,3 +282,65 @@ def test_langid_monster_doc_no_packed_overflow(spark):
     df = spark.createDataFrame(rows, "url string, text string, want string")
     for r in with_langid(df).collect():
         assert r["langid"] == r["want"], r["url"]
+
+
+def test_model_artifact_pluggability(spark, tmp_path):
+    """VERDICT r2 item 8: swap the stand-in scorers for real artifact
+    files through the loader contract WITHOUT touching any plan code.
+    JSON table-stub artifacts ship via register_model_artifact
+    (sparkContext.addFile — the real-cluster mechanism) and the same
+    UDF column expressions pick them up; deleting the artifact from the
+    SparkFiles root reverts reused workers to the heuristic (the model
+    cache is keyed by (name, artifact path))."""
+    import json
+    import os
+
+    from pyspark import SparkFiles
+
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        artifact_basename,
+        register_model_artifact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"), (2, "mystery words")],
+        ["id", "text"],
+    )
+    lid_col = fasttext_like_langid_udf(F.col("text")).alias("lid")
+    ppl_col = kenlm_like_perplexity_udf(F.col("text")).alias("ppl")
+
+    # baseline: heuristic backend
+    base = {r["id"]: (r["lid"], r["ppl"]) for r in df.select("id", lid_col, ppl_col).collect()}
+    assert base[1][0] == "en"
+    assert base[2][1] == perplexity_bits_py("mystery words")
+
+    # inject artifacts honoring the loader contract
+    lang_art = tmp_path / "langid.json"
+    lang_art.write_text(json.dumps({
+        "kind": "table-langid",
+        "table": {"the cat and the dog of the house": "xx"},
+        "default": "yy",
+    }))
+    ppl_art = tmp_path / "ppl.json"
+    ppl_art.write_text(json.dumps({
+        "kind": "table-perplexity",
+        "scores": {"mystery words": 42.5},
+        "default": 7.0,
+    }))
+    register_model_artifact(spark, "langid", str(lang_art))
+    register_model_artifact(spark, "kenlm", str(ppl_art))
+    try:
+        got = {r["id"]: (r["lid"], r["ppl"]) for r in df.select("id", lid_col, ppl_col).collect()}
+        # identical plan, swapped backend
+        assert got[1] == ("xx", 7.0)
+        assert got[2] == ("yy", 42.5)
+    finally:
+        # local-mode cleanup: removing the staged file reverts workers
+        # (they re-probe the SparkFiles root every batch)
+        for name in ("langid", "kenlm"):
+            p = os.path.join(SparkFiles.getRootDirectory(), artifact_basename(name))
+            if os.path.exists(p):
+                os.remove(p)
+
+    back = {r["id"]: (r["lid"], r["ppl"]) for r in df.select("id", lid_col, ppl_col).collect()}
+    assert back == base
