@@ -30,9 +30,16 @@ def synth_pages(
     seed: int = 42,
     zipf_alpha: float = 4.0,
     partitions: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
-    """Deterministic pages table. All expressions JVM-side."""
-    df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    """Deterministic pages table. All expressions JVM-side.
+
+    ``start`` offsets the id range so successive calls generate
+    disjoint url spaces — e.g. simulated incremental dump drops for the
+    streaming ingest tests."""
+    df = spark.range(
+        start, start + n_rows, 1, partitions or spark.sparkContext.defaultParallelism
+    )
     h = F.abs(F.xxhash64(F.col("id"), F.lit(seed)))
     u = (h % 1_000_000) / 1_000_000.0  # uniform-ish in [0,1)
     dom_idx = F.floor(F.lit(n_domains) * F.pow(u, F.lit(zipf_alpha))).cast("long")

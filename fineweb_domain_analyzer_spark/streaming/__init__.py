@@ -1,15 +1,35 @@
-"""Streaming — deliberately ABSENT (SURVEY.md §2.8).
+"""Streaming — incremental ingest on top of the batch pipeline.
 
 The reference is batch-only: its README's "streaming" means
-constant-memory file iteration, not Structured Streaming, and the
-north rule specifies a resumable spark-submit BATCH job (resume =
-snapshot checkpointing, see plans/checkpoint.py — not streaming
-state).
+constant-memory file iteration (/root/reference/fineweb_analyzer.py:
+100-113), not Structured Streaming, and the north rule specifies a
+resumable spark-submit BATCH job (resume = snapshot checkpointing, see
+plans/checkpoint.py — not streaming state). So nothing here is parity
+surface; it is the continuous-ingest extension a production corpus
+pipeline runs between full batch rebuilds.
 
-If a future requirement adds continuous ingest, the pipeline stages in
-plans/pipeline.py are already expressed as pure DataFrame→DataFrame
-transforms, so they lift onto ``spark.readStream`` unchanged; only the
-sink (writeStream + checkpointLocation) and the policy-dimension
-refresh (a slowly-changing broadcast, via stream-static join) would be
-new code.
+``pipeline`` lifts the batch stages (pure DataFrame→DataFrame
+transforms, plans/pipeline.py) onto ``spark.readStream``:
+
+* AvailableNow incremental runs — process only files that landed since
+  the last run, exactly-once at file granularity via the checkpoint.
+* Stream-static broadcast join against the domain-policy dimension
+  (refreshes per micro-batch — a slowly-changing dimension).
+* Watermark-bounded streaming exact dedup
+  (``dropDuplicatesWithinWatermark`` — state is O(horizon), never
+  O(corpus)).
+* Event-time windowed drop-reason metrics with a watermark.
+
+Correctness story: streaming output must equal the batch pipeline on
+the same input (tests/test_streaming.py asserts label equivalence
+per url) — streaming is an execution mode, not different semantics.
 """
+
+from fineweb_domain_analyzer_spark.streaming.pipeline import (  # noqa: F401
+    PAGES_SCHEMA,
+    dedup_stream,
+    read_pages_stream,
+    run_incremental,
+    streaming_drop_reason_counts,
+    streaming_quality_filter,
+)

@@ -1,0 +1,150 @@
+"""Structured Streaming ingest: incremental exactly-once runs, batch
+equivalence, watermark dedup, windowed metrics.
+
+The correctness bar for streaming is *batch equivalence*: the same
+input through readStream + AvailableNow must produce exactly the rows
+and labels the batch pipeline produces — streaming is an execution
+mode, not different semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.plans.pipeline import quality_filter_pipeline
+from fineweb_domain_analyzer_spark.sources.pages import (
+    synth_pages,
+    synth_policy_for_domains,
+)
+from fineweb_domain_analyzer_spark.streaming import (
+    dedup_stream,
+    read_pages_stream,
+    run_incremental,
+    streaming_drop_reason_counts,
+    streaming_quality_filter,
+)
+
+N_DOMAINS = 50
+
+
+def _land(spark, in_dir: str, n: int, seed: int, start: int = 0) -> None:
+    """Drop one batch of pages as a new file set in the landing dir.
+
+    ``start`` keeps url spaces of successive drops disjoint (urls embed
+    the row id), so per-url equivalence joins below stay 1:1."""
+    synth_pages(
+        spark, n, n_domains=N_DOMAINS, seed=seed, partitions=1, start=start
+    ).write.mode("append").parquet(in_dir)
+
+
+def test_incremental_ingest_exactly_once_and_batch_equivalent(spark, tmp_path):
+    in_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    policy = synth_policy_for_domains(spark, N_DOMAINS)
+
+    _land(spark, in_dir, 300, seed=1)
+    r1 = run_incremental(spark, in_dir, out_dir, ckpt, policy)
+    assert r1["rows"] == 300
+
+    # nothing new landed → the checkpoint's file log skips everything
+    r2 = run_incremental(spark, in_dir, out_dir, ckpt, policy)
+    assert r2["rows"] == 0
+
+    # a second dump lands → only ITS rows are processed
+    _land(spark, in_dir, 200, seed=2, start=300)
+    r3 = run_incremental(spark, in_dir, out_dir, ckpt, policy)
+    assert r3["rows"] == 200
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 500
+
+    # batch equivalence: same input through the batch pipeline yields the
+    # same (url → keep, drop_reason) labeling
+    batch = quality_filter_pipeline(spark.read.parquet(in_dir), policy)
+    joined = out.select("url", "keep", "drop_reason").join(
+        batch.select(
+            "url",
+            F.col("keep").alias("b_keep"),
+            F.col("drop_reason").alias("b_reason"),
+        ),
+        "url",
+    )
+    assert joined.count() == 500
+    mismatches = joined.filter(
+        (F.col("keep") != F.col("b_keep"))
+        | (F.col("drop_reason") != F.col("b_reason"))
+    ).count()
+    assert mismatches == 0
+    # partitioned sink: reason-level partition pruning works
+    assert (
+        out.filter(F.col("drop_reason") == "kept").count()
+        == batch.filter(F.col("keep")).count()
+    )
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    in_dir = str(tmp_path / "landing")
+    # two identical file drops → every url appears twice in the source
+    synth_pages(spark, 100, n_domains=N_DOMAINS, seed=3, partitions=1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    synth_pages(spark, 100, n_domains=N_DOMAINS, seed=3, partitions=1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = dedup_stream(read_pages_stream(spark, in_dir), keys=("url",))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select count(*) c, count(distinct url) d from dedup_sink").first()
+    assert got["c"] == 100
+    assert got["d"] == 100
+
+
+def test_windowed_drop_reason_counts_match_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "landing")
+    policy = synth_policy_for_domains(spark, N_DOMAINS)
+    _land(spark, in_dir, 400, seed=4)
+
+    labeled = streaming_quality_filter(read_pages_stream(spark, in_dir), policy)
+    counts = streaming_drop_reason_counts(
+        labeled, window_duration="1 hour", watermark_delay="0 seconds"
+    )
+    # complete mode: every window is emitted regardless of watermark
+    # progress — right for a finite AvailableNow drain
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_sink")
+        .trigger(availableNow=True)
+        .outputMode("complete")
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = (
+        quality_filter_pipeline(spark.read.parquet(in_dir), policy)
+        .groupBy(
+            F.window("warc_ts", "1 hour").alias("win"), F.col("drop_reason")
+        )
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "drop_reason",
+            "rows",
+        )
+    )
+    stream_rows = {
+        (r["window_start"], r["drop_reason"]): r["rows"]
+        for r in spark.table("win_sink").collect()
+    }
+    batch_rows = {
+        (r["window_start"], r["drop_reason"]): r["rows"] for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
+    assert sum(batch_rows.values()) == 400
