@@ -118,3 +118,129 @@ def with_line_clean(
         .withColumn("cleaned_text", F.array_join("_lc_kept", "\n"))
         .drop("_lc_lines", "_lc_kept")
     )
+
+
+def ngram_repetition_stats(tokens: Column, n: int) -> Column:
+    """Gopher (Rae et al. 2021, table A1) n-gram repetition signals as
+    ONE shuffle-free pass: struct(top_cnt, top_chars, dup_chars,
+    total_chars) over the doc's word n-grams.
+
+    * ``top_cnt`` / ``top_chars`` — occurrence count of the most
+      frequent n-gram and the characters it covers (count × gram
+      length); ties break to the lexicographically smallest gram.
+    * ``dup_chars`` — characters covered by n-grams occurring ≥ 2
+      times (count × length, overlaps double-counted — the standard
+      relaxation; exact positional coverage needs interval union).
+    * ``total_chars`` — characters across ALL n-gram occurrences
+      (the fraction denominator; gram-space, not raw-doc-space, so the
+      statistic is separator-convention-independent).
+
+    Plan shape: sort the gram array, then fold run-lengths with
+    ``F.aggregate`` — O(g log g) per document, entirely inside the map
+    stage. The alternative explode → groupBy(doc, gram) → window plan
+    shuffles every gram of the corpus twice; at 100 TB that is the
+    difference between a map-only scan and the largest shuffle in the
+    job. The DuckDB oracle (queries.py q44) uses the explode shape —
+    same values, independent plan.
+
+    The token column must be a MATERIALIZED array column (see
+    word_shingles_from_tokens for the 18× staging rationale).
+    """
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        word_shingles_from_tokens,
+    )
+
+    grams = F.array_sort(word_shingles_from_tokens(tokens, n))
+    zero = F.lit(0).cast("long")
+
+    def _state(prev, run, best_cnt, best_chars, dup_chars, tot):
+        return F.struct(
+            prev.alias("prev"),
+            run.cast("long").alias("run"),
+            best_cnt.cast("long").alias("best_cnt"),
+            best_chars.cast("long").alias("best_chars"),
+            dup_chars.cast("long").alias("dup_chars"),
+            tot.cast("long").alias("tot"),
+        )
+
+    def _close_run(acc):
+        """best/dup updated as if the current run just ended."""
+        run_chars = acc["run"] * F.coalesce(F.length(acc["prev"]), zero).cast("long")
+        is_best = acc["run"] > acc["best_cnt"]  # strict: first (lex-min) wins ties
+        return (
+            F.when(is_best, acc["run"]).otherwise(acc["best_cnt"]),
+            F.when(is_best, run_chars).otherwise(acc["best_chars"]),
+            acc["dup_chars"] + F.when(acc["run"] >= 2, run_chars).otherwise(zero),
+        )
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (acc["prev"] == x)
+        cont = _state(
+            x,
+            acc["run"] + 1,
+            acc["best_cnt"],
+            acc["best_chars"],
+            acc["dup_chars"],
+            acc["tot"] + F.length(x),
+        )
+        best_cnt, best_chars, dup_chars = _close_run(acc)
+        fresh = _state(
+            x, F.lit(1), best_cnt, best_chars, dup_chars, acc["tot"] + F.length(x)
+        )
+        return F.when(same, cont).otherwise(fresh)
+
+    def finish(acc):
+        best_cnt, best_chars, dup_chars = _close_run(acc)
+        return F.struct(
+            best_cnt.alias("top_cnt"),
+            best_chars.alias("top_chars"),
+            dup_chars.alias("dup_chars"),
+            acc["tot"].alias("total_chars"),
+        )
+
+    init = _state(F.lit(None).cast("string"), zero, zero, zero, zero, zero)
+    return F.aggregate(grams, init, merge, finish)
+
+
+def with_ngram_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+    lower_tokens_col: str | None = None,
+) -> DataFrame:
+    """Adds ``top{top_n}gram_char_frac`` and ``dup{dup_n}gram_char_frac``
+    (rounded 6 dp; null when the gram space is empty — e.g. blank doc).
+
+    Gopher's reference thresholds for these two: drop when the most
+    common 2-gram covers > 0.20 of characters, or duplicate 5-grams
+    cover > 0.15 (Rae et al. 2021, table A1)."""
+    if lower_tokens_col is None:
+        df = df.withColumn("_rep_tk", ws_tokens_lower(F.col(text_col)))
+        lower_tokens_col = "_rep_tk"
+    toks = F.col(lower_tokens_col)
+    df = df.withColumn("_rep_top", ngram_repetition_stats(toks, top_n)).withColumn(
+        "_rep_dup", ngram_repetition_stats(toks, dup_n)
+    )
+
+    def _frac(s: Column, chars_field: str) -> Column:
+        return F.when(
+            s["total_chars"] > 0,
+            F.round(s[chars_field] / s["total_chars"], 6),
+        )
+
+    return (
+        df.withColumn(
+            f"top{top_n}gram_char_frac", _frac(F.col("_rep_top"), "top_chars")
+        )
+        .withColumn(f"dup{dup_n}gram_char_frac", _frac(F.col("_rep_dup"), "dup_chars"))
+        .drop("_rep_tk", "_rep_top", "_rep_dup")
+    )
+
+
+def ws_tokens_lower(text: Column) -> Column:
+    """Lowercased whitespace tokens — the tokenization every repetition
+    statistic in this module shares (and stages exactly once)."""
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+
+    return ws_tokens(F.lower(text))

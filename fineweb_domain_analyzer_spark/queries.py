@@ -1558,6 +1558,242 @@ WHERE round(
 """
 
 
+def q44_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021, table A1): per-doc
+    top-2-gram and duplicate-5-gram character fractions.
+
+    Engine plan is shuffle-free (sorted-runs fold inside the map stage,
+    operators/textclean.py:ngram_repetition_stats); the oracle below
+    uses the explode → groupBy shape — independent plans, same values."""
+    from fineweb_domain_analyzer_spark.operators.textclean import (
+        with_ngram_repetition,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_ngram_repetition(docs).select(
+        "doc_id", "top2gram_char_frac", "dup5gram_char_frac"
+    )
+
+
+def _rep_sql(n: int, frac_expr: str, alias: str) -> str:
+    """One n-gram repetition branch of the q44 oracle (gram explode →
+    per-gram counts → per-doc fraction)."""
+    return f"""
+g{n} AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= {n}
+    THEN list_transform(range(1, len(w) - {n - 2}),
+                        i -> array_to_string(w[i:i + {n - 1}], ' '))
+    ELSE [array_to_string(w, ' ')] END) AS g
+  FROM rep_toks
+),
+c{n} AS (SELECT doc_id, g, count(*) AS c,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, g ASC) AS rn
+         FROM g{n} GROUP BY 1, 2),
+a{n} AS (
+  SELECT doc_id,
+         round({frac_expr} / sum(c * length(g)), 6) AS {alias}
+  FROM c{n} GROUP BY doc_id
+)"""
+
+
+Q44_SQL = (
+    """
+WITH rep_toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+),"""
+    + _rep_sql(2, "sum(CASE WHEN rn = 1 THEN c * length(g) ELSE 0 END)",
+               "top2gram_char_frac")
+    + ","
+    + _rep_sql(5, "sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)",
+               "dup5gram_char_frac")
+    + """
+SELECT a2.doc_id, a2.top2gram_char_frac, a5.dup5gram_char_frac
+FROM a2 JOIN a5 ON a2.doc_id = a5.doc_id
+"""
+)
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl-variant URLs over documents: scheme/host case
+    noise, default + non-default ports, utm trackers, shuffled query
+    order, trailing slashes, fragments. Path keys on doc_id % 50 so
+    distinct raw urls genuinely collide after canonicalization."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(d % 5 == 0, F.lit(".EXAMPLE.COM")).otherwise(F.lit(".example.com")),
+        F.when(d % 13 == 0, F.lit(":443"))
+        .when(d % 17 == 0, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/doc/"),
+        (d % 50).cast("string"),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 4 == 1, F.lit("?b=2&a=1"))
+        .when(d % 4 == 2, F.lit("?a=1&b=2&utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+MESSY_URLS_CTE = """
+messy AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) || source ||
+    (CASE WHEN doc_id % 5 = 0 THEN '.EXAMPLE.COM' ELSE '.example.com' END) ||
+    (CASE WHEN doc_id % 13 = 0 THEN ':443'
+          WHEN doc_id % 17 = 0 THEN ':8080' ELSE '' END) ||
+    '/doc/' || CAST(doc_id % 50 AS VARCHAR) ||
+    (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+          WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
+          WHEN doc_id % 4 = 2 THEN '?a=1&b=2&utm_campaign=x'
+          ELSE '' END) ||
+    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+)
+"""
+
+
+def q45_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup rollup (functions/urls.py
+    rules 1-5). All built-in string/array expressions — the engine plan
+    is one map stage plus the final groupBy."""
+    from fineweb_domain_analyzer_spark.functions.urls import with_canonical_url
+
+    urls = _messy_urls(spark, sf_dir)
+    return (
+        with_canonical_url(urls)
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("url_cnt"),
+            F.countDistinct("url").alias("variant_cnt"),
+        )
+    )
+
+
+Q45_SQL = f"""
+WITH {MESSY_URLS_CTE},
+parts AS (
+  SELECT url,
+    lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS auth0,
+    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^#]*)', 1) AS tail
+  FROM messy
+),
+canon AS (
+  SELECT url,
+    scheme || '://' ||
+    (CASE WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+          WHEN scheme = 'http'  THEN regexp_replace(auth0, ':80$', '')
+          ELSE auth0 END) ||
+    regexp_replace(regexp_extract(tail, '^([^?]*)', 1), '/$', '') ||
+    (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END)
+      AS canonical_url
+  FROM (SELECT *,
+               list_sort(list_filter(
+                 string_split(regexp_extract(tail, '\\?(.*)$', 1), '&'),
+                 p -> len(p) > 0 AND NOT starts_with(p, 'utm_'))) AS ps
+        FROM parts)
+)
+SELECT canonical_url, count(*) AS url_cnt, count(DISTINCT url) AS variant_cnt
+FROM canon GROUP BY 1
+"""
+
+
+def q46_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 5-grams (doc_freq ≥ 2) — the shingle
+    doc-frequency table behind contamination checks and boilerplate
+    mining. Engine: stage tokens → shingle → explode → one groupBy on
+    the gram (partial aggregation makes the shuffle carry only distinct
+    grams per partition, not every occurrence)."""
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        word_shingles_from_tokens,
+    )
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("_tk")
+    )
+    grams = staged.select(
+        "doc_id", F.explode(word_shingles_from_tokens(F.col("_tk"), 5)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("occurrences"),
+        )
+        .filter(F.col("doc_freq") >= 2)
+    )
+
+
+Q46_SQL = """
+WITH rep_toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+),
+g5 AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+    THEN list_transform(range(1, len(w) - 3),
+                        i -> array_to_string(w[i:i + 4], ' '))
+    ELSE [array_to_string(w, ' ')] END) AS gram
+  FROM rep_toks
+)
+SELECT gram, count(DISTINCT doc_id) AS doc_freq, count(*) AS occurrences
+FROM g5 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def q47_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language word-count deciles (corpus curation: sample or
+    threshold per quality band instead of one global cutoff). ntile
+    over a deterministic order (word_count, doc_id), then a rollup per
+    (lang, decile)."""
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(ws_tokens(F.lower(F.col("text")))).cast("bigint").alias("word_count"),
+    )
+    dec = F.ntile(10).over(Window.partitionBy("lang").orderBy("word_count", "doc_id"))
+    return (
+        d.withColumn("decile", dec.cast("int"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("word_count"), 4).alias("avg_wc"),
+            F.min("word_count").alias("min_wc"),
+            F.max("word_count").alias("max_wc"),
+        )
+    )
+
+
+Q47_SQL = """
+SELECT lang, decile, count(*) AS docs,
+       round(avg(word_count), 4) AS avg_wc,
+       min(word_count) AS min_wc, max(word_count) AS max_wc
+FROM (
+  SELECT lang, word_count,
+         ntile(10) OVER (PARTITION BY lang
+                         ORDER BY word_count, doc_id)::INTEGER AS decile
+  FROM (SELECT doc_id, lang,
+               len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT
+                 AS word_count
+        FROM documents))
+GROUP BY 1, 2
+"""
+
+
 def q28_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: the reference's global filter metrics over the flagship
     labels (total/kept/excluded/keep_ratio)."""
@@ -1651,6 +1887,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_dedup_keep_canonical": q41_dedup_keep_canonical,
     "q42_media_features": q42_media_features,
     "q43_embedding_near_dups_banded": q43_embedding_near_dups_banded,
+    "q44_gopher_repetition": q44_gopher_repetition,
+    "q45_url_canonicalize": q45_url_canonicalize,
+    "q46_shared_ngrams": q46_shared_ngrams,
+    "q47_quality_deciles": q47_quality_deciles,
 }
 
 
@@ -1696,4 +1936,8 @@ def oracle_sql() -> dict[str, str]:
         "q41_dedup_keep_canonical": Q41_SQL,
         "q42_media_features": Q42_SQL,
         "q43_embedding_near_dups_banded": Q43_SQL,
+        "q44_gopher_repetition": Q44_SQL,
+        "q45_url_canonicalize": Q45_SQL,
+        "q46_shared_ngrams": Q46_SQL,
+        "q47_quality_deciles": Q47_SQL,
     }

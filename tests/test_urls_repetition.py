@@ -1,0 +1,113 @@
+"""Unit tests: URL canonicalization rules + Gopher n-gram repetition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.functions.urls import (
+    canonical_url_dedup,
+    canonicalize_url,
+)
+from fineweb_domain_analyzer_spark.operators.textclean import with_ngram_repetition
+
+
+def _canon(spark, url):
+    return (
+        spark.createDataFrame([(url,)], "url string")
+        .select(canonicalize_url(F.col("url")).alias("c"))
+        .first()["c"]
+    )
+
+
+class TestCanonicalizeUrl:
+    def test_case_and_fragment(self, spark):
+        assert (
+            _canon(spark, "HTTPS://WWW.Example.COM/Path#frag")
+            == "https://www.example.com/Path"
+        )  # path case is significant; host/scheme case is not
+
+    def test_default_ports_stripped_nondefault_kept(self, spark):
+        assert _canon(spark, "https://a.com:443/x") == "https://a.com/x"
+        assert _canon(spark, "http://a.com:80/x") == "http://a.com/x"
+        assert _canon(spark, "http://a.com:8080/x") == "http://a.com:8080/x"
+        # :443 is only default for https
+        assert _canon(spark, "http://a.com:443/x") == "http://a.com:443/x"
+
+    def test_query_params_sorted_and_utm_dropped(self, spark):
+        assert (
+            _canon(spark, "https://a.com/p?utm_source=f&b=2&a=1")
+            == "https://a.com/p?a=1&b=2"
+        )
+        assert _canon(spark, "https://a.com/p?b=2&a=1") == "https://a.com/p?a=1&b=2"
+        # all params tracked → the '?' goes away entirely
+        assert _canon(spark, "https://a.com/p?utm_x=1&utm_y=2") == "https://a.com/p"
+
+    def test_trailing_slash(self, spark):
+        assert _canon(spark, "https://a.com/p/") == "https://a.com/p"
+        assert _canon(spark, "https://a.com/") == "https://a.com"
+        assert _canon(spark, "https://a.com") == "https://a.com"
+
+    def test_null_and_unparseable(self, spark):
+        assert _canon(spark, None) is None
+        assert _canon(spark, "not-a-url") is None
+
+    def test_variants_collide(self, spark):
+        variants = [
+            "HTTPS://A.com:443/p/?b=2&a=1#top",
+            "https://a.com/p?a=1&b=2&utm_c=x",
+            "https://a.com/p/?utm_s=y&b=2&a=1",
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], ["url"])
+        out = df.select(canonicalize_url(F.col("url")).alias("c")).distinct()
+        assert out.count() == 1
+        assert out.first()["c"] == "https://a.com/p?a=1&b=2"
+
+    def test_dedup_keep_first_deterministic(self, spark):
+        rows = [
+            ("https://a.com/p?b=2&a=1", 2),
+            ("https://a.com/p/?a=1&b=2", 1),
+            ("https://b.com/q", 3),
+        ]
+        df = spark.createDataFrame(rows, ["url", "pri"])
+        kept = canonical_url_dedup(df, order_cols=("pri",)).collect()
+        by_canon = {r["canonical_url"]: r["url"] for r in kept}
+        assert by_canon["https://a.com/p?a=1&b=2"] == "https://a.com/p/?a=1&b=2"
+        assert len(kept) == 2
+
+
+class TestNgramRepetition:
+    def test_pure_repetition_tops_out(self, spark):
+        df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+        r = with_ngram_repetition(df).first()
+        # 2-grams: [a b, b a, a b, b a, a b] → top 'a b' ×3, total chars 15
+        assert r["top2gram_char_frac"] == round(9 / 15, 6)
+        # all 5-grams unique? 'a b a b a' and 'b a b a b' → no dups
+        assert r["dup5gram_char_frac"] == 0.0
+
+    def test_no_repetition(self, spark):
+        df = spark.createDataFrame([(1, "q w e r t y u i")], ["doc_id", "text"])
+        r = with_ngram_repetition(df).first()
+        # every 2-gram distinct → top covers exactly one occurrence
+        assert r["top2gram_char_frac"] == round(3 / 21, 6)
+        assert r["dup5gram_char_frac"] == 0.0
+
+    def test_short_doc_collapses_to_whole_doc_shingle(self, spark):
+        df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+        r = with_ngram_repetition(df).first()
+        assert r["top2gram_char_frac"] == 1.0
+        assert r["dup5gram_char_frac"] == 0.0
+
+    def test_tie_breaks_to_lexicographically_smallest(self, spark):
+        # 'z a' and 'a z' both appear twice; top must be 'a z' (lex-min),
+        # same length so the fraction is identical either way — assert
+        # via a case where lengths differ: 'bb c' ×2 vs 'a bb' ×2
+        df = spark.createDataFrame([(1, "a bb c a bb c a")], ["doc_id", "text"])
+        r = with_ngram_repetition(df).first()
+        # 2-grams: a bb, bb c, c a, a bb, bb c, c a → counts 2,2,2
+        # lex-min 'a bb' (4 chars) → top = 2*4 / total(2*4+2*4+2*3)=8/22
+        assert r["top2gram_char_frac"] == round(8 / 22, 6)
+
+    def test_shuffle_free_plan(self, spark):
+        df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+        plan = with_ngram_repetition(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
