@@ -19,6 +19,9 @@ transforms, plans/pipeline.py) onto ``spark.readStream``:
   (``dropDuplicatesWithinWatermark`` — state is O(horizon), never
   O(corpus)).
 * Event-time windowed drop-reason metrics with a watermark.
+* A custom stateful operator (``stateful.streaming_domain_stats``):
+  running per-domain stats via ``applyInPandasWithState``, state
+  resuming across AvailableNow runs from the checkpoint.
 
 Correctness story: streaming output must equal the batch pipeline on
 the same input (tests/test_streaming.py asserts label equivalence
@@ -32,4 +35,7 @@ from fineweb_domain_analyzer_spark.streaming.pipeline import (  # noqa: F401
     run_incremental,
     streaming_drop_reason_counts,
     streaming_quality_filter,
+)
+from fineweb_domain_analyzer_spark.streaming.stateful import (  # noqa: F401
+    streaming_domain_stats,
 )
