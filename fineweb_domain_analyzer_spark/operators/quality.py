@@ -184,6 +184,47 @@ def gopher_keep(
     )
 
 
+def with_approx_quality_bands(
+    df: DataFrame,
+    score_col: str,
+    by_col: str,
+    k: int = 10,
+    accuracy: int = 10_000,
+    out_col: str = "band",
+) -> DataFrame:
+    """Scale-path banding: assign each row a quantile band of
+    ``score_col`` within its ``by_col`` group WITHOUT a global sort.
+
+    The exact formulation (q47's ntile window) funnels every row of a
+    group through ONE reducer — at web scale 'en' is most of the
+    corpus, so that task never finishes. Here: one small aggregation
+    computes approx quantile cut points per group
+    (``percentile_approx``, GK-sketch, mergeable map-side), which
+    broadcast-join back and the band assignment is a map-only array
+    probe. Bands are approximate at sketch accuracy (1/accuracy
+    relative rank error) but the plan is two scans and a broadcast —
+    the shape that survives 100×.
+
+    Band semantics: band i (1-based) ⇔ score > cut[i-1] (cuts are the
+    1/k … (k-1)/k approx quantiles); ties at a cut fall into the lower
+    band, mirroring ntile's ordering by score alone."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    probs = [i / k for i in range(1, k)]
+    cuts = df.groupBy(by_col).agg(
+        F.percentile_approx(score_col, probs, accuracy).alias("_cuts")
+    )
+    joined = df.join(F.broadcast(cuts), by_col)
+    band = (
+        F.aggregate(
+            F.col("_cuts"),
+            F.lit(1),
+            lambda acc, c: acc + F.when(F.col(score_col) > c, 1).otherwise(0),
+        )
+    ).cast("int")
+    return joined.withColumn(out_col, band).drop("_cuts")
+
+
 # --- corpus-derived unigram LM perplexity (distributed, no model file) ------
 
 def unigram_perplexity(

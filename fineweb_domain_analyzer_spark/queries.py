@@ -1756,7 +1756,15 @@ def q47_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language word-count deciles (corpus curation: sample or
     threshold per quality band instead of one global cutoff). ntile
     over a deterministic order (word_count, doc_id), then a rollup per
-    (lang, decile)."""
+    (lang, decile).
+
+    Scale note: the ntile window funnels each language through ONE
+    reducer — exact and fine at bench scale, quadratic-pain at web
+    scale where 'en' is most of the corpus. The production path is
+    operators/quality.py:with_approx_quality_bands (percentile_approx
+    cut points + broadcast + map-only probe; plan-asserted in
+    tests/test_urls_repetition.py). This query stays exact because the
+    oracle is exact."""
     from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
 
     docs = _t(spark, sf_dir, "documents")

@@ -111,3 +111,43 @@ class TestNgramRepetition:
         df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
         plan = with_ngram_repetition(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestApproxQualityBands:
+    """Scale-path banding (operators/quality.py:with_approx_quality_bands)
+    — the map-only alternative to q47's exact ntile window."""
+
+    def test_bands_balanced_monotone_broadcast(self, spark):
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            with_approx_quality_bands,
+        )
+
+        df = spark.range(10000).select(
+            (F.col("id") % 2).cast("string").alias("lang"),
+            (F.col("id") * 7 % 1000).cast("double").alias("score"),
+        )
+        out = with_approx_quality_bands(df, "score", "lang", k=10)
+        sizes = {
+            (r["lang"], r["band"]): r["count"]
+            for r in out.groupBy("lang", "band").count().collect()
+        }
+        # 20 (lang, band) cells, each ~1/10 of its lang (exact here:
+        # the score space is uniform and the sketch resolves it)
+        assert len(sizes) == 20
+        assert all(400 <= c <= 600 for c in sizes.values())
+        # bands are monotone in score within each lang
+        agg = (
+            out.groupBy("lang", "band")
+            .agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+            .orderBy("lang", "band")
+            .collect()
+        )
+        prev: dict = {}
+        for r in agg:
+            assert r["lang"] not in prev or r["lo"] >= prev[r["lang"]]
+            prev[r["lang"]] = r["hi"]
+        # the scale property: cuts join back via broadcast, no fact-side
+        # sort or per-group funnel
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Window" not in plan
