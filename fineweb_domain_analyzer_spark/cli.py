@@ -337,6 +337,38 @@ def filter_content(spark, args, robots_results: dict | None = None, jsonl_path=N
     return filtered_file, excluded_file, stats
 
 
+def stream_ingest(spark, args) -> dict:
+    """Incremental ingest verb: drain new parquet page files from
+    --input through the quality-filter pipeline into --output/pages,
+    exactly-once at file granularity (streaming/pipeline.py).
+
+    Re-running after more files land processes ONLY the new files —
+    the checkpoint's file-source log records what was seen. Policy
+    comes from a frozen --robots snapshot when given; otherwise an
+    empty dimension (default-allow for every domain, F4/F5 semantics).
+    """
+    from fineweb_domain_analyzer_spark.schema import DOMAIN_POLICY
+    from fineweb_domain_analyzer_spark.streaming.pipeline import run_incremental
+
+    if args.robots:
+        policy = load_policy_fixture(spark, args.robots)
+    else:
+        policy = spark.createDataFrame([], DOMAIN_POLICY)
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    checkpoint = args.checkpoint or str(out_dir / "_stream_checkpoint")
+    summary = run_incremental(
+        spark,
+        args.input,
+        str(out_dir / "pages"),
+        checkpoint,
+        policy,
+        dedup=args.stream_dedup,
+    )
+    print(json.dumps(summary))
+    return summary
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="FineWeb Domain Analyzer — Spark engine, reference-compatible CLI"
@@ -373,6 +405,25 @@ def build_parser() -> argparse.ArgumentParser:
         "filtered_*.jsonl / excluded_*.jsonl become SYMLINKS to those "
         "directories despite their file-like names",
     )
+    p.add_argument(
+        "--stream-ingest",
+        action="store_true",
+        help="incremental ingest: run the quality-filter pipeline over "
+        "new parquet page files under --input (AvailableNow trigger; "
+        "exactly-once per file via --checkpoint); re-run after every "
+        "dump drop",
+    )
+    p.add_argument(
+        "--checkpoint",
+        help="streaming checkpoint dir for --stream-ingest "
+        "(default: <output>/_stream_checkpoint)",
+    )
+    p.add_argument(
+        "--stream-dedup",
+        action="store_true",
+        help="with --stream-ingest: watermark-bounded exact URL dedup "
+        "across micro-batches",
+    )
     p.add_argument("--run-ts", help="inject run timestamp (YYYYmmdd_HHMMSS) for determinism")
     p.add_argument("--run-iso", help="inject ISO timestamp for determinism")
     p.add_argument("--master", default=None)
@@ -383,7 +434,7 @@ def main(argv: list[str] | None = None) -> int:
     p = build_parser()
     args = p.parse_args(argv)
 
-    if (args.all_steps or args.warc_to_json or args.extract_domains or args.filter_content) and not args.input:
+    if (args.all_steps or args.warc_to_json or args.extract_domains or args.filter_content or args.stream_ingest) and not args.input:
         p.error("these operations require --input")
     if args.check_robots and not (args.domains or args.all_steps):
         p.error("--check-robots requires --domains")
@@ -396,6 +447,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.extract_domains
         or args.check_robots
         or args.filter_content
+        or args.stream_ingest
     )
     if not has_action:
         p.print_help()
@@ -421,6 +473,8 @@ def main(argv: list[str] | None = None) -> int:
             check_robots(spark, args)
         elif args.filter_content:
             filter_content(spark, args)
+        elif args.stream_ingest:
+            stream_ingest(spark, args)
     finally:
         if created:
             spark.stop()

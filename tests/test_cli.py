@@ -228,3 +228,32 @@ def test_cli_main_in_process_preserves_caller_session(spark, fixtures_dir, tmp_p
     # ...and UNRECONFIGURED: get_spark_owned must not apply the
     # engine's default confs to a caller-owned session
     assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+
+
+def test_cli_stream_ingest_incremental(spark, tmp_path):
+    """--stream-ingest drains new files once, is a no-op on re-run, and
+    picks up only the delta after another dump lands."""
+    from fineweb_domain_analyzer_spark.sources.pages import synth_pages
+
+    in_dir = str(tmp_path / "landing")
+    out_dir = tmp_path / "out"
+    synth_pages(spark, 200, n_domains=20, seed=7, partitions=1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    argv = ["--input", in_dir, "--output", str(out_dir), "--stream-ingest"]
+    assert cli.main(argv) == 0
+    first = spark.read.parquet(str(out_dir / "pages"))
+    assert first.count() == 200
+    # the full labeled schema flows through the CLI verb
+    assert {"keep", "drop_reason", "scrubbed_text"} <= set(first.columns)
+
+    # re-run with nothing new: exactly-once at file granularity
+    assert cli.main(argv) == 0
+    assert spark.read.parquet(str(out_dir / "pages")).count() == 200
+
+    synth_pages(
+        spark, 100, n_domains=20, seed=8, partitions=1, start=200
+    ).write.mode("append").parquet(in_dir)
+    assert cli.main(argv) == 0
+    assert spark.read.parquet(str(out_dir / "pages")).count() == 300
