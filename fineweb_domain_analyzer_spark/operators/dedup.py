@@ -571,3 +571,38 @@ def simhash_banded_candidates(
     if max_hamming is not None:
         pairs = pairs.filter(F.col("hamming") <= max_hamming)
     return pairs
+
+
+def latest_snapshot_per_key(
+    df: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "crawl_ts",
+    tiebreak_col: str = "doc_id",
+    count_col: str | None = "n_snapshots",
+) -> DataFrame:
+    """Re-crawl collapse: keep the newest snapshot per key (the
+    Common-Crawl cross-dump dedup — every monthly dump re-fetches hot
+    urls; training corpora want exactly one, the freshest).
+
+    One shuffle on ``key_col``; the per-key window buffers only that
+    key's snapshots, whose count is bounded by crawl frequency (dumps
+    per retention window), NOT by corpus size — so the window state
+    stays O(dumps) per key at 10^12 documents. Ties on ``ts_col``
+    break deterministically on ``tiebreak_col`` (descending), so the
+    result is stable across engines and runs. With ``count_col`` set,
+    the kept row carries how many snapshots it collapsed (lineage for
+    the dedup-rate metric); both window functions share one
+    partitioning, so it costs no extra exchange.
+    """
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    out = df.withColumn("_rn", F.row_number().over(w_rank))
+    if count_col is not None:
+        out = out.withColumn(
+            count_col,
+            F.count(F.lit(1)).over(Window.partitionBy(key_col)).cast("bigint"),
+        )
+    return out.filter(F.col("_rn") == 1).drop("_rn")

@@ -118,3 +118,39 @@ def split_kept_excluded(labeled: DataFrame) -> tuple[DataFrame, DataFrame]:
     fineweb_analyzer.py:427-468) as two filtered views; callers write
     them with ``partitionBy('keep')`` for a single-pass sink."""
     return labeled.filter(F.col("keep")), labeled.filter(~F.col("keep"))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: int = 0,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``md5(id) mod 100 < rates[stratum]`` (percent). The curation use:
+    rebalance a Zipf language mix (e.g. keep 50% of 'en', 25% of the
+    rest) with a sample that is REPRODUCIBLE — same rows on every run,
+    every engine, every cluster size — unlike ``df.sample``, whose
+    output depends on partitioning. Hash-of-id also means a doc's
+    membership never flips when unrelated rows are added, so holdout
+    sets stay stable across corpus versions.
+
+    Map-only: no shuffle, no RNG state; the hash-bucket expression is
+    whole-stage-codegen JVM work, so this costs one projection at any
+    scale. ``rates`` values are integer percents (0-100);
+    strata absent from ``rates`` get ``default_rate``.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate: Column = F.lit(default_rate)
+    for stratum, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    out = df.withColumn("_bucket", bucket).filter(F.col("_bucket") < rate)
+    if bucket_col is None:
+        return out.drop("_bucket")
+    return out.withColumnRenamed("_bucket", bucket_col)

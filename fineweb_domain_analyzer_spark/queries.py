@@ -1850,6 +1850,87 @@ GROUP BY 1
 """
 
 
+def q48_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dump re-crawl collapse: synthesize ~4 crawl snapshots per
+    url (doc_id // 80 keys the url within a source; a crawl_ts orders
+    them) and keep only the newest per url, carrying how many snapshots
+    it collapsed. operators/dedup.py:latest_snapshot_per_key — one
+    shuffle on url; per-key window state is O(dumps per url), not
+    O(corpus)."""
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        latest_snapshot_per_key,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    grp = F.floor(F.col("doc_id") / 80).cast("bigint")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        grp.cast("string"),
+    )
+    ts = (F.lit(1700000000) + (F.col("doc_id") * 37) % 100000).cast("bigint")
+    snaps = docs.select(
+        F.col("doc_id"), url.alias("url"), ts.alias("crawl_ts")
+    )
+    kept = latest_snapshot_per_key(
+        snaps, key_col="url", ts_col="crawl_ts", tiebreak_col="doc_id"
+    )
+    return kept.select(
+        "url",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("crawl_ts").alias("latest_ts"),
+        "n_snapshots",
+    )
+
+
+Q48_SQL = """
+SELECT url, doc_id AS kept_doc_id, crawl_ts AS latest_ts, n_snapshots
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY crawl_ts DESC, doc_id DESC) AS rn,
+         count(*) OVER (PARTITION BY url) AS n_snapshots
+  FROM (SELECT doc_id,
+               'https://' || source || '.example.com/page/'
+                 || CAST(doc_id // 80 AS VARCHAR) AS url,
+               (1700000000 + (doc_id * 37) % 100000)::BIGINT AS crawl_ts
+        FROM documents))
+WHERE rn = 1
+"""
+
+
+def q49_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket stratified sampling (rebalance the
+    language mix: keep 50% of 'en', 25% of everything else). Same rows
+    on every run/engine/cluster size — unlike df.sample.
+    operators/filtering.py:stratified_hash_sample; map-only, zero
+    shuffle."""
+    from fineweb_domain_analyzer_spark.operators.filtering import (
+        stratified_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        docs.select("doc_id", "lang"),
+        rates={"en": 50},
+        default_rate=25,
+        bucket_col="bucket",
+    )
+    return sampled.select("doc_id", "lang", F.col("bucket").cast("bigint").alias("bucket"))
+
+
+Q49_SQL = """
+SELECT doc_id, lang, bucket
+FROM (SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+               AS bucket,
+             CASE WHEN lang = 'en' THEN 50 ELSE 25 END AS rate
+      FROM documents)
+WHERE bucket < rate
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1899,6 +1980,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_url_canonicalize": q45_url_canonicalize,
     "q46_shared_ngrams": q46_shared_ngrams,
     "q47_quality_deciles": q47_quality_deciles,
+    "q48_latest_snapshot": q48_latest_snapshot,
+    "q49_stratified_sample": q49_stratified_sample,
 }
 
 
@@ -1948,4 +2031,6 @@ def oracle_sql() -> dict[str, str]:
         "q45_url_canonicalize": Q45_SQL,
         "q46_shared_ngrams": Q46_SQL,
         "q47_quality_deciles": Q47_SQL,
+        "q48_latest_snapshot": Q48_SQL,
+        "q49_stratified_sample": Q49_SQL,
     }

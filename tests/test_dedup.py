@@ -293,3 +293,54 @@ def test_xx_hash_family_matches_md5_verified_pairs(spark, fixtures_dir):
         assert len(found) >= 0.95 * len(planted), (
             f"{family}: recall {len(found)}/{len(planted)}"
         )
+
+
+def test_latest_snapshot_per_key(spark):
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        latest_snapshot_per_key,
+    )
+
+    rows = [
+        # url A: ts tie between docs 2 and 3 → tiebreak keeps doc 3
+        (1, "A", 10),
+        (2, "A", 30),
+        (3, "A", 30),
+        # url B: single snapshot
+        (4, "B", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, url: string, crawl_ts: bigint")
+    out = {
+        r["url"]: (r["doc_id"], r["n_snapshots"])
+        for r in latest_snapshot_per_key(df).collect()
+    }
+    assert out == {"A": (3, 3), "B": (4, 1)}
+
+
+def test_stratified_hash_sample_deterministic_and_stable(spark):
+    """Membership never flips when unrelated rows are added, and per-
+    stratum rates land near the configured percents."""
+    from fineweb_domain_analyzer_spark.operators.filtering import (
+        stratified_hash_sample,
+    )
+
+    base = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    rates = {"en": 50, "de": 25}
+    first = {
+        r["doc_id"] for r in stratified_hash_sample(base, rates).collect()
+    }
+    # add unrelated rows: previously-sampled membership is unchanged
+    bigger = base.union(
+        spark.range(2000, 3000).select(
+            F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+        )
+    )
+    second = {
+        r["doc_id"] for r in stratified_hash_sample(bigger, rates).collect()
+    }
+    assert first == {d for d in second if d < 2000}
+    en = sum(1 for d in first if d % 2 == 0) / 1000
+    de = sum(1 for d in first if d % 2 == 1) / 1000
+    assert abs(en - 0.50) < 0.05 and abs(de - 0.25) < 0.05
