@@ -1931,6 +1931,61 @@ WHERE bucket < rate
 """
 
 
+def q50_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel composed from the flagship operators:
+    label_pages (q12 semantics) → exact dedup keep-first (q18) →
+    stratified hash sample (q49), emitting per-stage lineage as a 4-row
+    funnel in ONE job. operators/metrics.py:curation_funnel — one
+    content-hash-keyed shuffle + one 1-row agg at any scale."""
+    from fineweb_domain_analyzer_spark.operators.filtering import label_pages
+    from fineweb_domain_analyzer_spark.operators.metrics import curation_funnel
+
+    pages = pages_view(spark, sf_dir)
+    policy = policy_view(spark, sf_dir)
+    labeled = label_pages(pages, policy, exact_domain=True)
+    funnel = curation_funnel(labeled, rates={"en": 50}, default_rate=25)
+    return funnel.orderBy("stage_idx")
+
+
+Q50_SQL = f"""
+WITH {PAGES_CTE}, {DOMAINS_CTE}, {POLICY_CTE},
+labeled AS (
+  SELECT d.doc_id, d.text, d.lang,
+         coalesce(p.crawl_allowed, TRUE) AS keep
+  FROM domains d LEFT JOIN policy p ON d.domain = p.domain
+),
+tagged AS (
+  SELECT keep,
+         (keep AND row_number() OVER (PARTITION BY md5(text), keep
+                                      ORDER BY doc_id) = 1) AS is_canon,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+            < CASE WHEN lang = 'en' THEN 50 ELSE 25 END) AS sampled
+  FROM labeled
+),
+staged AS (
+  SELECT CASE WHEN NOT keep THEN 1 WHEN NOT is_canon THEN 2
+              WHEN NOT sampled THEN 3 ELSE 4 END AS stage
+  FROM tagged
+),
+agg AS (
+  SELECT count(*) AS n1,
+         CAST(sum(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN stage >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM staged
+)
+SELECT CAST(1 AS BIGINT) AS stage_idx, 'ingest' AS stage, n1 AS rows_out,
+       CAST(0 AS BIGINT) AS dropped FROM agg
+UNION ALL
+SELECT 2, 'robots_filter', n2, n1 - n2 FROM agg
+UNION ALL
+SELECT 3, 'exact_dedup', n3, n2 - n3 FROM agg
+UNION ALL
+SELECT 4, 'stratified_sample', n4, n3 - n4 FROM agg
+ORDER BY stage_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1982,6 +2037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_quality_deciles": q47_quality_deciles,
     "q48_latest_snapshot": q48_latest_snapshot,
     "q49_stratified_sample": q49_stratified_sample,
+    "q50_curation_funnel": q50_curation_funnel,
 }
 
 
@@ -2033,4 +2089,5 @@ def oracle_sql() -> dict[str, str]:
         "q47_quality_deciles": Q47_SQL,
         "q48_latest_snapshot": Q48_SQL,
         "q49_stratified_sample": Q49_SQL,
+        "q50_curation_funnel": Q50_SQL,
     }

@@ -120,3 +120,42 @@ def test_domain_agg_matches_golden_domains(labeled, fixtures_dir):
         .collect()
     }
     assert ours == golden
+
+
+def test_curation_funnel_counts(spark):
+    """curation_funnel's single-pass stage tagging must equal the
+    counts of running the four stages separately (computed here in
+    plain Python over a corpus with known dups / keeps / buckets)."""
+    import hashlib
+
+    from fineweb_domain_analyzer_spark.operators.metrics import curation_funnel
+
+    rows = [
+        (i, i % 4 != 0, f"t{i % 10}", "en" if i % 2 else "xx")
+        for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, keep boolean, text string, lang string")
+    out = {
+        r["stage"]: (r["stage_idx"], r["rows_out"], r["dropped"])
+        for r in curation_funnel(df, rates={"en": 50}, default_rate=25).collect()
+    }
+
+    kept = [(i, t, lg) for i, k, t, lg in rows if k]
+    canon = {min(i for i, t2, _ in kept if t2 == t) for _, t, _ in kept}
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 100
+
+    sampled = {
+        i
+        for i, t, lg in kept
+        if i in canon and bucket(i) < (50 if lg == "en" else 25)
+    }
+    assert out["ingest"] == (1, 40, 0)
+    assert out["robots_filter"] == (2, len(kept), 40 - len(kept))
+    assert out["exact_dedup"] == (3, len(canon), len(kept) - len(canon))
+    assert out["stratified_sample"] == (
+        4,
+        len(sampled),
+        len(canon) - len(sampled),
+    )
