@@ -606,3 +606,48 @@ def latest_snapshot_per_key(
             F.count(F.lit(1)).over(Window.partitionBy(key_col)).cast("bigint"),
         )
     return out.filter(F.col("_rn") == 1).drop("_rn")
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    grams_col: str = "grams",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination scan (the n-gram overlap check every
+    training-data pipeline runs before a release): for each corpus
+    document, how many of its distinct shingles also occur in a
+    held-out benchmark/eval set. Returns one row per document with at
+    least one hit: ``(id, n_grams, n_hits, contamination)`` where
+    ``contamination = n_hits / n_grams`` (rounded, 4 dp).
+
+    Both inputs carry a pre-distinct ``array<string>`` shingle column
+    (``grams_col``) — build it with ``array_distinct(
+    word_shingles_from_tokens(...))`` so join multiplicity is exactly
+    one per (doc, gram).
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval sets are thousands of docs, the corpus is billions), so its
+    distinct gram set is exploded, deduped, and **broadcast** — the
+    corpus side streams map-side through the hash join with NO
+    shuffle; the only exchange is the final per-doc count, keyed by
+    id (uniform). A benchmark too large to broadcast degrades
+    gracefully: remove the hint and the same plan runs as a shuffle
+    join on the content-hash-distributed gram key.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(F.col(grams_col)).alias("gram")).distinct()
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.size(F.col(grams_col)).cast("bigint").alias("n_grams"),
+        F.explode(F.col(grams_col)).alias("gram"),
+    )
+    hits = c.join(F.broadcast(bench_grams), "gram")
+    return (
+        hits.groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .withColumn(
+            "contamination", F.round(F.col("n_hits") / F.col("n_grams"), 4)
+        )
+    )

@@ -244,3 +244,59 @@ def ws_tokens_lower(text: Column) -> Column:
     from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
 
     return ws_tokens(F.lower(text))
+
+
+def paragraph_dedup(
+    df,
+    paras_col: str,
+    id_col: str = "doc_id",
+    min_doc_freq: int = 3,
+    joiner: str = "\n",
+):
+    """CCNet-style cross-document paragraph deduplication: a paragraph
+    that appears in ``min_doc_freq`` or more distinct documents is
+    boilerplate (nav bars, cookie banners, footers) and is removed
+    from every document; the survivors are reassembled in original
+    order. Returns ``(id, n_paras, n_removed, cleaned_text)``.
+
+    ``paras_col`` is an ``array<string>`` column the caller prepares —
+    ``F.split(text, '\\n\\n')`` for real web pages; tests chunk the
+    token stream deterministically.
+
+    Scale shape (the whole point vs the hash-per-doc dedup family:
+    this one edits WITHIN documents, so it must shuffle twice):
+      1. doc-frequency: explode → groupBy(paragraph) with map-side
+         partial agg — the shuffle carries one row per distinct
+         paragraph per partition, not per occurrence, and the key is
+         content so it is skew-free by construction.
+      2. reassembly: join freq back (same paragraph key → AQE can
+         reuse the exchange) → groupBy(id) collecting (idx, para)
+         structs, array_sort restores order without a sort exchange.
+    Nothing is ever collected to the driver and per-doc state is
+    O(paragraphs in that doc).
+    """
+    p = df.select(
+        F.col(id_col), F.posexplode_outer(F.col(paras_col)).alias("idx", "para")
+    )
+    freq = p.groupBy("para").agg(F.countDistinct(id_col).alias("doc_freq"))
+    j = p.join(freq, "para", "left")
+    boiler = F.col("doc_freq") >= min_doc_freq
+    kept_struct = F.when(
+        F.col("para").isNotNull() & ~boiler,
+        F.struct(F.col("idx"), F.col("para")),
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.col("para")).alias("n_paras"),
+            F.coalesce(
+                F.sum(boiler.cast("long")), F.lit(0).cast("long")
+            ).alias("n_removed"),
+            F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+        )
+        .withColumn(
+            "cleaned_text",
+            F.array_join(F.transform(F.col("_kept"), lambda s: s["para"]), joiner),
+        )
+        .drop("_kept")
+    )

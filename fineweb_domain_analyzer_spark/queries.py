@@ -1986,6 +1986,111 @@ ORDER BY stage_idx
 """
 
 
+def q51_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document paragraph dedup (boilerplate strip):
+    paragraphs appearing in ≥3 distinct docs are removed everywhere,
+    docs reassembled in order. The synthetic corpus has no newlines,
+    so 'paragraphs' are deterministic 3-token chunks of the token
+    stream — real callers pass split(text, '\\n\\n').
+    operators/textclean.py:paragraph_dedup."""
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+    from fineweb_domain_analyzer_spark.operators.textclean import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("_tk")
+    )
+    n_chunks = F.ceil(F.size(F.col("_tk")) / F.lit(3.0)).cast("int")
+    seq = F.when(
+        F.size(F.col("_tk")) > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    paras = F.transform(
+        seq,
+        lambda i: F.array_join(F.slice(F.col("_tk"), i * 3 + 1, 3), " "),
+    )
+    chunked = staged.select("doc_id", paras.alias("paras"))
+    out = paragraph_dedup(chunked, "paras", min_doc_freq=3)
+    return out.select("doc_id", "n_paras", "n_removed", "cleaned_text")
+
+
+Q51_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+  FROM documents
+),
+p0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT)),
+                i -> {'idx': i,
+                      'para': array_to_string(w[(i*3+1):(i*3+3)], ' ')})) AS s
+  FROM tk
+),
+p AS (SELECT doc_id, CAST(s.idx AS INT) AS idx, s.para AS para FROM p0),
+freq AS (SELECT para, count(DISTINCT doc_id) AS doc_freq FROM p GROUP BY 1),
+j AS (SELECT p.doc_id, p.idx, p.para, f.doc_freq
+      FROM p JOIN freq f USING (para))
+SELECT doc_id,
+       count(*) AS n_paras,
+       CAST(sum(CASE WHEN doc_freq >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       coalesce(string_agg(para, chr(10) ORDER BY idx)
+                  FILTER (WHERE doc_freq < 3), '') AS cleaned_text
+FROM j GROUP BY doc_id
+"""
+
+
+def q52_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination scan: docs with doc_id % 23 == 0 play
+    the held-out eval set; every other doc is checked for distinct
+    4-gram overlap with it. Benchmark gram set is broadcast — the
+    corpus side never shuffles until the per-doc count.
+    operators/dedup.py:contamination_check."""
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        contamination_check,
+        word_shingles_from_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("_tk")
+    )
+    sh = staged.select(
+        "doc_id",
+        F.array_distinct(word_shingles_from_tokens(F.col("_tk"), 4)).alias("grams"),
+    )
+    bench = sh.filter(F.col("doc_id") % 23 == 0)
+    corpus = sh.filter(F.col("doc_id") % 23 != 0)
+    return contamination_check(corpus, bench).select(
+        "doc_id", "n_grams", "n_hits", "contamination"
+    )
+
+
+Q52_SQL = """
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 4
+           THEN list_transform(range(1, len(w) - 2),
+                               i -> array_to_string(w[i:i + 3], ' '))
+           ELSE [array_to_string(w, ' ')] END) AS s
+  FROM tk
+),
+bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 23 = 0),
+corpus AS (SELECT doc_id, len(s) AS n_grams, unnest(s) AS gram
+           FROM sh WHERE doc_id % 23 <> 0)
+SELECT c.doc_id, c.n_grams, count(*) AS n_hits,
+       round(count(*)::DOUBLE / c.n_grams, 4) AS contamination
+FROM corpus c JOIN bench b USING (gram)
+GROUP BY c.doc_id, c.n_grams
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2038,6 +2143,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_latest_snapshot": q48_latest_snapshot,
     "q49_stratified_sample": q49_stratified_sample,
     "q50_curation_funnel": q50_curation_funnel,
+    "q51_paragraph_dedup": q51_paragraph_dedup,
+    "q52_contamination": q52_contamination,
 }
 
 
@@ -2090,4 +2197,6 @@ def oracle_sql() -> dict[str, str]:
         "q48_latest_snapshot": Q48_SQL,
         "q49_stratified_sample": Q49_SQL,
         "q50_curation_funnel": Q50_SQL,
+        "q51_paragraph_dedup": Q51_SQL,
+        "q52_contamination": Q52_SQL,
     }

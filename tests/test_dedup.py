@@ -344,3 +344,48 @@ def test_stratified_hash_sample_deterministic_and_stable(spark):
     en = sum(1 for d in first if d % 2 == 0) / 1000
     de = sum(1 for d in first if d % 2 == 1) / 1000
     assert abs(en - 0.50) < 0.05 and abs(de - 0.25) < 0.05
+
+
+class TestContaminationCheck:
+    def test_counts_and_fraction(self, spark):
+        from fineweb_domain_analyzer_spark.operators.dedup import (
+            contamination_check,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, ["a b c", "d e f", "g h i"]),  # 2 hits of 3
+                (2, ["x y z"]),                    # 0 hits -> absent
+                (3, ["d e f"]),                    # 1 hit of 1
+            ],
+            "doc_id long, grams array<string>",
+        )
+        bench = spark.createDataFrame(
+            [(100, ["a b c", "d e f", "d e f"])],
+            "doc_id long, grams array<string>",
+        )
+        out = {
+            r["doc_id"]: (r["n_grams"], r["n_hits"], r["contamination"])
+            for r in contamination_check(corpus, bench).collect()
+        }
+        assert out == {1: (3, 2, 0.6667), 3: (1, 1, 1.0)}
+
+    def test_plan_broadcasts_benchmark(self, spark):
+        from fineweb_domain_analyzer_spark.operators.dedup import (
+            contamination_check,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, ["a"])], "doc_id long, grams array<string>"
+        )
+        bench = spark.createDataFrame(
+            [(2, ["a"])], "doc_id long, grams array<string>"
+        )
+        plan = (
+            contamination_check(corpus, bench)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

@@ -86,3 +86,41 @@ def test_deterministic_centroids(spark, sf_dir):
     emb = spark.read.parquet(str(sf_dir / "embeddings.parquet"))
     cents = deterministic_centroids(emb, 4).collect()
     assert sorted(c["centroid_id"] for c in cents) == [0, 1, 2, 3]
+
+
+class TestParagraphDedup:
+    def test_boilerplate_removed_order_kept(self, spark):
+        from fineweb_domain_analyzer_spark.operators.textclean import (
+            paragraph_dedup,
+        )
+
+        boiler = "accept all cookies"
+        rows = [
+            (1, [boiler, "alpha", "beta"]),
+            (2, ["gamma", boiler]),
+            (3, [boiler, "delta", boiler]),
+            (4, ["epsilon"]),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, paras array<string>")
+        out = {
+            r["doc_id"]: (r["n_paras"], r["n_removed"], r["cleaned_text"])
+            for r in paragraph_dedup(df, "paras", min_doc_freq=3).collect()
+        }
+        # boiler appears in 3 distinct docs -> removed everywhere,
+        # including BOTH occurrences in doc 3; order preserved in doc 1
+        assert out[1] == (3, 1, "alpha\nbeta")
+        assert out[2] == (2, 1, "gamma")
+        assert out[3] == (3, 2, "delta")
+        assert out[4] == (1, 0, "epsilon")
+
+    def test_all_removed_yields_empty_text(self, spark):
+        from fineweb_domain_analyzer_spark.operators.textclean import (
+            paragraph_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(i, ["same"]) for i in range(5)],
+            "doc_id long, paras array<string>",
+        )
+        out = paragraph_dedup(df, "paras", min_doc_freq=3).collect()
+        assert all(r["cleaned_text"] == "" and r["n_removed"] == 1 for r in out)
