@@ -89,3 +89,60 @@ def canonical_url_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# --- URL spam features (FineWeb-style URL filtering, stage 1) --------------
+
+SPAM_KEYWORDS = ("porn", "xxx", "casino", "viagra", "escort", "gambling")
+
+
+def with_url_features(df, url_col: str = "url", prefix: str = "url_"):
+    """FineWeb-style URL heuristics — the cheapest filter stage in a
+    web pipeline runs BEFORE fetching/parsing the body, on the URL
+    alone: deep paths, long hosts with many digits, subdomain farms
+    and keyword-bearing URLs are spam-correlated. Emits
+    ``{prefix}{path_depth,n_params,host_parts,digit_frac,len,spam_kw,
+    suspect}``.
+
+    All built-in regexp/array expressions (one staged projection for
+    the parsed parts, so each regexp runs once) — no UDF, fully inside
+    whole-stage codegen: at 100 TB this is a free rider on the scan,
+    which is exactly why URL filtering goes first.
+    """
+    url = F.col(url_col)
+    df = df.withColumn("_uf_auth", F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://([^/?#]+)", 1)))
+    df = df.withColumn("_uf_host", F.split(F.col("_uf_auth"), ":")[0])
+    df = df.withColumn(
+        "_uf_path", F.regexp_extract(url, r"^[a-zA-Z]+://[^/?#]+(/[^?#]*)", 1)
+    )
+    df = df.withColumn("_uf_query", F.regexp_extract(url, r"\?([^#]*)", 1))
+    host = F.col("_uf_host")
+    kw = F.lit(False)
+    for w in SPAM_KEYWORDS:
+        kw = kw | F.lower(url).contains(w)
+    feats = {
+        "path_depth": F.size(
+            F.filter(F.split(F.col("_uf_path"), "/"), lambda s: s != "")
+        ).cast("bigint"),
+        "n_params": F.when(F.col("_uf_query") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("_uf_query"), "&")))
+        .cast("bigint"),
+        "host_parts": F.size(F.split(host, r"\.")).cast("bigint"),
+        "digit_frac": F.round(
+            (F.length(host) - F.length(F.regexp_replace(host, r"[0-9]", "")))
+            / F.greatest(F.length(host), F.lit(1)),
+            4,
+        ),
+        "len": F.length(url).cast("bigint"),
+        "spam_kw": kw,
+    }
+    for name, col in feats.items():
+        df = df.withColumn(prefix + name, col)
+    df = df.withColumn(
+        prefix + "suspect",
+        F.col(prefix + "spam_kw")
+        | (F.col(prefix + "digit_frac") > 0.3)
+        | (F.col(prefix + "host_parts") > 4)
+        | (F.col(prefix + "path_depth") > 8),
+    )
+    return df.drop("_uf_auth", "_uf_host", "_uf_path", "_uf_query")

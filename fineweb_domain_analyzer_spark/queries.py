@@ -2091,6 +2091,62 @@ GROUP BY c.doc_id, c.n_grams
 """
 
 
+def q53_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style URL spam heuristics (the pre-fetch filter stage):
+    path depth, query-param count, subdomain count, host digit
+    fraction, keyword flag, composite suspect flag — all codegen
+    expressions. functions/urls.py:with_url_features."""
+    from fineweb_domain_analyzer_spark.functions.urls import with_url_features
+
+    pages = pages_view(spark, sf_dir)
+    out = with_url_features(pages)
+    return out.select(
+        "doc_id",
+        "url_path_depth",
+        "url_n_params",
+        "url_host_parts",
+        "url_digit_frac",
+        F.col("url_len").alias("url_length"),
+        "url_spam_kw",
+        "url_suspect",
+    )
+
+
+Q53_SQL = f"""
+WITH {PAGES_CTE},
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS auth,
+         regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM pages
+),
+hosted AS (SELECT *, split_part(auth, ':', 1) AS host FROM parts)
+SELECT doc_id,
+       len(list_filter(string_split(path, '/'), s -> s <> ''))::BIGINT
+         AS url_path_depth,
+       CASE WHEN query = '' THEN 0
+            ELSE len(string_split(query, '&')) END::BIGINT AS url_n_params,
+       len(string_split(host, '.'))::BIGINT AS url_host_parts,
+       round((length(host) - length(regexp_replace(host, '[0-9]', '', 'g')))::DOUBLE
+             / greatest(length(host), 1), 4) AS url_digit_frac,
+       length(url)::BIGINT AS url_length,
+       (lower(url) LIKE '%porn%' OR lower(url) LIKE '%xxx%'
+        OR lower(url) LIKE '%casino%' OR lower(url) LIKE '%viagra%'
+        OR lower(url) LIKE '%escort%' OR lower(url) LIKE '%gambling%')
+         AS url_spam_kw,
+       (lower(url) LIKE '%porn%' OR lower(url) LIKE '%xxx%'
+        OR lower(url) LIKE '%casino%' OR lower(url) LIKE '%viagra%'
+        OR lower(url) LIKE '%escort%' OR lower(url) LIKE '%gambling%'
+        OR round((length(host) - length(regexp_replace(host, '[0-9]', '', 'g')))::DOUBLE
+                 / greatest(length(host), 1), 4) > 0.3
+        OR len(string_split(host, '.')) > 4
+        OR len(list_filter(string_split(path, '/'), s -> s <> '')) > 8)
+         AS url_suspect
+FROM hosted
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2145,6 +2201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_curation_funnel": q50_curation_funnel,
     "q51_paragraph_dedup": q51_paragraph_dedup,
     "q52_contamination": q52_contamination,
+    "q53_url_features": q53_url_features,
 }
 
 
@@ -2199,4 +2256,5 @@ def oracle_sql() -> dict[str, str]:
         "q50_curation_funnel": Q50_SQL,
         "q51_paragraph_dedup": Q51_SQL,
         "q52_contamination": Q52_SQL,
+        "q53_url_features": Q53_SQL,
     }

@@ -151,3 +151,35 @@ class TestApproxQualityBands:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "Window" not in plan
+
+
+class TestUrlFeatures:
+    def test_hand_computed_features(self, spark):
+        from fineweb_domain_analyzer_spark.functions.urls import with_url_features
+
+        rows = [
+            (1, "https://a.b.c.d.example.com/x/y/z?p=1&q=2"),
+            (2, "http://host123.com:8080/doc"),
+            (3, "https://example.com"),
+            (4, "https://best-casino.example.com/win"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in with_url_features(df).collect()
+        }
+        # deep subdomain chain: 6 host parts -> suspect
+        assert out[1]["url_host_parts"] == 6
+        assert out[1]["url_path_depth"] == 3
+        assert out[1]["url_n_params"] == 2
+        assert out[1]["url_suspect"] is True
+        # port stripped before digit_frac; 3/11 digits in host123.com
+        assert out[2]["url_digit_frac"] == round(3 / 11, 4)
+        assert out[2]["url_n_params"] == 0
+        assert out[2]["url_suspect"] is False
+        # bare authority: no path, nothing suspect
+        assert out[3]["url_path_depth"] == 0
+        assert out[3]["url_suspect"] is False
+        # keyword hit
+        assert out[4]["url_spam_kw"] is True
+        assert out[4]["url_suspect"] is True
