@@ -2147,6 +2147,69 @@ FROM hosted
 """
 
 
+def q54_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over embeddings: LSH-bucketed
+    cosine near-dup pairs (q30 config) → connected components → keep
+    the min-id canonical per semantic cluster. One row per doc in the
+    dup graph with its cluster, cluster size, and keep flag; docs
+    outside the graph are implicitly kept (no row). Composes
+    operators/similarity.py:embedding_near_dups +
+    operators/dedup.py:connected_components."""
+    from fineweb_domain_analyzer_spark.operators.dedup import connected_components
+    from fineweb_domain_analyzer_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.3, n_planes=8)
+    cc = connected_components(pairs)
+    return cc.withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("bigint"),
+    ).select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        "cluster_size",
+        (F.col("node") == F.col("cluster_id")).alias("kept"),
+    )
+
+
+_Q54_COS = """
+round(
+  list_sum(list_transform(range(1, len(l.embedding) + 1),
+                          i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(l.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(r.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)
+"""
+
+Q54_SQL = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+  FROM embeddings
+),
+sem_pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM v l JOIN v r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  WHERE {_Q54_COS} >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM sem_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM sem_pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.node
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       node = cluster_id AS kept
+FROM cc
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2202,6 +2265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_paragraph_dedup": q51_paragraph_dedup,
     "q52_contamination": q52_contamination,
     "q53_url_features": q53_url_features,
+    "q54_semantic_dedup": q54_semantic_dedup,
 }
 
 
@@ -2257,4 +2321,5 @@ def oracle_sql() -> dict[str, str]:
         "q51_paragraph_dedup": Q51_SQL,
         "q52_contamination": Q52_SQL,
         "q53_url_features": Q53_SQL,
+        "q54_semantic_dedup": Q54_SQL,
     }

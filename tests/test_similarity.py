@@ -269,3 +269,49 @@ def test_banded_near_dups_recall_beats_single_band(spark):
     banded = found(n_planes=4, bands=2)
     assert len(banded) > len(single), (len(single), len(banded))
     assert len(banded) >= 0.9 * len(planted)
+
+
+class TestSemanticDedupComposition:
+    def test_planted_clusters_keep_canonical(self, spark):
+        """Two planted near-identical embedding groups + isolated
+        vectors: the q54 composition (near-dup pairs -> CC -> canonical)
+        must keep exactly the min id of each group."""
+        import math
+
+        from fineweb_domain_analyzer_spark.operators.dedup import (
+            connected_components,
+        )
+        from fineweb_domain_analyzer_spark.operators.similarity import (
+            embedding_near_dups,
+        )
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        dim = 16
+
+        def unit(axis, eps=0.0):
+            v = [0.0] * dim
+            v[axis] = 1.0
+            v[(axis + 1) % dim] = eps
+            n = math.sqrt(sum(x * x for x in v))
+            return [x / n for x in v]
+
+        rows = (
+            [(i, unit(0, 0.01 * i)) for i in range(1, 4)]      # cluster A
+            + [(i, unit(5, 0.01 * i)) for i in range(10, 13)]  # cluster B
+            + [(100, unit(9)), (101, unit(12))]                # isolated
+        )
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = embedding_near_dups(
+            emb, threshold=0.95, n_planes=8, id_col="vec_id"
+        )
+        cc = connected_components(pairs)
+        out = cc.withColumn(
+            "kept", F.col("node") == F.col("cluster_id")
+        ).collect()
+        clusters = {}
+        for r in out:
+            clusters.setdefault(r["cluster_id"], set()).add(r["node"])
+        assert clusters == {1: {1, 2, 3}, 10: {10, 11, 12}}
+        kept = {r["node"] for r in out if r["kept"]}
+        assert kept == {1, 10}
