@@ -2210,6 +2210,90 @@ FROM cc
 """
 
 
+def q55_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level reputation rollup — the FineWeb stage that filters
+    whole domains, not documents: per domain, doc count, mean stopword
+    density (quality proxy), suspect-URL fraction, short-doc fraction;
+    a domain is blocked when suspect_frac > 0.5 or mean quality is
+    degenerate. ONE domain-keyed agg over the staged per-doc features
+    (all codegen) — the salted variant in operators/skew.py handles the
+    hot-domain case this rollup hits at web scale."""
+    from fineweb_domain_analyzer_spark.functions.urls import with_url_features
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        with_quality_features,
+    )
+
+    pages = with_domain_sql(pages_view(spark, sf_dir))
+    feats = with_url_features(with_quality_features(pages))
+    # All stats in integer basis points: per-doc features are integer
+    # ratios (bit-identical doubles in any engine), sums are exact
+    # integers, and the one IEEE division per stat is exactly specified
+    # — so the rollup is reproducible across engines/partitionings with
+    # no float-boundary rounding flakes (avg-of-doubles is not).
+    sd_bp = F.round(F.col("stopword_density") * 10000, 0).cast("bigint")
+    rep = feats.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(sd_bp), 0).cast("bigint").alias("stopword_density_bp"),
+        F.round(F.avg(F.col("url_suspect").cast("long")) * 10000, 0)
+        .cast("bigint")
+        .alias("suspect_bp"),
+        F.round(F.avg((F.col("word_count") < 25).cast("long")) * 10000, 0)
+        .cast("bigint")
+        .alias("short_doc_bp"),
+    )
+    return rep.withColumn(
+        "blocked",
+        (F.col("suspect_bp") > 5000)
+        | (F.col("stopword_density_bp") < 100)
+        | (F.col("short_doc_bp") > 9000),
+    )
+
+
+Q55_SQL = f"""
+WITH {PAGES_CTE}, {DOMAINS_CTE},
+parts AS (
+  SELECT doc_id, domain, url, text,
+         lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS auth,
+         regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) AS path
+  FROM domains
+),
+feats AS (
+  SELECT domain,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END
+           AS word_count,
+         round(round(
+           len(list_filter({TOKS_SQL}, t -> list_contains({_STOPLIST_SQL}, t)))::DOUBLE
+           / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len({TOKS_SQL}) END, 1), 4) * 10000, 0)::BIGINT
+           AS sd_bp,
+         (lower(url) LIKE '%porn%' OR lower(url) LIKE '%xxx%'
+          OR lower(url) LIKE '%casino%' OR lower(url) LIKE '%viagra%'
+          OR lower(url) LIKE '%escort%' OR lower(url) LIKE '%gambling%'
+          OR round((length(split_part(auth, ':', 1))
+                    - length(regexp_replace(split_part(auth, ':', 1), '[0-9]', '', 'g')))::DOUBLE
+                   / greatest(length(split_part(auth, ':', 1)), 1), 4) > 0.3
+          OR len(string_split(split_part(auth, ':', 1), '.')) > 4
+          OR len(list_filter(string_split(path, '/'), s -> s <> '')) > 8)
+           AS url_suspect
+  FROM parts
+),
+rep AS (
+  SELECT domain, count(*) AS n_docs,
+         round(sum(sd_bp)::DOUBLE / count(*), 0)::BIGINT
+           AS stopword_density_bp,
+         round(sum(CASE WHEN url_suspect THEN 1 ELSE 0 END)::DOUBLE
+               / count(*) * 10000, 0)::BIGINT AS suspect_bp,
+         round(sum(CASE WHEN word_count < 25 THEN 1 ELSE 0 END)::DOUBLE
+               / count(*) * 10000, 0)::BIGINT AS short_doc_bp
+  FROM feats GROUP BY domain
+)
+SELECT *,
+       (suspect_bp > 5000 OR stopword_density_bp < 100
+        OR short_doc_bp > 9000) AS blocked
+FROM rep
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2266,6 +2350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_contamination": q52_contamination,
     "q53_url_features": q53_url_features,
     "q54_semantic_dedup": q54_semantic_dedup,
+    "q55_domain_reputation": q55_domain_reputation,
 }
 
 
@@ -2322,4 +2407,5 @@ def oracle_sql() -> dict[str, str]:
         "q52_contamination": Q52_SQL,
         "q53_url_features": Q53_SQL,
         "q54_semantic_dedup": Q54_SQL,
+        "q55_domain_reputation": Q55_SQL,
     }
