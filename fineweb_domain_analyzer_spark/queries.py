@@ -2294,6 +2294,94 @@ FROM rep
 """
 
 
+def q56_pipeline_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FLAGSHIP, oracle-checked end-to-end: plans/pipeline.py:
+    quality_filter_pipeline's unified per-doc labels — robots →
+    language → quality precedence exactly as the north rule's
+    keep/drop contract (scrub output is byte-verified separately by
+    q15's hash oracle). The DuckDB oracle independently reassembles
+    the q12 robots join, q14 langid, and q13 Gopher features with the
+    PipelineConfig default thresholds."""
+    from fineweb_domain_analyzer_spark.plans.pipeline import (
+        PipelineConfig,
+        quality_filter_pipeline,
+    )
+
+    pages = pages_view(spark, sf_dir)
+    policy = policy_view(spark, sf_dir)
+    out = quality_filter_pipeline(pages, policy, PipelineConfig(scrub=False))
+    return out.select("doc_id", "langid", "keep", "drop_reason")
+
+
+def _q56_sql() -> str:
+    from fineweb_domain_analyzer_spark.functions.textfns import LANG_STOPWORDS
+
+    hit_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hit_cols.append(
+            f"len(list_filter({TOKS_SQL}, t -> list_contains({lst}, t))) AS h_{lang}"
+        )
+    wc = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END"
+    return f"""
+WITH {PAGES_CTE}, {DOMAINS_CTE}, {POLICY_CTE},
+rl AS (
+  SELECT d.doc_id, d.text,
+         CASE WHEN NOT coalesce(p.crawl_allowed, TRUE)
+              THEN 'robots_disallowed' ELSE 'kept' END AS robots_reason
+  FROM domains d LEFT JOIN policy p ON d.domain = p.domain
+),
+lid AS (
+  SELECT doc_id, text, robots_reason,
+         {', '.join(hit_cols)},
+         (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))::DOUBLE
+           / greatest(length(text), 1) AS cjk_ratio
+  FROM rl
+),
+lang AS (
+  SELECT doc_id, text, robots_reason,
+         CASE WHEN cjk_ratio > 0.15 THEN 'zh'
+              WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'unk'
+              WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+              WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+              WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+              ELSE 'es' END AS langid
+  FROM lid
+),
+feats AS (
+  SELECT doc_id, robots_reason, langid,
+         {wc} AS word_count,
+         round(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
+               / greatest({wc}, 1), 4) AS mean_word_len,
+         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1), 4) AS symbol_ratio,
+         round(len(list_filter({TOKS_SQL}, t -> list_contains({_STOPLIST_SQL}, t)))::DOUBLE
+               / greatest({wc}, 1), 4) AS stopword_density,
+         CASE WHEN length(trim(text)) = 0 OR len({TOKS_SQL}) = 0 THEN 0.0
+              ELSE round(list_max(list_transform(list_distinct({TOKS_SQL}),
+                           t -> len(list_filter({TOKS_SQL}, x -> x = t))))::DOUBLE
+                         / len({TOKS_SQL}), 4) END AS max_word_repeat_ratio
+  FROM lang
+),
+decided AS (
+  SELECT doc_id, langid,
+         CASE WHEN robots_reason <> 'kept' THEN robots_reason
+              WHEN langid NOT IN ('en', 'zh', 'de', 'fr', 'es')
+                THEN 'language_filtered'
+              WHEN NOT (word_count BETWEEN 5 AND 1000000
+                        AND mean_word_len BETWEEN 2.0 AND 12.0
+                        AND symbol_ratio <= 0.5
+                        AND stopword_density >= 0.0
+                        AND max_word_repeat_ratio <= 0.9)
+                THEN 'quality_filtered'
+              ELSE 'kept' END AS drop_reason
+  FROM feats
+)
+SELECT doc_id, langid, drop_reason = 'kept' AS keep, drop_reason
+FROM decided
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2351,6 +2439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_url_features": q53_url_features,
     "q54_semantic_dedup": q54_semantic_dedup,
     "q55_domain_reputation": q55_domain_reputation,
+    "q56_pipeline_labels": q56_pipeline_labels,
 }
 
 
@@ -2408,4 +2497,5 @@ def oracle_sql() -> dict[str, str]:
         "q53_url_features": Q53_SQL,
         "q54_semantic_dedup": Q54_SQL,
         "q55_domain_reputation": Q55_SQL,
+        "q56_pipeline_labels": _q56_sql(),
     }
