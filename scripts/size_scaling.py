@@ -38,6 +38,11 @@ def main() -> None:
             "spark.sql.shuffle.partitions": "64",
             "spark.ui.enabled": "false",
             "spark.ui.showConsoleProgress": "false",
+            # surface real Python tracebacks if an Arrow UDF worker dies
+            "spark.python.worker.faulthandler.enabled": "true",
+            # local mode defaults to maxFailures=1, so ONE transient
+            # worker crash aborts a 30M-row job; retry like a cluster
+            "spark.task.maxFailures": "4",
         },
     )
     policy = synth_policy_for_domains(spark, 2000)
