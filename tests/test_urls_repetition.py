@@ -183,3 +183,38 @@ class TestUrlFeatures:
         # keyword hit
         assert out[4]["url_spam_kw"] is True
         assert out[4]["url_suspect"] is True
+
+    def test_differential_vs_urllib(self, spark):
+        """Host/path/query parsing must agree with Python's urllib on a
+        URL zoo covering ports, fragments, empty paths, params."""
+        from urllib.parse import urlparse
+
+        from fineweb_domain_analyzer_spark.functions.urls import with_url_features
+
+        zoo = [
+            "https://example.com",
+            "https://example.com/",
+            "https://example.com/a/b/c",
+            "https://example.com/a/b/c/",
+            "http://example.com:8080/a?x=1",
+            "https://a.b.example.com/p?x=1&y=2&z=3",
+            "https://example.com/p#frag",
+            "https://example.com/p?x=1#frag",
+            "https://EXAMPLE.com/UPPER",
+            "https://host99.example.com:9090/deep/1/2/3/4/5/6/7/8/9",
+        ]
+        rows = [(i, u) for i, u in enumerate(zoo)]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = {r["doc_id"]: r.asDict() for r in with_url_features(df).collect()}
+        for i, u in rows:
+            p = urlparse(u)
+            host = (p.hostname or "").lower()
+            exp_depth = len([s for s in p.path.split("/") if s])
+            exp_params = len(p.query.split("&")) if p.query else 0
+            assert out[i]["url_path_depth"] == exp_depth, (u, out[i])
+            assert out[i]["url_n_params"] == exp_params, (u, out[i])
+            assert out[i]["url_host_parts"] == len(host.split(".")), (u, out[i])
+            digits = sum(c.isdigit() for c in host)
+            assert out[i]["url_digit_frac"] == round(
+                digits / max(len(host), 1), 4
+            ), (u, out[i])
