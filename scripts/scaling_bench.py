@@ -80,10 +80,20 @@ def run_level(cores: int, rows: int, cache: str) -> dict:
 
 
 def main() -> None:
-    rows = int(os.environ.get("FW_SCALING_ROWS", "2400000"))
+    rows = int(os.environ.get("FW_SCALING_ROWS", "4800000"))
     cache = f"/tmp/fw_scaling_pages_{rows}"
+    # interleaved A/B/A/B visits: sandbox throughput drifts over
+    # minutes, so measuring the two levels back-to-back once attributes
+    # host swings to the cores axis; best-per-level across alternating
+    # visits cancels the drift
     n = run_level(8, rows, cache)
     n4 = run_level(32, rows, cache)
+    n_b = run_level(8, rows, cache)
+    n4_b = run_level(32, rows, cache)
+    if n_b["docs_per_sec"] > n["docs_per_sec"]:
+        n = n_b
+    if n4_b["docs_per_sec"] > n4["docs_per_sec"]:
+        n4 = n4_b
     eff = round(n4["docs_per_sec"] / (4 * n["docs_per_sec"]), 3)
     result = {"N": n, "4N": n4, "efficiency": eff}
     print(json.dumps(result))
@@ -96,7 +106,9 @@ end-to-end quality-filter job (synthetic Zipf pages, seed 42,
 `spark.sql.shuffle.partitions` = 2× cores, fresh JVM per level; one
 warm-up execution (Janino compile + JIT), then best-of-2 measured
 runs, each building its plan fresh (re-collecting a cached plan would
-reuse its materialized exchange and skip the work). The ~2 s of
+reuse its materialized exchange and skip the work). Levels run as
+interleaved A/B/A/B visits (best per level) so minute-scale host
+drift cancels instead of loading onto the cores axis. The ~2 s of
 per-run driver planning is a constant identical at both levels; the
 input size amortizes it to noise.
 
