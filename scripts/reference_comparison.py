@@ -208,13 +208,29 @@ def run_engine_domains(jsonl: Path) -> dict:
             "domains": {r["domain"]: {"count": r["count"]} for r in rows}}
 
 
+def _best(a: dict, b: dict) -> dict:
+    """Min-time of two interleaved visits (outputs are identical)."""
+    return a if a["sec"] <= b["sec"] else b
+
+
 def main() -> None:
     jsonl, robots = build_inputs()
+    # Interleaved A/B/A/B visits per leg: sandbox Spark throughput
+    # swings >2x on a minutes timescale (verified: the identical
+    # commit measured 38 s and 93 s on this leg within one hour, with
+    # the pure-python reference steady throughout), so measuring each
+    # leg once attributes host drift to the engine axis. Best-of-2
+    # visits per leg; outputs are byte-compared from the last visit.
     ref = run_reference(jsonl, robots)
     eng = run_engine_cli(jsonl, robots)
     inproc = run_engine_inprocess(jsonl, robots)
+    ref = _best(ref, run_reference(jsonl, robots))
+    eng = _best(eng, run_engine_cli(jsonl, robots))
+    inproc = _best(inproc, run_engine_inprocess(jsonl, robots))
     ref_dom = run_reference_domains(jsonl)
     eng_dom = run_engine_domains(jsonl)
+    ref_dom = _best(ref_dom, run_reference_domains(jsonl))
+    eng_dom = _best(eng_dom, run_engine_domains(jsonl))
     dom_counts_match = {
         d: v["count"] for d, v in ref_dom["domains"].items()
     } == {d: v["count"] for d, v in eng_dom["domains"].items()}
