@@ -21,6 +21,36 @@ sys.path.insert(0, str(REPO))
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("REPS", "3"))
+# 0 -> bench the (small) sf corpus via pages_view; N -> synthesize an
+# N-row Zipf pages corpus once and bench over its cached parquet
+ROWS = int(os.environ.get("FW_FUNNEL_ROWS", "0"))
+
+
+def _load(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fineweb_domain_analyzer_spark.queries import pages_view, policy_view
+    from fineweb_domain_analyzer_spark.sources.pages import (
+        synth_pages,
+        synth_policy_for_domains,
+    )
+
+    if not ROWS:
+        return pages_view(spark, sf_dir), policy_view(spark, sf_dir)
+    from pathlib import Path as _P
+
+    path = f"/tmp/fw_funnel_pages_{ROWS}"
+    if not (_P(path) / "_SUCCESS").exists():
+        synth_pages(spark, ROWS, n_domains=2000, seed=11).write.mode(
+            "overwrite"
+        ).parquet(path)
+    pages = spark.read.parquet(path).select(
+        F.regexp_extract("url", r"/p/([0-9]+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        "text",
+        "lang",
+    )
+    return pages, synth_policy_for_domains(spark, 2000)
 
 
 def naive_funnel(spark, sf_dir):
@@ -32,10 +62,8 @@ def naive_funnel(spark, sf_dir):
         label_pages,
         stratified_hash_sample,
     )
-    from fineweb_domain_analyzer_spark.queries import pages_view, policy_view
 
-    pages = pages_view(spark, sf_dir)
-    policy = policy_view(spark, sf_dir)
+    pages, policy = _load(spark, sf_dir)
     labeled = label_pages(pages, policy, exact_domain=True)
     n1 = labeled.count()
     kept = labeled.filter(F.col("keep"))
@@ -54,10 +82,8 @@ def naive_funnel(spark, sf_dir):
 def onepass_funnel(spark, sf_dir):
     from fineweb_domain_analyzer_spark.operators.filtering import label_pages
     from fineweb_domain_analyzer_spark.operators.metrics import curation_funnel
-    from fineweb_domain_analyzer_spark.queries import pages_view, policy_view
 
-    pages = pages_view(spark, sf_dir)
-    policy = policy_view(spark, sf_dir)
+    pages, policy = _load(spark, sf_dir)
     labeled = label_pages(pages, policy, exact_domain=True)
     rows = (
         curation_funnel(labeled, rates={"en": 50}, default_rate=25)
@@ -96,7 +122,7 @@ def main() -> None:
     results["speedup"] = round(
         results["naive_4job"]["median_sec"] / results["onepass"]["median_sec"], 3
     )
-    results["sf_dir"] = SF
+    results["sf_dir"] = SF if not ROWS else f"synth:{ROWS}"
     out_path = REPO / "BENCH" / "funnel_bench.json"
     out_path.write_text(json.dumps(results, indent=1) + "\n")
     print(json.dumps(results))
