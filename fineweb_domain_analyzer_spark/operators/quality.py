@@ -575,3 +575,106 @@ def perplexity_bits_py(t: str | None) -> float | None:
         s += (h % 14) + 1.0
         n += 1
     return round(math.pow(2, s / max(n, 1)), 4)
+
+
+# --- classifier-style quality score -----------------------------------------
+
+# FineWeb-style pipelines follow the heuristic gates with a trained
+# quality classifier; the engine ships the SERVING side — a logistic
+# score over the staged heuristic features with fixed weights — as pure
+# codegen expressions. Swap the weights for a trained model's without
+# touching the plan (the training loop is out of scope, like the
+# fastText/KenLM artifacts; see _load_model for the pluggable pattern).
+QUALITY_LOGIT_WEIGHTS = {
+    "bias": -1.0,
+    "word_count_log": 0.8,     # applied to ln(1 + word_count)
+    "mean_word_len": 0.3,
+    "symbol_ratio": -4.0,
+    "stopword_density": 6.0,
+    "max_word_repeat_ratio": -3.0,
+}
+
+
+def with_quality_score(
+    df: DataFrame, weights: dict | None = None, out_col: str = "quality_score"
+) -> DataFrame:
+    """sigmoid(w·x) over the `with_quality_features` columns, rounded
+    to 4 dp. Input features are integer-ratio-derived doubles, the
+    expression is a fixed arithmetic tree, so the score is bit-stable
+    across engines/partitionings. Map-only."""
+    w = weights or QUALITY_LOGIT_WEIGHTS
+    z = (
+        F.lit(float(w["bias"]))
+        + F.lit(float(w["word_count_log"])) * F.log1p(F.col("word_count"))
+        + F.lit(float(w["mean_word_len"])) * F.col("mean_word_len")
+        + F.lit(float(w["symbol_ratio"])) * F.col("symbol_ratio")
+        + F.lit(float(w["stopword_density"])) * F.col("stopword_density")
+        + F.lit(float(w["max_word_repeat_ratio"]))
+        * F.col("max_word_repeat_ratio")
+    )
+    return df.withColumn(out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4))
+
+
+def select_within_token_budget(
+    scored: DataFrame,
+    token_budget: int,
+    score_col: str = "quality_score",
+    tokens_col: str = "word_count",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy best-first curation under a token budget: order by
+    (score desc, id) and keep docs while the RUNNING token total stays
+    within ``token_budget`` — how a training-mix slice is actually cut
+    ("the best B tokens", not "the best N docs").
+
+    The cumulative window is a single global ordering — exact, and the
+    right tool up to ~10^8 docs per slice. At full corpus scale, cut
+    per-partition budgets from approximate score quantiles first
+    (`with_approx_quality_bands`) and run this only inside the
+    boundary band; the plan below is the exact kernel both paths
+    share."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = scored.withColumn("_cum_tokens", F.sum(tokens_col).over(w))
+    return out.filter(F.col("_cum_tokens") <= token_budget)
+
+
+# --- compression-ratio quality signal ---------------------------------------
+
+def _compression_ratio_udf():
+    """Arrow-batched zlib compression ratio (compressed/raw bytes):
+    templated/repetitive boilerplate compresses far better than organic
+    prose, making the ratio a cheap model-free quality signal (low
+    ratio = repetitive = suspect). zlib is CPU-bound C inside the
+    worker, amortized over Arrow batches — the legitimate pandas-UDF
+    case, like the reference-parity decode UDF. Not SQL-expressible, so
+    the driver's check for q57 is rows-only; the unit test verifies
+    against direct python zlib on the same strings."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def compression_ratio(text: pd.Series) -> pd.Series:
+        import zlib
+
+        def ratio(s):
+            if s is None:
+                return None
+            raw = s.encode("utf-8", "ignore")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+        return text.map(ratio)
+
+    return compression_ratio
+
+
+def with_compression_ratio(
+    df: DataFrame, text_col: str = "text", out_col: str = "compression_ratio"
+) -> DataFrame:
+    return df.withColumn(out_col, _compression_ratio_udf()(F.col(text_col)))

@@ -2382,6 +2382,117 @@ FROM decided
 """
 
 
+def _feats_cte() -> str:
+    """DuckDB CTE computing the q13 heuristic features over documents —
+    shared by the q57/q59 oracles (q13/q56 predate it and inline the
+    same expressions)."""
+    wc = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END"
+    return f"""
+feats AS (
+  SELECT doc_id,
+         {wc} AS word_count,
+         round(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
+               / greatest({wc}, 1), 4) AS mean_word_len,
+         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1), 4) AS symbol_ratio,
+         round(len(list_filter({TOKS_SQL}, t -> list_contains({_STOPLIST_SQL}, t)))::DOUBLE
+               / greatest({wc}, 1), 4) AS stopword_density,
+         CASE WHEN length(trim(text)) = 0 OR len({TOKS_SQL}) = 0 THEN 0.0
+              ELSE round(list_max(list_transform(list_distinct({TOKS_SQL}),
+                           t -> len(list_filter({TOKS_SQL}, x -> x = t))))::DOUBLE
+                         / len({TOKS_SQL}), 4) END AS max_word_repeat_ratio
+  FROM documents
+)"""
+
+
+_SCORE_SQL = """
+round(1.0 / (1.0 + exp(-(-1.0 + 0.8 * ln(1 + word_count)
+                         + 0.3 * mean_word_len - 4.0 * symbol_ratio
+                         + 6.0 * stopword_density
+                         - 3.0 * max_word_repeat_ratio))), 4)
+"""
+
+
+def q57_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-style logistic quality score (serving side of the
+    FineWeb quality-classifier stage; fixed weights stand in for a
+    trained model's — swap without touching the plan). Map-only.
+    operators/quality.py:with_quality_score."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        with_quality_features,
+        with_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(with_quality_features(docs))
+    return scored.select(
+        "doc_id",
+        "quality_score",
+        (F.col("quality_score") >= 0.5).alias("keep_by_score"),
+    )
+
+
+Q57_SQL = f"""
+WITH {_feats_cte()}
+SELECT doc_id, {_SCORE_SQL} AS quality_score,
+       {_SCORE_SQL} >= 0.5 AS keep_by_score
+FROM feats
+"""
+
+
+def q58_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (templated boilerplate
+    compresses far better than organic prose). Arrow-batched pandas
+    UDF — deliberately NOT SQL-expressible, so the driver records the
+    rows-only check; the unit test verifies against direct python
+    zlib. operators/quality.py:with_compression_ratio."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        with_compression_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_compression_ratio(docs).select("doc_id", "compression_ratio")
+
+
+def q59_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-first selection under a 10k-token budget — cutting
+    'the best B tokens' for a training mix, not 'the best N docs'.
+    operators/quality.py:select_within_token_budget (global-window
+    kernel; the scale path pre-cuts with approximate score bands)."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        select_within_token_budget,
+        with_quality_features,
+        with_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(with_quality_features(docs))
+    picked = select_within_token_budget(scored, token_budget=10000)
+    return picked.select(
+        "doc_id",
+        "quality_score",
+        F.col("word_count").cast("bigint").alias("word_count"),
+        F.col("_cum_tokens").cast("bigint").alias("cum_tokens"),
+    )
+
+
+Q59_SQL = f"""
+WITH {_feats_cte()},
+scored AS (
+  SELECT doc_id, word_count, {_SCORE_SQL} AS quality_score FROM feats
+),
+cum AS (
+  SELECT doc_id, quality_score, word_count,
+         sum(word_count) OVER (ORDER BY quality_score DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, quality_score, CAST(word_count AS BIGINT) AS word_count,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= 10000
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2440,6 +2551,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_semantic_dedup": q54_semantic_dedup,
     "q55_domain_reputation": q55_domain_reputation,
     "q56_pipeline_labels": q56_pipeline_labels,
+    "q57_quality_score": q57_quality_score,
+    "q58_compression_ratio": q58_compression_ratio,
+    "q59_token_budget_select": q59_token_budget_select,
 }
 
 
@@ -2498,4 +2612,8 @@ def oracle_sql() -> dict[str, str]:
         "q54_semantic_dedup": Q54_SQL,
         "q55_domain_reputation": Q55_SQL,
         "q56_pipeline_labels": _q56_sql(),
+        "q57_quality_score": Q57_SQL,
+        # q58 deliberately absent: zlib is not SQL-expressible (driver
+        # records the rows-only check; unit test covers values)
+        "q59_token_budget_select": Q59_SQL,
     }

@@ -18,9 +18,13 @@ def test_every_query_has_oracle():
     oracles = entrymod.oracle_sql()
     assert qs, "queries() must not be empty"
     missing = set(qs) - set(oracles)
-    # every query is oracle-checked since r2 (q37's fixpoint gained a
-    # recursive-CTE oracle)
-    assert not missing, f"queries without oracle: {missing}"
+    # every SQL-expressible query is oracle-checked (q37's fixpoint has
+    # a recursive-CTE oracle). Sole exception: q58's zlib compression
+    # ratio has no DuckDB equivalent — the driver records its rows-only
+    # check and tests/test_quality_scrub.py verifies values vs zlib.
+    assert missing == {"q58_compression_ratio"}, (
+        f"unexpected oracle coverage change: {missing}"
+    )
     extra = set(oracles) - set(qs)
     assert not extra, f"oracles without query: {extra}"
 

@@ -344,3 +344,65 @@ def test_model_artifact_pluggability(spark, tmp_path):
 
     back = {r["id"]: (r["lid"], r["ppl"]) for r in df.select("id", lid_col, ppl_col).collect()}
     assert back == base
+
+
+class TestQualityScoreAndBudget:
+    def test_logistic_score_hand_computed(self, spark):
+        import math
+
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            with_quality_features,
+            with_quality_score,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat with a hat that fit")],
+            "doc_id long, text string",
+        )
+        row = with_quality_score(with_quality_features(df)).collect()[0]
+        z = (
+            -1.0
+            + 0.8 * math.log1p(row["word_count"])
+            + 0.3 * row["mean_word_len"]
+            - 4.0 * row["symbol_ratio"]
+            + 6.0 * row["stopword_density"]
+            - 3.0 * row["max_word_repeat_ratio"]
+        )
+        assert row["quality_score"] == round(1.0 / (1.0 + math.exp(-z)), 4)
+
+    def test_budget_greedy_cut(self, spark):
+        from pyspark.sql import functions as F
+
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            select_within_token_budget,
+        )
+
+        rows = [  # (doc_id, score, tokens)
+            (1, 0.9, 40), (2, 0.8, 50), (3, 0.8, 30), (4, 0.5, 100), (5, 0.4, 5)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, quality_score double, word_count long")
+        picked = {
+            r["doc_id"]: r["_cum_tokens"]
+            for r in select_within_token_budget(df, token_budget=120).collect()
+        }
+        # order: 1(40) -> 2(90, tie broken by id) -> 3(120) -> 4 would
+        # be 220 > budget; 5 also over because the RUNNING total is cut
+        assert picked == {1: 40, 2: 90, 3: 120}
+
+    def test_compression_ratio_matches_zlib(self, spark):
+        import zlib
+
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            with_compression_ratio,
+        )
+
+        texts = ["a" * 500, "the quick brown fox jumps over the lazy dog", ""]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r["compression_ratio"] for r in with_compression_ratio(df).collect()}
+        for i, t in enumerate(texts):
+            raw = t.encode()
+            exp = 1.0 if not raw else round(len(zlib.compress(raw, 6)) / len(raw), 4)
+            assert out[i] == exp, (i, t[:20])
+        assert out[0] < 0.1  # repetitive text compresses hard
