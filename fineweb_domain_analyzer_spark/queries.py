@@ -2493,6 +2493,73 @@ FROM cum WHERE cum_tokens <= 10000
 """
 
 
+_HTML_PRE = (
+    '<html><head><style>p {color: red}</style>'
+    '<script>var x = "</p>";</script></head><body><h1>'
+)
+_HTML_MID = "</h1>\n<p>"
+_HTML_POST = (
+    " &amp; more&nbsp;stuff</p><div>footer</div>"
+    "<!-- hidden --></body></html>"
+)
+
+
+def q60_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible-text extraction (the from-crawl step upstream of
+    every quality heuristic): deterministic HTML synthesized around
+    each doc's text (script with embedded '</p>', style, comment,
+    entities), extracted with the codegen regexp chain in
+    functions/html.py. Output is hashed for byte-level comparison."""
+    from fineweb_domain_analyzer_spark.functions.html import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE), F.col("source"), F.lit(_HTML_MID),
+        F.col("text"), F.lit(_HTML_POST),
+    )
+    ext = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.md5(ext).alias("text_hash"),
+        F.length(ext).cast("bigint").alias("text_len"),
+    )
+
+
+def _q60_sql() -> str:
+    pre = _HTML_PRE.replace("'", "''")
+    mid = _HTML_MID.replace("\n", "' || chr(10) || '")
+    post = _HTML_POST.replace("'", "''")
+    x = f"'{pre}' || source || '{mid}' || text || '{post}'"
+    for pat, rep in (
+        (r"(?is)<script\b[^>]*>.*?</script>", " "),
+        (r"(?is)<style\b[^>]*>.*?</style>", " "),
+        (r"(?s)<!--.*?-->", " "),
+        (r"(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr)>", r"\n"),
+        (r"(?s)<[^>]*>", " "),
+    ):
+        # DuckDB string literals keep backslashes as-is — pass the
+        # regex text through unmodified (no doubling)
+        pat_sql = pat.replace("'", "''")
+        if rep == r"\n":
+            x = f"regexp_replace({x}, '{pat_sql}', chr(10), 'g')"
+        else:
+            x = f"regexp_replace({x}, '{pat_sql}', '{rep}', 'g')"
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&"),
+    ):
+        ch_sql = ch if ch != "'" else "''"
+        x = f"replace({x}, '{ent}', '{ch_sql}')"
+    x = f"regexp_replace({x}, '[ \\t]+', ' ', 'g')"
+    x = f"regexp_replace({x}, ' ?\\n ?', chr(10), 'g')"
+    x = f"regexp_replace({x}, '\\n{{2,}}', chr(10), 'g')"
+    x = f"trim({x}, ' ' || chr(9) || chr(10) || chr(13))"
+    return f"""
+SELECT doc_id, md5({x}) AS text_hash, length({x})::BIGINT AS text_len
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2554,6 +2621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_quality_score": q57_quality_score,
     "q58_compression_ratio": q58_compression_ratio,
     "q59_token_budget_select": q59_token_budget_select,
+    "q60_html_extract": q60_html_extract,
 }
 
 
@@ -2616,4 +2684,5 @@ def oracle_sql() -> dict[str, str]:
         # q58 deliberately absent: zlib is not SQL-expressible (driver
         # records the rows-only check; unit test covers values)
         "q59_token_budget_select": Q59_SQL,
+        "q60_html_extract": _q60_sql(),
     }
