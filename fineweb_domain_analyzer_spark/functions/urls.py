@@ -77,13 +77,18 @@ def canonical_url_dedup(
     """Keep one row per canonical URL (first by ``order_cols``, then by
     the raw url for a total deterministic order). Same keep-first
     window shape as operators/dedup.py:exact_dedup_keep_first — one
-    shuffle on the canonical key, state bounded at 1 row per group."""
+    shuffle on the canonical key, state bounded at 1 row per group.
+
+    Unparseable URLs canonicalize to null; those must NOT collide into
+    one group (they are distinct pages whose URL merely failed to
+    parse), so the window keys on ``coalesce(canonical_url, url)`` —
+    each null-keyed row keeps its raw url as its own group key."""
     from pyspark.sql.window import Window
 
     df = with_canonical_url(df, url_col)
-    w = Window.partitionBy("canonical_url").orderBy(
-        *[F.col(c) for c in order_cols], F.col(url_col)
-    )
+    w = Window.partitionBy(
+        F.coalesce(F.col("canonical_url"), F.col(url_col))
+    ).orderBy(*[F.col(c) for c in order_cols], F.col(url_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

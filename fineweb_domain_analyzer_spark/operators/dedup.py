@@ -174,6 +174,8 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     hash_family: str = "md5",
+    max_bucket_size: int | None = None,
+    cap_observation=None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via MinHash-LSH.
 
@@ -185,6 +187,30 @@ def lsh_candidate_pairs(
     ``hash_family``: "md5" (engine-portable, oracle-checked) or "xx"
     (xxhash64, the production/scale choice — same plan, cheaper map
     stage; BENCH/minhash_family.json quantifies the gap).
+
+    ``max_bucket_size``: mega-duplicate-bucket guard. Bucket sizes
+    track TRUE near-dup cluster sizes — which is exactly the danger on
+    a real crawl, where one boilerplate page has 10^5–10^6 copies and
+    would make its bucket's self-join quadratic (10^10+ pairs). With a
+    cap, each (band_id, band_key) bucket keeps only its
+    ``max_bucket_size`` smallest ids for pair generation, bounding any
+    bucket at cap²/2 pairs. The kept subset is deterministic (min
+    ids), so the bucket's canonical representative always survives;
+    callers running keep-canonical dedup over the transitive closure
+    (``dedup_keep_canonical``) lose nothing when the bucket is one
+    true cluster — exactly the mega-bucket case. Defense in depth:
+    ``near_dedup_minhash(collapse_exact=True)`` (the default) already
+    collapses byte-identical copies to ONE representative before LSH,
+    so only a giant cluster of *distinct-but-near-identical* texts can
+    oversize a bucket at all. The cap trims ranks within the same
+    (band_id, band_key) partitioning the self-join shuffles on, so it
+    adds no exchange.
+
+    ``cap_observation``: optional ``pyspark.sql.Observation`` — when
+    the cap is active, registers metrics ``banded_rows`` and
+    ``capped_rows`` (rows dropped by the guard) collected during the
+    run, so production jobs can alarm on silent recall loss without a
+    second pass.
     """
     if hash_family not in ("md5", "xx"):
         raise ValueError(
@@ -212,6 +238,20 @@ def lsh_candidate_pairs(
         "_id",
         F.explode(band_col).alias("b"),
     ).select("_id", "b.band_id", "b.band_key")
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_id", "band_key").orderBy("_id")
+        sized = banded.withColumn("_rk", F.row_number().over(w))
+        if cap_observation is not None:
+            sized = sized.observe(
+                cap_observation,
+                F.count(F.lit(1)).alias("banded_rows"),
+                F.sum(
+                    (F.col("_rk") > max_bucket_size).cast("long")
+                ).alias("capped_rows"),
+            )
+        banded = sized.filter(F.col("_rk") <= max_bucket_size).drop("_rk")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -269,10 +309,57 @@ def near_dedup_minhash(
     bands: int = 4,
     shingle_n: int = 3,
     hash_family: str = "md5",
+    collapse_exact: bool = True,
+    max_bucket_size: int | None = None,
+    cap_observation=None,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    """Full near-dup pipeline: exact-duplicate collapse → LSH
+    candidates → exact Jaccard ≥ threshold.
+
+    ``collapse_exact`` (default True) is the mega-duplicate guard that
+    matters most on a real crawl: a boilerplate page with 10^5–10^6
+    byte-identical copies would otherwise put its whole copy-set into
+    one LSH bucket and the in-bucket self-join goes quadratic (10^10+
+    pairs). Instead, byte-identical texts are collapsed to one
+    min-id representative (``exact_dedup_groups`` — one hash shuffle,
+    linear), MinHash/LSH/Jaccard run over representatives only, and
+    each collapsed copy is re-attached as a ``(canonical, member,
+    jaccard=1.0)`` pair — O(copies) edges, not O(copies²). The output
+    pair set differs from the uncollapsed all-pairs form, but its
+    TRANSITIVE CLOSURE is identical (members reach everything their
+    representative reaches via the canonical edge), which is the
+    contract every downstream consumer (``connected_components``,
+    ``dedup_keep_canonical``) depends on.
+
+    ``max_bucket_size`` / ``cap_observation``: forwarded to
+    ``lsh_candidate_pairs`` — second line of defense for giant
+    clusters of *near*- (not byte-) identical docs; see its docstring.
+    """
+    if collapse_exact:
+        groups = exact_dedup_groups(docs, id_col, text_col)
+        reps = docs.join(
+            groups.filter(F.col(id_col) == F.col("canonical_id")).select(id_col),
+            id_col,
+            "left_semi",
+        )
+        cands = lsh_candidate_pairs(
+            reps, id_col, text_col, k, bands, shingle_n, hash_family,
+            max_bucket_size, cap_observation,
+        )
+        verified = jaccard_on_pairs(
+            cands, reps, id_col, text_col, shingle_n
+        ).filter(F.col("jaccard") >= threshold)
+        exact_pairs = groups.filter(
+            F.col(id_col) != F.col("canonical_id")
+        ).select(
+            F.col("canonical_id").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        return verified.unionAll(exact_pairs)
     cands = lsh_candidate_pairs(
-        docs, id_col, text_col, k, bands, shingle_n, hash_family
+        docs, id_col, text_col, k, bands, shingle_n, hash_family,
+        max_bucket_size, cap_observation,
     )
     verified = jaccard_on_pairs(cands, docs, id_col, text_col, shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)

@@ -207,14 +207,22 @@ def with_approx_quality_bands(
 
     Band semantics: band i (1-based) ⇔ score > cut[i-1] (cuts are the
     1/k … (k-1)/k approx quantiles); ties at a cut fall into the lower
-    band, mirroring ntile's ordering by score alone."""
+    band, mirroring ntile's ordering by score alone.
+
+    Null group keys form their own band group: groupBy produces a
+    null-keyed cut row, and the join-back is null-safe (``eqNullSafe``)
+    so null-keyed rows are banded rather than silently dropped by the
+    equi-join (ADVICE r3)."""
     from pyspark.sql import functions as F  # local alias for clarity
 
     probs = [i / k for i in range(1, k)]
     cuts = df.groupBy(by_col).agg(
         F.percentile_approx(score_col, probs, accuracy).alias("_cuts")
     )
-    joined = df.join(F.broadcast(cuts), by_col)
+    cuts = cuts.withColumnRenamed(by_col, "_cut_key")
+    joined = df.join(
+        F.broadcast(cuts), F.col(by_col).eqNullSafe(F.col("_cut_key"))
+    ).drop("_cut_key")
     band = (
         F.aggregate(
             F.col("_cuts"),

@@ -1115,8 +1115,18 @@ _Q36_CTES = f"""aug AS (
   SELECT doc_id + 1000000 AS doc_id, text || ' mutated tail' AS text
   FROM documents WHERE doc_id < 200
 ),
+grp AS (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM aug
+),
+reps AS (SELECT doc_id, text FROM grp WHERE doc_id = canonical_id),
+exact_pairs AS (
+  SELECT canonical_id AS id_a, doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM grp WHERE doc_id <> canonical_id
+),
 shingled AS (
-  SELECT doc_id, {SHINGLES_SQL} AS sh FROM aug
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM reps
 ),
 sigs AS (
   SELECT doc_id,
@@ -1147,6 +1157,8 @@ SELECT c.id_a, c.id_b,
 FROM cand c JOIN sets a ON c.id_a = a.doc_id JOIN sets b ON c.id_b = b.doc_id
 WHERE round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.5
+UNION ALL
+SELECT id_a, id_b, jaccard FROM exact_pairs
 """
 
 Q36_SQL = f"WITH {_Q36_CTES}\n{_Q36_SELECT}"
@@ -1997,7 +2009,10 @@ def q51_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fineweb_domain_analyzer_spark.operators.textclean import paragraph_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    staged = docs.select(
+    # blank/whitespace-only docs have no paragraphs: the oracle's
+    # length(trim(text))=0 guard omits them entirely, and ws_tokens('')
+    # is [''] (size 1), so filter BEFORE tokenizing (ADVICE r3).
+    staged = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", ws_tokens(F.lower(F.col("text"))).alias("_tk")
     )
     n_chunks = F.ceil(F.size(F.col("_tk")) / F.lit(3.0)).cast("int")

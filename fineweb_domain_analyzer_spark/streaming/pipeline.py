@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.streaming.listener import StreamingQueryListener
 
 from fineweb_domain_analyzer_spark.plans.pipeline import (
     PipelineConfig,
@@ -146,6 +147,61 @@ def streaming_drop_reason_counts(
     )
 
 
+class _ProgressAccumulator(StreamingQueryListener):
+    """StreamingQueryListener that accumulates per-batch input-row
+    counts for every query — unlike ``query.recentProgress`` it is not
+    capped at ``numRecentProgressUpdates`` entries, so runs with huge
+    micro-batch backlogs count correctly.
+
+    Keys on ``(query_id, batch_id)`` rather than binding to one query
+    up-front: the listener is registered BEFORE ``start()`` so no
+    event can be missed, and the caller filters by the query id it
+    learns after start. Events arrive on a listener-bus thread, hence
+    the lock + terminated latch."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._rows: dict[tuple[str, int], int] = {}
+        self._terminated: set[str] = set()
+        self._cv = threading.Condition()
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        with self._cv:
+            self._rows[(str(p.id), int(p.batchId))] = int(p.numInputRows)
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        with self._cv:
+            self._terminated.add(str(event.id))
+            self._cv.notify_all()
+
+    # --- caller side ---
+    def rows_for(self, query_id: str) -> dict[int, int]:
+        with self._cv:
+            return {
+                b: n for (q, b), n in self._rows.items() if q == query_id
+            }
+
+    def wait_terminated(self, query_id: str, timeout: float) -> bool:
+        import time
+
+        deadline = time.monotonic() + timeout
+        with self._cv:
+            while query_id not in self._terminated:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._cv.wait(remaining)
+            return True
+
+
 def run_incremental(
     spark: SparkSession,
     in_path: str,
@@ -164,28 +220,45 @@ def run_incremental(
     (0 when nothing new landed). The checkpoint's file-source log +
     sink commit log make re-runs exactly-once at file granularity:
     the production cron/orchestrator just re-invokes this after every
-    dump drop."""
-    pages = read_pages_stream(
-        spark, in_path, fmt=fmt_in, max_files_per_trigger=max_files_per_trigger
-    )
-    if dedup:
-        pages = dedup_stream(pages)
-    labeled = streaming_quality_filter(pages, policy, cfg)
-    query = (
-        labeled.writeStream.format(fmt_out)
-        .option("checkpointLocation", checkpoint)
-        .option("path", out_path)
-        .partitionBy("drop_reason")
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
-    )
-    query.awaitTermination()
-    # recentProgress holds one entry per micro-batch of this run (plus a
-    # possible trailing zero-row entry); dedupe by batchId to be safe.
-    seen: dict[int, int] = {}
-    for p in query.recentProgress:
-        seen[int(p["batchId"])] = int(p["numInputRows"])
-    rows = sum(seen.values())
-    batches = sum(1 for v in seen.values() if v > 0)
-    return {"rows": rows, "batches": batches}
+    dump drop.
+
+    Counting: ``query.recentProgress`` is capped (default ~100
+    entries, ``spark.sql.streaming.numRecentProgressUpdates``), so a
+    backlog of >100 micro-batches (small ``max_files_per_trigger`` ×
+    big dump) would undercount (ADVICE r3). A
+    ``StreamingQueryListener`` sees EVERY progress event regardless of
+    the cap, so counts come from the listener, with recentProgress
+    only as a belt-and-braces fallback for the (unobserved) case of
+    listener delivery failing entirely."""
+    acc = _ProgressAccumulator()
+    spark.streams.addListener(acc)
+    try:
+        pages = read_pages_stream(
+            spark, in_path, fmt=fmt_in, max_files_per_trigger=max_files_per_trigger
+        )
+        if dedup:
+            pages = dedup_stream(pages)
+        labeled = streaming_quality_filter(pages, policy, cfg)
+        query = (
+            labeled.writeStream.format(fmt_out)
+            .option("checkpointLocation", checkpoint)
+            .option("path", out_path)
+            .partitionBy("drop_reason")
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        query.awaitTermination()
+        qid = str(query.id)
+        # listener events are delivered on a separate thread — wait for
+        # this query's terminated event so all progress is flushed.
+        acc.wait_terminated(qid, timeout=30.0)
+        seen = acc.rows_for(qid)
+        if not seen:  # listener never fired — fall back to the capped view
+            for p in query.recentProgress:
+                seen[int(p["batchId"])] = int(p["numInputRows"])
+        rows = sum(seen.values())
+        batches = sum(1 for v in seen.values() if v > 0)
+        return {"rows": rows, "batches": batches}
+    finally:
+        spark.streams.removeListener(acc)

@@ -82,6 +82,97 @@ def test_near_dedup_minhash_end_to_end(docs):
         assert j >= 0.5
 
 
+class TestMegaDuplicateGuard:
+    """VERDICT r3 #1: a 10^4-copy boilerplate cluster must not make the
+    LSH bucket self-join quadratic."""
+
+    def test_planted_10k_copy_cluster_stays_linear(self, spark):
+        n_copies = 10_000
+        boiler = "please accept all cookies to continue to the site content"
+        copies = spark.range(n_copies).select(
+            F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+        )
+        distinct = spark.createDataFrame(
+            [
+                (1_000_000, BASE),
+                (1_000_001, BASE + " slightly mutated tail"),
+                (1_000_002, "entirely unrelated text about query planning"),
+            ],
+            "doc_id long, text string",
+        )
+        aug = copies.unionAll(distinct)
+        pairs = near_dedup_minhash(aug, threshold=0.5).collect()
+        # O(distinct docs): 9,999 (canonical, member) exact edges + the
+        # one verified near pair — NOT ~5×10^7 all-pairs
+        assert len(pairs) <= n_copies + 5
+        exact = [r for r in pairs if r["id_a"] == 0 and r["jaccard"] == 1.0]
+        assert len(exact) == n_copies - 1
+        near = {(r["id_a"], r["id_b"]) for r in pairs if r["id_a"] >= 1_000_000}
+        assert (1_000_000, 1_000_001) in near
+
+    def test_collapse_preserves_transitive_closure(self, spark):
+        """Collapsed output is a different pair SET but the same
+        transitive closure — the downstream dedup contract."""
+        from fineweb_domain_analyzer_spark.operators.dedup import (
+            connected_components,
+        )
+
+        rows = [
+            (0, BASE),
+            (1, BASE),  # exact dup of 0
+            (2, BASE),  # exact dup of 0
+            (3, BASE + " near tail"),  # near dup of the 0-cluster
+            (4, "other text entirely about spark planner internals"),
+            (5, "other text entirely about spark planner internals"),
+            (6, "isolated document with unique words qqq www eee"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        lab = {}
+        for collapse in (True, False):
+            pairs = near_dedup_minhash(
+                docs, threshold=0.5, collapse_exact=collapse
+            )
+            lab[collapse] = {
+                r["node"]: r["cluster_id"]
+                for r in connected_components(pairs).collect()
+            }
+        assert lab[True] == lab[False]
+        assert lab[True][1] == 0 and lab[True][2] == 0 and lab[True][3] == 0
+        assert lab[True][5] == 4
+
+    def test_bucket_cap_bounds_pairs_and_logs_drops(self, spark):
+        """max_bucket_size: a 30-member NEAR-dup (not byte-identical)
+        cluster with cap 5 → ≤ C(5,2) pairs per band-bucket, capped
+        rows observable, min-id representative always retained."""
+        from pyspark.sql import Observation
+
+        # 30 docs sharing 29/30 tokens — near-identical but distinct,
+        # so exact-collapse does NOT merge them
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda j: F.when(
+                j == 29,
+                F.concat(F.lit("u"), F.col("id").cast("string")),
+            ).otherwise(F.concat(F.lit("shared"), j.cast("string"))),
+        )
+        docs = spark.range(30).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(toks, " ").alias("text"),
+        )
+        obs = Observation("lsh_cap")
+        capped = lsh_candidate_pairs(
+            docs, max_bucket_size=5, cap_observation=obs
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in capped}
+        # 4 bands × C(5,2) = 40 max; uncapped would be C(30,2) = 435
+        assert 0 < len(pairs) <= 40
+        # min ids retained: doc 0 must appear (deterministic keep-smallest)
+        assert any(a == 0 for a, _ in pairs)
+        got = obs.get
+        assert got["capped_rows"] > 0
+        assert got["banded_rows"] == 30 * 4
+
+
 def test_simhash_identical_texts_equal(docs):
     rows = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash16(F.col("text")).alias("s")).collect()}
     assert rows[0] == rows[1]

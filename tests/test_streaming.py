@@ -83,6 +83,32 @@ def test_incremental_ingest_exactly_once_and_batch_equivalent(spark, tmp_path):
     )
 
 
+def test_incremental_counts_survive_recent_progress_cap(spark, tmp_path):
+    """ADVICE r3 regression: query.recentProgress is capped at
+    spark.sql.streaming.numRecentProgressUpdates (~100); with
+    maxFilesPerTrigger and a longer backlog the old implementation
+    undercounted. Shrink the cap to 2, force 6 micro-batches, and
+    assert the listener-based count still sees every row."""
+    in_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    policy = synth_policy_for_domains(spark, N_DOMAINS)
+    for i in range(6):  # 6 separate files → 6 micro-batches at 1 file/trigger
+        _land(spark, in_dir, 40, seed=10 + i, start=40 * i)
+
+    old_cap = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2")
+    try:
+        r = run_incremental(
+            spark, in_dir, out_dir, ckpt, policy, max_files_per_trigger=1
+        )
+    finally:
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", old_cap)
+    assert r["rows"] == 240
+    assert r["batches"] == 6
+    assert spark.read.parquet(out_dir).count() == 240
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     in_dir = str(tmp_path / "landing")
     # two identical file drops → every url appears twice in the source

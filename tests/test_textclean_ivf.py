@@ -124,3 +124,45 @@ class TestParagraphDedup:
         )
         out = paragraph_dedup(df, "paras", min_doc_freq=3).collect()
         assert all(r["cleaned_text"] == "" and r["n_removed"] == 1 for r in out)
+
+    def test_q51_omits_blank_docs_like_oracle(self, spark, tmp_path):
+        """ADVICE r3 regression: a blank / whitespace-only doc must be
+        omitted from q51's output (the oracle's length(trim(text))=0
+        guard yields no paragraphs, hence no row), not emitted as one
+        empty paragraph. Checked engine-vs-DuckDB on a corpus that
+        actually contains blank docs."""
+        import duckdb
+
+        from fineweb_domain_analyzer_spark.queries import (
+            Q51_SQL,
+            q51_paragraph_dedup,
+        )
+
+        rows = [
+            (1, "alpha beta gamma delta"),
+            (2, ""),  # blank
+            (3, "   \n\t  "),  # whitespace-only
+            (4, "alpha beta gamma"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pq = str(tmp_path / "documents.parquet")
+        docs.coalesce(1).write.parquet(pq)
+
+        got = {
+            r["doc_id"]: (r["n_paras"], r["n_removed"], r["cleaned_text"])
+            for r in q51_paragraph_dedup(spark, str(tmp_path)).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+        )
+        want = {
+            r[0]: (r[1], r[2], r[3]) for r in con.execute(Q51_SQL).fetchall()
+        }
+        # the truly-blank doc is omitted by BOTH sides (the r3 bug was
+        # the engine emitting it); doc 3 survives both — trim() strips
+        # only spaces in Spark AND DuckDB, so "\n\t" is one odd token —
+        # what matters is the two sides agree row-for-row.
+        assert 2 not in got
+        assert 1 in got and 4 in got
+        assert got == want

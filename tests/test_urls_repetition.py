@@ -74,6 +74,23 @@ class TestCanonicalizeUrl:
         assert by_canon["https://a.com/p?a=1&b=2"] == "https://a.com/p/?a=1&b=2"
         assert len(kept) == 2
 
+    def test_dedup_preserves_distinct_unparseable_urls(self, spark):
+        # canonicalize maps malformed URLs to null; they must NOT all
+        # collapse into one null group (ADVICE r3 regression).
+        rows = [
+            ("not-a-url-one", 1),
+            ("still not a url", 2),
+            ("://no-scheme", 3),
+            ("https://a.com/p", 4),
+            ("https://a.com/p/", 5),
+        ]
+        df = spark.createDataFrame(rows, ["url", "pri"])
+        kept = canonical_url_dedup(df, order_cols=("pri",)).collect()
+        # 3 distinct malformed rows survive; the two a.com variants dedup
+        assert len(kept) == 4
+        malformed = sorted(r["url"] for r in kept if r["canonical_url"] is None)
+        assert malformed == ["://no-scheme", "not-a-url-one", "still not a url"]
+
 
 class TestNgramRepetition:
     def test_pure_repetition_tops_out(self, spark):
@@ -151,6 +168,24 @@ class TestApproxQualityBands:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "Window" not in plan
+
+    def test_null_group_rows_kept(self, spark):
+        """ADVICE r3 regression: rows whose group key is null must come
+        out banded (their own group), not vanish in the join-back."""
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            with_approx_quality_bands,
+        )
+
+        rows = [("en", 1.0), ("en", 2.0), (None, 5.0), (None, 6.0), (None, 7.0)]
+        df = spark.createDataFrame(rows, "lang string, score double")
+        out = with_approx_quality_bands(df, "score", "lang", k=2).collect()
+        assert len(out) == 5
+        nulls = sorted(
+            (r["score"], r["band"]) for r in out if r["lang"] is None
+        )
+        assert [s for s, _ in nulls] == [5.0, 6.0, 7.0]
+        # null group banded among themselves: median cut at ~6.0
+        assert nulls[0][1] == 1 and nulls[2][1] == 2
 
 
 class TestUrlFeatures:
