@@ -2472,8 +2472,11 @@ def q58_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q59_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy best-first selection under a 10k-token budget — cutting
     'the best B tokens' for a training mix, not 'the best N docs'.
-    operators/quality.py:select_within_token_budget (global-window
-    kernel; the scale path pre-cuts with approximate score bands)."""
+    operators/quality.py:select_within_token_budget — the DEFAULT
+    banded path: band-partitioned distributed prefix-sum, bit-equal
+    to the oracle's global cumulative window with no single-partition
+    sort (the oracle's ROWS UNBOUNDED PRECEDING window is the spec;
+    the engine plan is the scale-safe equivalent)."""
     from fineweb_domain_analyzer_spark.operators.quality import (
         select_within_token_budget,
         with_quality_features,

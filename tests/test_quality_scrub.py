@@ -389,6 +389,66 @@ class TestQualityScoreAndBudget:
         # be 220 > budget; 5 also over because the RUNNING total is cut
         assert picked == {1: 40, 2: 90, 3: 120}
 
+    def test_budget_banded_equals_exact_kernel(self, spark):
+        """VERDICT r3 #3: the default (banded) plan must produce the
+        EXACT same kept set and _cum_tokens as the global-window
+        kernel — including tied scores straddling band cuts — with no
+        unpartitioned window over the input."""
+        from pyspark.sql import functions as F
+
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            select_within_token_budget,
+        )
+
+        # 20k docs; scores deliberately coarse (only 97 distinct
+        # values) so many ties straddle the 64 approximate band cuts
+        df = spark.range(20_000).select(
+            F.col("id").alias("doc_id"),
+            (F.round((F.col("id") * 37 % 97) / 97.0, 4)).alias(
+                "quality_score"
+            ),
+            (F.col("id") * 13 % 200 + 5).alias("word_count"),
+        )
+        budget = 300_000  # ~15% of total tokens → boundary mid-corpus
+        cols = ["doc_id", "quality_score", "word_count", "_cum_tokens"]
+        banded = select_within_token_budget(df, budget, banded=True)
+        exact = select_within_token_budget(df, budget, banded=False)
+        got = sorted(tuple(r) for r in banded.select(*cols).collect())
+        want = sorted(tuple(r) for r in exact.select(*cols).collect())
+        assert got == want
+        assert len(got) > 0
+
+        # plan: every window is partitioned by _band; the global-sort
+        # window (windowspecdefinition starting with the score column)
+        # must not appear anywhere in the banded plan
+        plan = banded._jdf.queryExecution().executedPlan().toString()
+        assert "windowspecdefinition(_band" in plan
+        assert "windowspecdefinition(quality_score" not in plan
+        exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+        assert "windowspecdefinition(quality_score" in exact_plan
+
+    def test_budget_banded_prunes_out_of_budget_bands(self, spark):
+        """With budget ≪ corpus, the offset-filter must remove most
+        bands BEFORE the per-band sort (scale property: the window
+        only ever sees ~budget worth of rows)."""
+        from pyspark.sql import functions as F
+
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            select_within_token_budget,
+        )
+
+        df = spark.range(50_000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 10_000 / 10_000.0).alias("quality_score"),
+            F.lit(100).cast("long").alias("word_count"),
+        )
+        # budget = 0.2% of the 5M total tokens
+        out = select_within_token_budget(df, 10_000, banded=True)
+        rows = out.collect()
+        assert len(rows) == 100  # 10_000 / 100 tokens each
+        # all kept rows come from the top of the score range
+        assert min(r["quality_score"] for r in rows) > 0.99
+
     def test_compression_ratio_matches_zlib(self, spark):
         import zlib
 
