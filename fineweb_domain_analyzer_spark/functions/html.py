@@ -18,6 +18,7 @@ quantifiers only — the Java-regex ∩ RE2 subset, so the DuckDB oracle
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so the UDF's stringified type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -57,9 +58,121 @@ def html_to_text(html: Column) -> Column:
     return F.btrim(out, F.lit(" \t\n\r"))
 
 
+# --- DOM-aware variant (stdlib html.parser, Arrow pandas UDF) ----------------
+
+_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li tr table ul ol blockquote pre section "
+    "article header footer nav aside br hr".split()
+)
+_SKIP_TAGS = frozenset({"script", "style"})
+
+
+def dom_extract_text(html: str) -> str:
+    """DOM-aware visible-text extraction via the stdlib tokenizer
+    (``html.parser.HTMLParser``) — the variant that survives
+    adversarial markup the regex chain mis-handles: ``>`` inside
+    attribute values, ``<`` inside script strings, CDATA blocks,
+    comments containing tags, unclosed tags at EOF. Entities
+    (named + numeric) decode via the parser's charref conversion.
+
+    Same whitespace normalization as ``html_to_text`` so the two
+    variants are comparable on well-formed markup. Pure Python —
+    unit-testable without a session; the Spark crossing is
+    ``dom_html_to_text_udf`` (Arrow-batched)."""
+    import re
+    from html.parser import HTMLParser
+
+    class _Extractor(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self._skip_depth = 0
+            self._closing = False
+
+        def close(self):
+            # close() flushes an unterminated trailing construct
+            # (e.g. '<div class="x' at EOF) through handle_data —
+            # tag-shaped leftovers are markup, not visible text
+            self._closing = True
+            super().close()
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP_TAGS:
+                self._skip_depth += 1
+            elif tag in _BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP_TAGS:
+                self._skip_depth = max(0, self._skip_depth - 1)
+            elif tag in _BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_startendtag(self, tag, attrs):
+            if tag in _BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            # during close(), the only buffered data is an incomplete
+            # trailing construct (flushed piecewise: '<', then the
+            # rest) — markup garbage, never visible text
+            if self._skip_depth or self._closing:
+                return
+            self.parts.append(data)
+
+        # comments / doctype / CDATA-as-unknown-decl: dropped
+        def handle_comment(self, data):
+            pass
+
+        def unknown_decl(self, data):
+            pass
+
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    out = "".join(p.parts)
+    out = re.sub(r"[ \t]+", " ", out)
+    out = re.sub(r" ?\n ?", "\n", out)
+    out = re.sub(r"\n{2,}", "\n", out)
+    return out.strip(" \t\n\r")
+
+
+def dom_html_to_text_udf():
+    """Arrow-batched pandas UDF over ``dom_extract_text`` (factory —
+    module-level UDF creation would need a DataType before any session
+    exists). Python per row, but the parse is stdlib-C-tokenizer-bound
+    and amortized over Arrow batches — the standard trade: the regex
+    chain (``html_to_text``) is the JVM/codegen fast path good enough
+    for quality heuristics, this is the fidelity path for corpus
+    text."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def dom_extract(html: pd.Series) -> pd.Series:
+        return html.map(
+            lambda s: None if s is None else dom_extract_text(s)
+        )
+
+    return dom_extract
+
+
 def with_extracted_text(
-    df: DataFrame, html_col: str = "html_text", out_col: str = "extracted_text"
+    df: DataFrame,
+    html_col: str = "html_text",
+    out_col: str = "extracted_text",
+    mode: str = "regex",
 ) -> DataFrame:
     """html (STRING — decode binary first via decode_utf8_ignore_udf)
-    → visible text. One fused projection; free rider on the scan."""
-    return df.withColumn(out_col, html_to_text(F.col(html_col)))
+    → visible text.
+
+    ``mode="regex"`` (default): the codegen regexp chain — one fused
+    JVM projection, free rider on the scan; right for heuristics.
+    ``mode="dom"``: the stdlib-parser pandas UDF — handles markup the
+    regex chain cannot (see ``dom_extract_text``); right when the
+    extracted text IS the product."""
+    if mode == "regex":
+        return df.withColumn(out_col, html_to_text(F.col(html_col)))
+    if mode == "dom":
+        return df.withColumn(out_col, dom_html_to_text_udf()(F.col(html_col)))
+    raise ValueError(f"mode must be 'regex' or 'dom', got {mode!r}")

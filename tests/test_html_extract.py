@@ -38,3 +38,79 @@ class TestHtmlToText:
     def test_whitespace_collapse(self, spark):
         h = "<p>a\t\t b</p>\n\n\n<p>c</p>"
         assert _extract(spark, h) == "a b\nc"
+
+
+class TestDomExtract:
+    """DOM-aware variant (VERDICT r3 #4): stdlib-parser extraction
+    that survives adversarial markup the regex chain mis-handles.
+    Pure-python function tested directly; the Spark crossing once."""
+
+    def _dom(self, html: str) -> str:
+        from fineweb_domain_analyzer_spark.functions.html import (
+            dom_extract_text,
+        )
+
+        return dom_extract_text(html)
+
+    def test_gt_inside_attribute_value(self, spark):
+        # regex `<[^>]*>` stops at the > inside the attribute and
+        # leaks `b">link` — the DOM parser tokenizes the tag correctly
+        h = '<p>x</p><a title="a > b">link</a><p>y</p>'
+        assert self._dom(h) == "x\nlink\ny"
+        df = spark.createDataFrame([(h,)], "html_text string")
+        regex_out = df.select(html_to_text(F.col("html_text")).alias("t")).first()["t"]
+        assert 'b">' in regex_out  # documents the regex failure mode
+
+    def test_lt_inside_script_string(self):
+        h = "<script>if (a < b) { x = '<p>fake</p>'; }</script><p>real</p>"
+        assert self._dom(h) == "real"
+
+    def test_cdata_with_gt_dropped(self):
+        h = "<p>a</p><![CDATA[ 1 > 0 && 2 < 3 ]]><p>b</p>"
+        assert self._dom(h) == "a\nb"
+
+    def test_comment_containing_tags(self):
+        h = "<p>a</p><!-- <p>not text</p> <div> --><p>b</p>"
+        assert self._dom(h) == "a\nb"
+
+    def test_unclosed_tag_at_eof(self):
+        assert self._dom('<p>text</p><div class="x') == "text"
+
+    def test_numeric_and_named_entities(self):
+        h = "<p>&amp; &#x27;s&#39; &lt;tag&gt;&nbsp;end</p>"
+        assert self._dom(h) == "& 's' <tag> end".replace(" ", "\xa0")
+
+    def test_nested_same_skip_tag(self):
+        # malformed nested <script> — depth counter keeps skipping
+        h = "<script>a<script>b</script>c</script><p>ok</p>"
+        assert "ok" in self._dom(h)
+        assert "a" not in self._dom(h)
+
+    def test_agrees_with_regex_chain_on_clean_markup(self, spark):
+        """On well-formed markup (q60's synthesized shape) the two
+        variants agree, modulo nbsp (regex maps &nbsp;→space, DOM
+        keeps \\xa0 — both then collapse)."""
+        from fineweb_domain_analyzer_spark.functions.html import (
+            dom_html_to_text_udf,
+        )
+
+        h = (
+            "<html><head><style>p {color: red}</style>"
+            '<script>var x = "</p>";</script></head><body>'
+            "<h1>Head</h1>\n<p>body text &amp; more</p>"
+            "<div>footer</div><!-- hidden --></body></html>"
+        )
+        df = spark.createDataFrame([(h,)], "html_text string")
+        row = df.select(
+            html_to_text(F.col("html_text")).alias("rx"),
+            dom_html_to_text_udf()(F.col("html_text")).alias("dom"),
+        ).first()
+        assert row["rx"] == row["dom"] == "Head\nbody text & more\nfooter"
+
+    def test_dom_mode_via_with_extracted_text(self, spark):
+        df = spark.createDataFrame(
+            [('<a title="a > b">link</a>',), (None,)], "html_text string"
+        )
+        rows = with_extracted_text(df, mode="dom").collect()
+        assert rows[0]["extracted_text"] == "link"
+        assert rows[1]["extracted_text"] is None
