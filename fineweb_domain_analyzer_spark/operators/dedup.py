@@ -738,3 +738,64 @@ def contamination_check(
             "contamination", F.round(F.col("n_hits") / F.col("n_grams"), 4)
         )
     )
+
+
+def _span_hashes(tk: Column, span_len: int) -> Column:
+    """md5 of every ``span_len``-token window of a MATERIALIZED token
+    array (empty when the doc is shorter than one span — a doc that
+    cannot contain the span cannot be contaminated by it)."""
+    idx = F.sequence(F.lit(1), F.size(tk) - (span_len - 1))
+    spans = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(tk, i, span_len), " "))
+    )
+    return F.when(F.size(tk) >= span_len, spans).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_span_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    span_len: int = 50,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Exact long-span contamination scan — the STRONGER check run
+    alongside the n-gram overlap (``contamination_check``): a document
+    that contains an eval example *verbatim* can still score a LOW
+    n-gram contamination fraction when it is long (47 contaminated
+    4-grams out of 1,000 is 4.7% — under any alert threshold), yet it
+    leaks the entire eval item. Here every ``span_len``-token window
+    of every corpus doc is hashed and matched EXACTLY against every
+    window of the benchmark; one hit is proof of verbatim leakage, so
+    the output is per-doc evidence, not a fraction:
+    ``(id, n_spans, n_span_hits, first_token_pos)`` (1-based token
+    offset of the earliest leaked span), docs with no hits omitted.
+
+    Both inputs carry a MATERIALIZED token array (``tokens_col``) —
+    same staging contract as ``word_shingles_from_tokens``.
+
+    Scale shape: the benchmark's span-hash set is distinct'ed and
+    **broadcast** (eval sets are thousands of docs — a few hundred
+    thousand 8-byte-keyed hashes), so the corpus side is map-only
+    through the join; the only shuffle is the per-doc hit aggregation,
+    keyed by id. Hash cost is O(tokens × span_len) bytes md5'd per
+    doc, embarrassingly parallel in the map stage; md5 keeps the
+    DuckDB oracle able to mirror the hash exactly (the xxhash64 trick
+    from the minhash family applies here too if CPU ever dominates).
+    """
+    bench_spans = benchmark.select(
+        F.explode(_span_hashes(F.col(tokens_col), span_len)).alias("span_h")
+    ).distinct()
+    c = corpus.select(
+        F.col(id_col), _span_hashes(F.col(tokens_col), span_len).alias("_sp")
+    ).select(
+        F.col(id_col),
+        F.size(F.col("_sp")).cast("bigint").alias("n_spans"),
+        F.posexplode(F.col("_sp")).alias("pos", "span_h"),
+    )
+    hits = c.join(F.broadcast(bench_spans), "span_h")
+    return hits.groupBy(id_col, "n_spans").agg(
+        F.count(F.lit(1)).alias("n_span_hits"),
+        (F.min("pos") + 1).cast("int").alias("first_token_pos"),
+    )

@@ -2578,6 +2578,94 @@ FROM documents
 """
 
 
+def q61_exact_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact long-span contamination (the stronger companion to q52's
+    n-gram overlap): docs with doc_id % 23 == 0 play the eval set;
+    corpus docs with doc_id % 7 == 0 get a 10-token span of a
+    deterministic eval doc planted verbatim at the end, and the scan
+    must find every planted doc with the exact token offset.
+    operators/dedup.py:exact_span_contamination."""
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        exact_span_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 23 == 0)
+    eval_spans = evals.select(
+        (F.col("doc_id") / 23).cast("long").alias("k"),
+        F.array_join(
+            F.slice(ws_tokens(F.lower(F.col("text"))), 1, 10), " "
+        ).alias("span"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 23 != 0).withColumn(
+        "k",
+        F.when(F.col("doc_id") % 7 == 0, F.col("doc_id") % 20),
+    )
+    planted = corpus.join(F.broadcast(eval_spans), "k", "left").withColumn(
+        "text2",
+        F.when(
+            F.col("span").isNotNull(),
+            F.concat(F.col("text"), F.lit(" "), F.col("span")),
+        ).otherwise(F.col("text")),
+    )
+    staged = planted.select(
+        "doc_id", ws_tokens(F.lower(F.col("text2"))).alias("_tk")
+    )
+    bench = evals.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("_tk")
+    )
+    return exact_span_contamination(
+        staged, bench, span_len=10, tokens_col="_tk"
+    ).select("doc_id", "n_spans", "n_span_hits", "first_token_pos")
+
+
+Q61_SQL = """
+WITH ev AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE doc_id % 23 = 0
+),
+eval_spans AS (
+  SELECT doc_id // 23 AS k, array_to_string(w[1:10], ' ') AS span FROM ev
+),
+corpus0 AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 7 = 0 THEN doc_id % 20 END AS k
+  FROM documents WHERE doc_id % 23 <> 0
+),
+aug AS (
+  SELECT c.doc_id,
+         CASE WHEN es.span IS NOT NULL THEN c.text || ' ' || es.span
+              ELSE c.text END AS text
+  FROM corpus0 c LEFT JOIN eval_spans es ON c.k = es.k
+),
+ctk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM aug
+),
+cspans AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 10
+           THEN list_transform(range(1, len(w) - 8),
+                  i -> {'pos': i, 'h': md5(array_to_string(w[i:i+9], ' '))})
+           ELSE [] END AS sp
+  FROM ctk
+),
+cs AS (SELECT doc_id, len(sp) AS n_spans, unnest(sp) AS s FROM cspans),
+bsp AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(w) >= 10
+      THEN list_transform(range(1, len(w) - 8),
+             i -> md5(array_to_string(w[i:i+9], ' ')))
+      ELSE [] END) AS h
+  FROM ev
+)
+SELECT c.doc_id, c.n_spans, count(*) AS n_span_hits,
+       CAST(min(c.s.pos) AS INT) AS first_token_pos
+FROM cs c JOIN bsp b ON c.s.h = b.h
+GROUP BY c.doc_id, c.n_spans
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2640,6 +2728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_compression_ratio": q58_compression_ratio,
     "q59_token_budget_select": q59_token_budget_select,
     "q60_html_extract": q60_html_extract,
+    "q61_exact_span_contamination": q61_exact_span_contamination,
 }
 
 
@@ -2703,4 +2792,5 @@ def oracle_sql() -> dict[str, str]:
         # records the rows-only check; unit test covers values)
         "q59_token_budget_select": Q59_SQL,
         "q60_html_extract": _q60_sql(),
+        "q61_exact_span_contamination": Q61_SQL,
     }

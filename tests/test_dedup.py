@@ -386,6 +386,61 @@ def test_xx_hash_family_matches_md5_verified_pairs(spark, fixtures_dir):
         )
 
 
+class TestExactSpanContamination:
+    """VERDICT r3 #5: the n-gram overlap fraction under-reports exact
+    long-span leakage in long docs; the rolling exact-span scan must
+    catch 100% of planted verbatim spans."""
+
+    def test_planted_spans_found_where_ngram_fraction_is_tiny(self, spark):
+        from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+        from fineweb_domain_analyzer_spark.operators.dedup import (
+            contamination_check,
+            exact_span_contamination,
+            word_shingles_from_tokens,
+        )
+
+        eval_text = " ".join(f"e{j}" for j in range(60))
+        span50 = " ".join(f"e{j}" for j in range(50))
+        corpus_rows = []
+        for i in range(30):
+            toks = [f"d{i}_{t}" for t in range(1000)]
+            if i < 10:  # plant the verbatim 50-token eval span mid-doc
+                toks = toks[:500] + span50.split() + toks[500:]
+            corpus_rows.append((i, " ".join(toks)))
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        bench = spark.createDataFrame([(999, eval_text)], "doc_id long, text string")
+
+        tk = lambda df: df.select(  # noqa: E731
+            "doc_id", ws_tokens(F.lower(F.col("text"))).alias("_tk")
+        )
+        hits = {
+            r["doc_id"]: (r["n_span_hits"], r["first_token_pos"])
+            for r in exact_span_contamination(
+                tk(corpus), tk(bench), span_len=50, tokens_col="_tk"
+            ).collect()
+        }
+        # 100% of planted docs, exact offset, zero false positives
+        assert set(hits) == set(range(10))
+        assert all(v == (1, 501) for v in hits.values())
+
+        # the n-gram fraction on the SAME planted docs sits under any
+        # plausible alert threshold — the false-negative q52-only mode
+        grams = lambda df: df.select(  # noqa: E731
+            "doc_id",
+            F.array_distinct(
+                word_shingles_from_tokens(
+                    ws_tokens(F.lower(F.col("text"))), 4
+                )
+            ).alias("grams"),
+        )
+        frac = {
+            r["doc_id"]: r["contamination"]
+            for r in contamination_check(grams(corpus), grams(bench)).collect()
+        }
+        assert set(frac) == set(range(10))
+        assert all(f < 0.06 for f in frac.values())
+
+
 def test_latest_snapshot_per_key(spark):
     from fineweb_domain_analyzer_spark.operators.dedup import (
         latest_snapshot_per_key,
