@@ -373,11 +373,17 @@ def artifact_basename(name: str) -> str:
 def register_model_artifact(spark, name: str, path: str) -> None:
     """Ship a model artifact to all executors under the well-known
     SparkFiles name the UDFs probe for. One registration per name per
-    SparkContext (addFile semantics)."""
+    SparkContext (addFile semantics); re-registering the same bytes is
+    a no-op so query callables can register their fixture unconditionally."""
     import os
     import shutil
     import tempfile
 
+    existing = _find_artifact(name)
+    if existing is not None:
+        with open(existing, "rb") as a, open(path, "rb") as b:
+            if a.read() == b.read():
+                return
     staged = os.path.join(tempfile.mkdtemp(prefix="fwda_model_"), artifact_basename(name))
     shutil.copyfile(path, staged)
     spark.sparkContext.addFile(staged)
@@ -520,25 +526,37 @@ def _construct_model(name: str, path: str | None):
         if kind == "table-perplexity":
             return _TableCharLM(spec)
         raise ValueError(f"unknown model artifact kind {kind!r} in {path}")
-    # binary artifact → the real library is required; never silently
-    # fall back to the heuristic when an artifact was explicitly shipped
-    if name == "langid":
+    # Real-format artifact → sniff the bytes and load it. The C++ wheels
+    # are preferred when installed; otherwise the pure-Python readers in
+    # functions/model_formats.py parse the same on-disk format, so a
+    # shipped artifact ALWAYS loads for real — it never silently degrades
+    # to the heuristic, and an unrecognized file still raises loudly.
+    from fineweb_domain_analyzer_spark.functions.model_formats import (
+        ArpaLM,
+        PureFastTextSupervised,
+        sniff_model_format,
+    )
+
+    fmt = sniff_model_format(path)
+    if fmt == "fasttext-bin":
         try:
             import fasttext  # type: ignore
-        except ImportError as e:
-            raise RuntimeError(
-                f"binary langid artifact {path} shipped but fasttext is not "
-                "installed on the executors"
-            ) from e
-        return _FastTextLangID(fasttext.load_model(path))
-    try:
-        import kenlm  # type: ignore
-    except ImportError as e:
-        raise RuntimeError(
-            f"binary perplexity artifact {path} shipped but kenlm is not "
-            "installed on the executors"
-        ) from e
-    return _KenLM(kenlm.Model(path))
+
+            return _FastTextLangID(fasttext.load_model(path))
+        except ImportError:
+            return PureFastTextSupervised(path)
+    if fmt == "arpa":
+        try:
+            import kenlm  # type: ignore
+
+            return _KenLM(kenlm.Model(path))
+        except ImportError:
+            return ArpaLM(path)
+    raise RuntimeError(
+        f"artifact {path} for {name!r} is neither a JSON table stub, a "
+        "fastText .bin, nor an ARPA LM — refusing to fall back to the "
+        "heuristic for an explicitly shipped artifact"
+    )
 
 
 def _load_model(name: str):
@@ -567,6 +585,42 @@ def kenlm_like_perplexity_udf(texts: pd.Series) -> pd.Series:
     deterministic hash-trigram stand-in)."""
     m = _load_model("kenlm")
     return texts.map(m.perplexity)
+
+
+def langid_udf_for(artifact_name: str):
+    """Parameterized variant of ``fasttext_like_langid_udf``: resolves
+    the model from a caller-chosen artifact name, so several langid
+    models (e.g. a production .bin and a fixture) can coexist in one
+    SparkContext without clobbering the default ``langid`` slot."""
+
+    @pandas_udf(StringType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        m = _load_model(artifact_name)
+        if not hasattr(m, "predict_batch"):
+            raise TypeError(
+                f"artifact {artifact_name!r} loaded as {type(m).__name__}, "
+                "which is not a langid classifier"
+            )
+        return m.predict_batch(texts)
+
+    return _udf
+
+
+def perplexity_udf_for(artifact_name: str):
+    """Parameterized variant of ``kenlm_like_perplexity_udf`` (see
+    ``langid_udf_for``)."""
+
+    @pandas_udf(DoubleType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        m = _load_model(artifact_name)
+        if not hasattr(m, "perplexity"):
+            raise TypeError(
+                f"artifact {artifact_name!r} loaded as {type(m).__name__}, "
+                "which is not a perplexity LM"
+            )
+        return texts.map(m.perplexity)
+
+    return _udf
 
 
 def perplexity_bits_py(t: str | None) -> float | None:

@@ -2666,6 +2666,118 @@ GROUP BY c.doc_id, c.n_spans
 """
 
 
+def _artifact(fname: str) -> str:
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "artifacts", fname)
+
+
+# DuckDB-side non-empty ASCII-whitespace tokens of the raw text — the
+# exact fastText/ARPA tokenization (model_formats.ft_tokenize, minus the
+# EOS marker, which cancels out of every argmax / is added explicitly)
+FT_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+def q62_fasttext_bin_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID through a genuine fastText-format .bin artifact
+    (committed fixture artifacts/langid_marker.bin), loaded by the
+    pure-Python binary reader (functions/model_formats.py) via the
+    sniffing loader (operators/quality.py:_construct_model). The
+    fixture is a one-hot marker-word model, so the oracle can mirror
+    the exact prediction as marker-count argmax."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        langid_udf_for,
+        register_model_artifact,
+    )
+
+    register_model_artifact(spark, "langid_fx", _artifact("langid_marker.bin"))
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", langid_udf_for("langid_fx")(F.col("text")).alias("ft_label")
+    )
+
+
+def _q62_sql() -> str:
+    """Oracle derived from the committed .bin itself: invert the one-hot
+    input matrix into per-label marker lists and mirror the reader's
+    first-max argmax as a CASE ladder — the SQL can never drift from
+    the artifact bytes."""
+    from fineweb_domain_analyzer_spark.functions.model_formats import (
+        PureFastTextSupervised,
+    )
+
+    m = PureFastTextSupervised(_artifact("langid_marker.bin"))
+    markers: dict[str, list[str]] = {lab: [] for lab in m.labels}
+    for word, row in m.word_id.items():
+        vec = m.input[row]
+        if vec.max() > 0:
+            markers[m.labels[int(vec.argmax())]].append(word)
+    hit_cols = []
+    for i, lab in enumerate(m.labels):
+        lst = "[" + ", ".join(f"'{w}'" for w in sorted(markers[lab])) + "]"
+        hit_cols.append(
+            f"len(list_filter({FT_TOKS_SQL}, t -> list_contains({lst}, t))) AS c{i}"
+        )
+    n = len(m.labels)
+    ladder = []
+    for i, lab in enumerate(m.labels[:-1]):
+        geq = " AND ".join(f"c{i} >= c{j}" for j in range(i + 1, n))
+        ladder.append(f"WHEN {geq} THEN '{lab}'")
+    return f"""
+WITH hits AS (
+  SELECT doc_id, {', '.join(hit_cols)} FROM documents
+)
+SELECT doc_id,
+  CASE {' '.join(ladder)} ELSE '{m.labels[-1]}' END AS ft_label
+FROM hits
+"""
+
+
+def q63_arpa_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document perplexity through a genuine ARPA-format LM artifact
+    (committed fixture artifacts/tiny_unigram.arpa), loaded by the
+    pure-Python ARPA reader with KenLM scoring semantics (BOS context,
+    scored EOS, <unk> mapping, 10**(-score/(n+1)))."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        perplexity_udf_for,
+        register_model_artifact,
+    )
+
+    register_model_artifact(spark, "kenlm_fx", _artifact("tiny_unigram.arpa"))
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(perplexity_udf_for("kenlm_fx")(F.col("text")), 4).alias("arpa_ppl"),
+    )
+
+
+def _q63_sql() -> str:
+    """Oracle derived from the committed .arpa itself: per-token log10
+    lookup CASE (OOV → <unk>), exact dyadic sums, the KenLM
+    denominator. Sum order is irrelevant because every fixture logp is
+    a dyadic rational — float64 addition is exact."""
+    from fineweb_domain_analyzer_spark.functions.model_formats import ArpaLM
+
+    lm = ArpaLM(_artifact("tiny_unigram.arpa"))
+    whens = " ".join(
+        f"WHEN '{w[0]}' THEN {p!r}"
+        for w, p in sorted(lm.probs.items())
+        if w[0] not in ("<s>", "</s>", "<unk>")
+    )
+    unk = lm.probs[("<unk>",)]
+    eos = lm.probs[("</s>",)]
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {FT_TOKS_SQL} AS ts FROM documents
+)
+SELECT doc_id,
+  round(power(10, -(coalesce(list_sum(list_transform(ts,
+            t -> CAST(CASE t {whens} ELSE {unk!r} END AS DOUBLE))), 0.0)
+          + ({eos!r})) / (len(ts) + 1)), 4) AS arpa_ppl
+FROM toks
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2729,6 +2841,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_token_budget_select": q59_token_budget_select,
     "q60_html_extract": q60_html_extract,
     "q61_exact_span_contamination": q61_exact_span_contamination,
+    "q62_fasttext_bin_langid": q62_fasttext_bin_langid,
+    "q63_arpa_perplexity": q63_arpa_perplexity,
 }
 
 
@@ -2793,4 +2907,6 @@ def oracle_sql() -> dict[str, str]:
         "q59_token_budget_select": Q59_SQL,
         "q60_html_extract": _q60_sql(),
         "q61_exact_span_contamination": Q61_SQL,
+        "q62_fasttext_bin_langid": _q62_sql(),
+        "q63_arpa_perplexity": _q63_sql(),
     }
