@@ -176,6 +176,7 @@ def lsh_candidate_pairs(
     hash_family: str = "md5",
     max_bucket_size: int | None = None,
     cap_observation=None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via MinHash-LSH.
 
@@ -211,12 +212,33 @@ def lsh_candidate_pairs(
     ``capped_rows`` (rows dropped by the guard) collected during the
     run, so production jobs can alarm on silent recall loss without a
     second pass.
+
+    ``sigs``: optional precomputed ``(id_col, sig)`` frame (e.g. a
+    PERSISTED signature pass shared across several consumers — the
+    incremental-dedup ingest computes signatures once and reuses them
+    for cross-dump banding, estimate verification, intra-batch LSH and
+    the index write). Must use the same k/shingle_n/``hash_family``;
+    when given, the shingle+signature map stage is skipped and only
+    ids present in BOTH ``docs`` and ``sigs`` are banded.
     """
     if hash_family not in ("md5", "xx"):
         raise ValueError(
             f"hash_family must be 'md5' or 'xx', got {hash_family!r}"
         )
     rows_per_band = k // bands
+    if sigs is not None:
+        sigged = sigs.join(
+            docs.select(F.col(id_col)), id_col, "left_semi"
+        ).select(F.col(id_col).alias("_id"), F.col("sig").alias("_sig"))
+        band_col = (
+            minhash_bands_xx(F.col("_sig"), bands, rows_per_band)
+            if hash_family == "xx"
+            else minhash_bands(F.col("_sig"), bands, rows_per_band)
+        )
+        banded = sigged.select("_id", F.explode(band_col).alias("b")).select(
+            "_id", "b.band_id", "b.band_key"
+        )
+        return _pairs_from_banded(banded, max_bucket_size, cap_observation)
     # tokens staged in their own projection — see word_shingles_from_tokens
     shingled = docs.select(
         F.col(id_col).alias("_id"),
@@ -238,6 +260,14 @@ def lsh_candidate_pairs(
         "_id",
         F.explode(band_col).alias("b"),
     ).select("_id", "b.band_id", "b.band_key")
+    return _pairs_from_banded(banded, max_bucket_size, cap_observation)
+
+
+def _pairs_from_banded(
+    banded: DataFrame, max_bucket_size: int | None, cap_observation
+) -> DataFrame:
+    """(band_id, band_key, _id) rows → distinct candidate pairs, with
+    the optional per-bucket cap (see lsh_candidate_pairs docstring)."""
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
 
@@ -312,6 +342,7 @@ def near_dedup_minhash(
     collapse_exact: bool = True,
     max_bucket_size: int | None = None,
     cap_observation=None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: exact-duplicate collapse → LSH
     candidates → exact Jaccard ≥ threshold.
@@ -331,9 +362,9 @@ def near_dedup_minhash(
     contract every downstream consumer (``connected_components``,
     ``dedup_keep_canonical``) depends on.
 
-    ``max_bucket_size`` / ``cap_observation``: forwarded to
-    ``lsh_candidate_pairs`` — second line of defense for giant
-    clusters of *near*- (not byte-) identical docs; see its docstring.
+    ``max_bucket_size`` / ``cap_observation`` / ``sigs`` (precomputed
+    signatures): forwarded to ``lsh_candidate_pairs`` — see its
+    docstring.
     """
     if collapse_exact:
         groups = exact_dedup_groups(docs, id_col, text_col)
@@ -344,7 +375,7 @@ def near_dedup_minhash(
         )
         cands = lsh_candidate_pairs(
             reps, id_col, text_col, k, bands, shingle_n, hash_family,
-            max_bucket_size, cap_observation,
+            max_bucket_size, cap_observation, sigs,
         )
         verified = jaccard_on_pairs(
             cands, reps, id_col, text_col, shingle_n
@@ -359,7 +390,7 @@ def near_dedup_minhash(
         return verified.unionAll(exact_pairs)
     cands = lsh_candidate_pairs(
         docs, id_col, text_col, k, bands, shingle_n, hash_family,
-        max_bucket_size, cap_observation,
+        max_bucket_size, cap_observation, sigs,
     )
     verified = jaccard_on_pairs(cands, docs, id_col, text_col, shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)

@@ -2778,6 +2778,184 @@ FROM toks
 """
 
 
+def q64_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-dump dedup labels
+    (operators/incremental_dedup.py:label_against): docs with
+    doc_id < 300 play the already-kept corpus, represented ONLY by its
+    persisted index shape (exact md5s + MinHash signatures — no text);
+    the new dump is the remaining docs plus planted cross-exact,
+    cross-near, intra-exact and intra-near duplicates. Cross-near is
+    verified by the signature Jaccard estimate (the index has no old
+    text); intra-near by exact Jaccard + connected components."""
+    from fineweb_domain_analyzer_spark.operators.incremental_dedup import (
+        _with_signature,
+        label_against,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 300)
+    old_exact = old.select(F.md5(F.col("text")).alias("text_md5"), "doc_id")
+    old_sigs = _with_signature(old, "doc_id", "text", 16, 3, "md5")
+    batch2 = (
+        docs.filter(F.col("doc_id") >= 300)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        .unionAll(
+            docs.filter((F.col("doc_id") < 300) & (F.col("doc_id") % 50 == 0))
+            .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+        )
+        .unionAll(
+            docs.filter((F.col("doc_id") < 300) & (F.col("doc_id") % 50 == 1))
+            .select(
+                (F.col("doc_id") + 30000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" incremental mutated tail")).alias(
+                    "text"
+                ),
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") == 300)
+            .select((F.col("doc_id") + 40000).alias("doc_id"), "text")
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") == 301)
+            .select(
+                (F.col("doc_id") + 41000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" intra near tail")).alias("text"),
+            )
+        )
+    )
+    out = label_against(batch2, old_exact, old_sigs, threshold=0.8)
+    return out.select(
+        "doc_id", "keep", "drop_reason", F.col("dup_of").cast("bigint").alias("dup_of")
+    )
+
+
+# The q64 oracle mirrors every layer of label_against: cross-exact md5
+# join, intra-exact window, signature-estimate cross-near, LSH + exact
+# Jaccard + recursive-closure intra-near — assembled from the same
+# fragments as Q20/Q21/Q36/Q37.
+_Q64_SIG = """list_transform(range(0, 16),
+           i -> list_aggregate(
+                  list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)),
+                  'min'))"""
+
+Q64_SQL = f"""
+WITH RECURSIVE
+old AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+old_exact AS (SELECT md5(text) AS text_md5, doc_id FROM old),
+old_sh AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM old),
+old_sigs AS (SELECT doc_id AS old_id, {_Q64_SIG} AS sig FROM old_sh),
+b2 AS (
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id >= 300
+  UNION ALL
+  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 300 AND doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 30000, text || ' incremental mutated tail'
+  FROM documents WHERE doc_id < 300 AND doc_id % 50 = 1
+  UNION ALL
+  SELECT doc_id + 40000, text FROM documents WHERE doc_id = 300
+  UNION ALL
+  SELECT doc_id + 41000, text || ' intra near tail' FROM documents WHERE doc_id = 301
+),
+xex AS (
+  SELECT h.doc_id, min(oe.doc_id) AS old_exact_id
+  FROM b2 h JOIN old_exact oe ON md5(h.text) = oe.text_md5
+  GROUP BY h.doc_id
+),
+wex AS (
+  SELECT h.doc_id, h.text, x.old_exact_id,
+         min(CASE WHEN x.old_exact_id IS NULL THEN h.doc_id END)
+           OVER (PARTITION BY md5(h.text)) AS intra_exact_id
+  FROM b2 h LEFT JOIN xex x USING (doc_id)
+),
+reps AS (
+  SELECT doc_id, text FROM wex
+  WHERE old_exact_id IS NULL AND doc_id = intra_exact_id
+),
+new_sh AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM reps),
+new_sigs AS (SELECT doc_id, {_Q64_SIG} AS sig FROM new_sh),
+new_banded AS (
+  SELECT doc_id, b.band_id,
+         md5(array_to_string(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4], '|')) AS band_key
+  FROM new_sigs, (SELECT unnest(range(0, 4)) AS band_id) b(band_id)
+),
+old_banded AS (
+  SELECT old_id, b.band_id,
+         md5(array_to_string(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4], '|')) AS band_key
+  FROM old_sigs, (SELECT unnest(range(0, 4)) AS band_id) b(band_id)
+),
+xcand AS (
+  SELECT DISTINCT n.doc_id, o.old_id
+  FROM new_banded n JOIN old_banded o
+    ON n.band_id = o.band_id AND n.band_key = o.band_key
+),
+xnear AS (
+  SELECT c.doc_id, min(c.old_id) AS cross_near_id
+  FROM xcand c
+  JOIN new_sigs ns ON c.doc_id = ns.doc_id
+  JOIN old_sigs os ON c.old_id = os.old_id
+  WHERE list_sum(list_transform(range(1, 17),
+          i -> CASE WHEN ns.sig[i] = os.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+        / 16 >= 0.8
+  GROUP BY c.doc_id
+),
+ireps AS (
+  SELECT r.doc_id, r.text FROM reps r
+  LEFT JOIN xnear x USING (doc_id) WHERE x.cross_near_id IS NULL
+),
+ish AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM ireps),
+isigs AS (SELECT doc_id, {_Q64_SIG} AS sig FROM ish),
+ibanded AS (
+  SELECT doc_id, b.band_id,
+         md5(array_to_string(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4], '|')) AS band_key
+  FROM isigs, (SELECT unnest(range(0, 4)) AS band_id) b(band_id)
+),
+icand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM ibanded l JOIN ibanded r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+isets AS (SELECT doc_id, list_distinct(sh) AS s FROM ish),
+ipairs AS (
+  SELECT c.id_a, c.id_b
+  FROM icand c JOIN isets a ON c.id_a = a.doc_id JOIN isets b ON c.id_b = b.doc_id
+  WHERE round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+        / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ipairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM ipairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.node
+),
+inear AS (
+  SELECT node AS doc_id, min(r) AS intra_near_id
+  FROM reach GROUP BY node HAVING min(r) <> node
+)
+SELECT w.doc_id,
+  CASE WHEN w.old_exact_id IS NOT NULL THEN 'exact_dup_cross'
+       WHEN w.doc_id <> w.intra_exact_id THEN 'exact_dup_intra'
+       WHEN x.cross_near_id IS NOT NULL THEN 'near_dup_cross'
+       WHEN i.intra_near_id IS NOT NULL THEN 'near_dup_intra'
+       ELSE 'kept' END = 'kept' AS keep,
+  CASE WHEN w.old_exact_id IS NOT NULL THEN 'exact_dup_cross'
+       WHEN w.doc_id <> w.intra_exact_id THEN 'exact_dup_intra'
+       WHEN x.cross_near_id IS NOT NULL THEN 'near_dup_cross'
+       WHEN i.intra_near_id IS NOT NULL THEN 'near_dup_intra'
+       ELSE 'kept' END AS drop_reason,
+  CAST(coalesce(w.old_exact_id,
+       CASE WHEN w.doc_id <> w.intra_exact_id THEN w.intra_exact_id END,
+       x.cross_near_id, i.intra_near_id) AS BIGINT) AS dup_of
+FROM wex w
+LEFT JOIN xnear x ON w.doc_id = x.doc_id
+LEFT JOIN inear i ON w.doc_id = i.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2843,6 +3021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_exact_span_contamination": q61_exact_span_contamination,
     "q62_fasttext_bin_langid": q62_fasttext_bin_langid,
     "q63_arpa_perplexity": q63_arpa_perplexity,
+    "q64_incremental_dedup": q64_incremental_dedup,
 }
 
 
@@ -2909,4 +3088,5 @@ def oracle_sql() -> dict[str, str]:
         "q61_exact_span_contamination": Q61_SQL,
         "q62_fasttext_bin_langid": _q62_sql(),
         "q63_arpa_perplexity": _q63_sql(),
+        "q64_incremental_dedup": Q64_SQL,
     }

@@ -1,0 +1,146 @@
+"""Incremental cross-dump dedup: dump2 is deduplicated against dump1's
+persisted index without touching dump1's text; dump1 stays untouched;
+ingest is exactly-once (crash-replay idempotent, double-ingest refused)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.operators.incremental_dedup import DedupIndex
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+BASE = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "spark shuffles data between stages when keys must be colocated"),
+    (3, "a completely different document about nothing in particular here"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # intra-exact dup of 1
+]
+
+DUMP2 = [
+    (101, "the quick brown fox jumps over the lazy dog near the river bank"),  # cross-exact dup of 1
+    (102, "spark shuffles data between stages when keys must be colocated today"),  # cross-near dup of 2
+    (103, "fresh never-seen content with its own words and no overlap at all"),
+    (104, "fresh never-seen content with its own words and no overlap at all"),  # intra-exact dup of 103
+    (105, "brand new text body that resembles nothing stored in the index"),
+    (106, "brand new text body that resembles nothing stored in the index either"),  # intra-near dup of 105
+]
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    return DedupIndex(spark, str(tmp_path / "idx"), threshold=0.75, k=16, bands=4)
+
+
+class TestTwoBatchFlow:
+    def test_cross_and_intra_layers(self, spark, index):
+        lab1 = index.ingest_batch(_docs(spark, BASE), "dump1")
+        got1 = {r["doc_id"]: r["drop_reason"] for r in lab1.collect()}
+        assert got1 == {1: "kept", 2: "kept", 3: "kept", 4: "exact_dup_intra"}
+
+        lab2 = index.ingest_batch(_docs(spark, DUMP2), "dump2")
+        rows = {r["doc_id"]: r for r in lab2.collect()}
+        assert rows[101]["drop_reason"] == "exact_dup_cross"
+        assert rows[101]["dup_of"] == 1
+        assert rows[102]["drop_reason"] == "near_dup_cross"
+        assert rows[102]["dup_of"] == 2
+        assert rows[103]["drop_reason"] == "kept"
+        assert rows[104]["drop_reason"] == "exact_dup_intra"
+        assert rows[104]["dup_of"] == 103
+        assert rows[105]["drop_reason"] == "kept"
+        assert rows[106]["drop_reason"] == "near_dup_intra"
+        assert rows[106]["dup_of"] == 105
+
+    def test_dump1_untouched_and_not_recomputed(self, spark, index):
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        before = {
+            (r["text_md5"], r["doc_id"])
+            for r in index.stored_exact().collect()
+        }
+        index.ingest_batch(_docs(spark, DUMP2), "dump2")
+        after = {
+            (r["text_md5"], r["doc_id"], r["_batch"])
+            for r in index.stored_exact().collect()
+        }
+        # dump1's rows still there, byte-for-byte, under their own batch
+        assert {(h, i) for h, i, b in after if b == "dump1"} == before
+        # dump2 appended only its kept docs (103, 105)
+        assert {i for _, i, b in after if b == "dump2"} == {103, 105}
+        # labeling dump2 reads only signatures/hashes, never dump1 text:
+        # the index directories contain no text column at all
+        assert "text" not in index.stored_exact().columns
+        assert "text" not in index.stored_sigs().columns
+
+    def test_kept_only_enters_index(self, spark, index):
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        index.ingest_batch(_docs(spark, DUMP2), "dump2")
+        sig_ids = {r["doc_id"] for r in index.stored_sigs().collect()}
+        assert sig_ids == {1, 2, 3, 103, 105}
+
+
+class TestExactlyOnce:
+    def test_double_ingest_refused_then_skippable(self, spark, index):
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        with pytest.raises(ValueError, match="already ingested"):
+            index.ingest_batch(_docs(spark, BASE), "dump1")
+        assert index.ingest_batch(_docs(spark, BASE), "dump1", if_exists="skip") is None
+
+    def test_crash_replay_is_idempotent(self, spark, tmp_path):
+        """Simulate a crash after the index writes but before the
+        manifest mark: the partial partition must be invisible to
+        reads, and the replay must converge to exactly one copy."""
+        idx = DedupIndex(spark, str(tmp_path / "idx"), threshold=0.75)
+        idx.ingest_batch(_docs(spark, BASE), "dump1")
+
+        # crashed ingest: write dump2's partitions, do NOT mark manifest
+        real_mark = idx.checkpointer.mark_processed
+        idx.checkpointer.mark_processed = lambda s: None
+        idx.ingest_batch(_docs(spark, DUMP2), "dump2")
+        idx.checkpointer.mark_processed = real_mark
+
+        assert idx.processed_batches() == {"dump1"}
+        # unmanifested partition exists on disk but is invisible
+        assert os.path.exists(os.path.join(idx.exact_path, "_batch=dump2"))
+        assert {r["_batch"] for r in idx.stored_exact().collect()} == {"dump1"}
+
+        # replay: same labels, one committed copy, no duplicate rows
+        lab = idx.ingest_batch(_docs(spark, DUMP2), "dump2")
+        assert {r["doc_id"] for r in lab.filter("keep").collect()} == {103, 105}
+        exact2 = idx.stored_exact().filter("_batch = 'dump2'").collect()
+        assert sorted(r["doc_id"] for r in exact2) == [103, 105]
+        sigs2 = idx.stored_sigs().filter("_batch = 'dump2'").collect()
+        assert sorted(r["doc_id"] for r in sigs2) == [103, 105]
+
+    def test_manifest_is_the_commit_point(self, spark, index):
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        with open(index.checkpointer.manifest_path, encoding="utf-8") as f:
+            assert json.load(f)["splits"] == ["dump1"]
+
+
+class TestLabelOnly:
+    def test_label_batch_does_not_commit(self, spark, index):
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        lab = index.label_batch(_docs(spark, DUMP2))
+        assert lab.filter("keep").count() == 2
+        assert index.processed_batches() == {"dump1"}
+        assert {r["_batch"] for r in index.stored_exact().collect()} == {"dump1"}
+
+    def test_xx_family_same_labels(self, spark, tmp_path):
+        idx = DedupIndex(
+            spark, str(tmp_path / "xx"), threshold=0.75, hash_family="xx"
+        )
+        idx.ingest_batch(_docs(spark, BASE), "dump1")
+        lab = {
+            r["doc_id"]: r["drop_reason"]
+            for r in idx.ingest_batch(_docs(spark, DUMP2), "dump2").collect()
+        }
+        assert lab[101] == "exact_dup_cross"
+        assert lab[102] == "near_dup_cross"
+        assert lab[103] == "kept"
