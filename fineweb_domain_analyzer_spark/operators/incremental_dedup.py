@@ -126,6 +126,7 @@ def label_against(
     shingle_n: int = 3,
     hash_family: str = "md5",
     sigs: DataFrame | None = None,
+    persist_intermediates: bool = False,
 ) -> DataFrame:
     """Label new docs against a kept-corpus index given as DataFrames
     (``old_exact``: (text_md5, doc_id); ``old_sigs``: (doc_id, sig)).
@@ -144,8 +145,19 @@ def label_against(
     docs (same k/shingle_n/hash_family). The labeling plan consumes
     signatures four times (cross bands, cross verify, intra LSH —
     and ingest adds the index write); passing one PERSISTED frame
-    turns four signature map passes into one."""
+    turns four signature map passes into one.
+
+    ``persist_intermediates``: persist the two subplans that the final
+    label assembly would otherwise re-execute — the md5-window frame
+    (reused by the rep selection, the intra LSH semi-join and the
+    final join; one full-batch shuffle each time) and the big
+    cross-dump band join (executed once eagerly by the connected-
+    components loop and again when the labels materialize). The
+    handles are attached to the returned DataFrame as
+    ``_fwda_intermediates`` so a caller that knows when consumption
+    ends (``ingest_batch``) can unpersist them."""
     rows_per_band = k // bands
+    intermediates: list[DataFrame] = []
     hashed = docs.withColumn("_md5", F.md5(F.col(text_col)))
 
     # 1. cross-dump exact: join stored exact hashes (min old id wins)
@@ -165,6 +177,11 @@ def label_against(
         "_intra_exact_id",
         F.min(F.when(F.col("_old_exact_id").isNull(), F.col(id_col))).over(w),
     )
+    if persist_intermediates:
+        from pyspark import StorageLevel
+
+        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+        intermediates.append(hashed)
 
     # 3. near-dup layers run over intra-exact representatives that
     #    survived the exact cross-check (one doc per distinct text)
@@ -206,6 +223,13 @@ def label_against(
         .groupBy(id_col)
         .agg(F.min("_old_id").alias("_cross_near_id"))
     )
+    if persist_intermediates:
+        from pyspark import StorageLevel
+
+        # O(dup docs) rows, but evaluating it runs the full cross-dump
+        # band join — the most expensive leg against a grown index
+        cross_near = cross_near.persist(StorageLevel.MEMORY_AND_DISK)
+        intermediates.append(cross_near)
 
     # intra-batch near: full exact-verified near-dedup over the
     # cross-surviving representatives, canonical = min of component
@@ -252,9 +276,11 @@ def label_against(
         )
         .withColumn("keep", F.col("drop_reason") == "kept")
     )
-    return labeled.drop(
+    out = labeled.drop(
         "_md5", "_old_exact_id", "_intra_exact_id", "_cross_near_id", "_intra_near_id"
     )
+    out._fwda_intermediates = intermediates
+    return out
 
 
 class DedupIndex:
@@ -318,6 +344,7 @@ class DedupIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         sigs: DataFrame | None = None,
+        persist_intermediates: bool = False,
     ) -> DataFrame:
         """Label a new dump against the index WITHOUT committing it.
         See ``label_against`` for semantics."""
@@ -333,6 +360,7 @@ class DedupIndex:
             shingle_n=self.shingle_n,
             hash_family=self.hash_family,
             sigs=sigs,
+            persist_intermediates=persist_intermediates,
         )
 
     def batch_signatures(
@@ -378,9 +406,11 @@ class DedupIndex:
         sigs = self.batch_signatures(docs, id_col, text_col).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        labeled = self.label_batch(docs, id_col, text_col, sigs=sigs).persist(
-            StorageLevel.MEMORY_AND_DISK
+        labeled = self.label_batch(
+            docs, id_col, text_col, sigs=sigs, persist_intermediates=True
         )
+        intermediates = labeled._fwda_intermediates
+        labeled = labeled.persist(StorageLevel.MEMORY_AND_DISK)
         kept_ids = labeled.filter(F.col("keep")).select(id_col, text_col)
 
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -406,5 +436,11 @@ class DedupIndex:
             .parquet(self.sigs_path)
         )
         self.checkpointer.mark_processed(batch_id)
+        # force the label materialization NOW (while upstream caches are
+        # warm) so unpersisting them below can't trigger a recompute of
+        # the band join when the caller first consumes the result
+        labeled.count()
         sigs.unpersist()
+        for df in intermediates:
+            df.unpersist()
         return labeled
