@@ -372,6 +372,64 @@ class DedupIndex:
             docs, id_col, text_col, self.k, self.shingle_n, self.hash_family
         )
 
+    def compact(self, cleanup: bool = True) -> str | None:
+        """Fold every manifested batch partition into one compacted
+        partition. After K dumps the index holds K small partitions;
+        each ingest then opens K× the files and the manifest filter
+        grows — compaction restores O(1) partitions without changing a
+        single visible row.
+
+        Crash-safe in the same way ingest is: the compacted partition
+        is written first (invisible — not in the manifest), then the
+        manifest atomically REPLACES the old split set with the one
+        compacted split (``Checkpointer.replace_splits``); a crash on
+        either side leaves a fully consistent index. ``cleanup``
+        removes the now-invisible folded partition directories (local
+        filesystem best-effort; on object stores run the storage-level
+        GC instead). Must not run concurrently with an ingest.
+
+        Returns the compacted batch name, or None if there is nothing
+        to compact (0 or 1 manifested batches)."""
+        import re as _re
+        import shutil as _shutil
+
+        batches = self.processed_batches()
+        if len(batches) <= 1:
+            return None
+        gen = 1 + max(
+            (
+                int(m.group(1))
+                for b in batches
+                if (m := _re.fullmatch(r"__compact_(\d+)", b))
+            ),
+            default=0,
+        )
+        name = f"__compact_{gen}"
+        # Spark refuses to overwrite a path it is reading from, so the
+        # compacted rows are written OUTSIDE the table root and renamed
+        # into place as a partition directory (partition discovery
+        # derives _batch from the dir name) — still invisible until the
+        # manifest swap, and no index-sized caching needed.
+        tmp_root = os.path.join(self.root, "_tmp_compact")
+        _shutil.rmtree(tmp_root, ignore_errors=True)
+        for sub, df in (("exact", self.stored_exact()), ("sigs", self.stored_sigs())):
+            df.drop("_batch").write.mode("overwrite").parquet(
+                os.path.join(tmp_root, sub)
+            )
+        for sub, table in (("exact", self.exact_path), ("sigs", self.sigs_path)):
+            dest = os.path.join(table, f"_batch={name}")
+            _shutil.rmtree(dest, ignore_errors=True)
+            os.replace(os.path.join(tmp_root, sub), dest)
+        _shutil.rmtree(tmp_root, ignore_errors=True)
+        self.checkpointer.replace_splits({name})
+        if cleanup:
+            for path in (self.exact_path, self.sigs_path):
+                for b in batches:
+                    _shutil.rmtree(
+                        os.path.join(path, f"_batch={b}"), ignore_errors=True
+                    )
+        return name
+
     def ingest_batch(
         self,
         docs: DataFrame,

@@ -59,6 +59,18 @@ class Checkpointer:
             json.dump({"splits": sorted(splits)}, f)
         os.replace(tmp, self.manifest_path)  # atomic on POSIX
 
+    def replace_splits(self, splits: set[str]) -> None:
+        """Atomically REPLACE the manifest's split set (compaction:
+        many ingested splits fold into one compacted split in a single
+        os.replace — readers see either the old set or the new set,
+        never a mix)."""
+        d = os.path.dirname(self.manifest_path) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump({"splits": sorted(splits)}, f)
+        os.replace(tmp, self.manifest_path)
+
     def pending(self, all_splits: list[str]) -> list[str]:
         done = self.processed_splits()
         return [s for s in all_splits if s not in done]

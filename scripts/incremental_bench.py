@@ -98,6 +98,14 @@ def main() -> None:
     shutil.rmtree(idx_root, ignore_errors=True)
     idx = DedupIndex(spark, idx_root, threshold=0.75, hash_family="xx")
 
+    # JIT/codegen warm-up on a slice so ingest1 (order-fixed, stateful,
+    # unrepeatable) is not charged the first-execution compile cost
+    warm_root = f"/tmp/fw_inc_warm_{N}"
+    shutil.rmtree(warm_root, ignore_errors=True)
+    warm_idx = DedupIndex(spark, warm_root, threshold=0.75, hash_family="xx")
+    warm_idx.ingest_batch(dump1.limit(20000), "warm").unpersist()
+    shutil.rmtree(warm_root, ignore_errors=True)
+
     def ingest(dump, name):
         t0 = time.time()
         lab = idx.ingest_batch(dump, name)
@@ -121,7 +129,12 @@ def main() -> None:
     # LABEL-EQUIVALENT from-scratch alternative: the same label pipeline
     # over the unioned corpus with an EMPTY index — what re-deduping
     # without a persisted index costs, measured at 2 and 3 dumps to show
-    # the linear growth the index avoids
+    # the linear growth the index avoids. The scratch legs are pure
+    # (stateless), so each is measured best-of-2 in alternating order
+    # (s2 s3 s2 s3) per the repo's interleaved-measurement policy —
+    # a single cold run loads JIT warm-up onto whichever leg goes first.
+    # (The ingest legs above are stateful and order-fixed, so they get a
+    # JIT warm-up pass instead — see before ingest1.)
     empty_exact = spark.createDataFrame([], "text_md5 string, doc_id long")
     empty_sigs = spark.createDataFrame([], "doc_id long, sig array<bigint>")
 
@@ -133,8 +146,11 @@ def main() -> None:
         lab.groupBy("drop_reason").agg(F.count("*").alias("n")).collect()
         return round(time.time() - t0, 2)
 
-    t_scratch2 = scratch(dump1.unionAll(dump2))
-    t_scratch3 = scratch(dump1.unionAll(dump2).unionAll(dump3))
+    u2 = dump1.unionAll(dump2)
+    u3 = dump1.unionAll(dump2).unionAll(dump3)
+    s2a, s3a, s2b, s3b = scratch(u2), scratch(u3), scratch(u2), scratch(u3)
+    t_scratch2 = min(s2a, s2b)
+    t_scratch3 = min(s3a, s3b)
 
     out = {
         "docs_per_dump": [n1, n2, n3],
@@ -151,6 +167,10 @@ def main() -> None:
         "cross_exact_recall": xe_recall,
         "cross_near_recall_sig_estimate": xn_recall,
         "from_scratch_label_sec": {"2_dumps": t_scratch2, "3_dumps": t_scratch3},
+        "from_scratch_samples_sec": {
+            "2_dumps": [s2a, s2b],
+            "3_dumps": [s3a, s3b],
+        },
         "speedup_at_2_dumps": round(t_scratch2 / t_ingest2, 2),
         "speedup_at_3_dumps": round(t_scratch3 / t_ingest3, 2),
         "scratch_growth_2_to_3": round(t_scratch3 / t_scratch2, 2),

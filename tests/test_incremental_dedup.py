@@ -124,6 +124,51 @@ class TestExactlyOnce:
             assert json.load(f)["splits"] == ["dump1"]
 
 
+class TestCompaction:
+    def test_compact_preserves_visible_rows(self, spark, index):
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        index.ingest_batch(_docs(spark, DUMP2), "dump2")
+        before_exact = {
+            (r["text_md5"], r["doc_id"]) for r in index.stored_exact().collect()
+        }
+        before_sigs = {
+            (r["doc_id"], tuple(r["sig"])) for r in index.stored_sigs().collect()
+        }
+        name = index.compact()
+        assert name == "__compact_1"
+        assert index.processed_batches() == {"__compact_1"}
+        assert {
+            (r["text_md5"], r["doc_id"]) for r in index.stored_exact().collect()
+        } == before_exact
+        assert {
+            (r["doc_id"], tuple(r["sig"])) for r in index.stored_sigs().collect()
+        } == before_sigs
+        # folded partition dirs are gone, one compacted partition remains
+        dirs = {
+            d for d in os.listdir(index.exact_path) if d.startswith("_batch=")
+        }
+        assert dirs == {"_batch=__compact_1"}
+
+    def test_ingest_after_compact_and_generation_bump(self, spark, index):
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        index.ingest_batch(_docs(spark, DUMP2), "dump2")
+        index.compact()
+        # dedup against the compacted index still works
+        lab = index.label_batch(_docs(spark, [(201, BASE[0][1])]))
+        assert lab.collect()[0]["drop_reason"] == "exact_dup_cross"
+        index.ingest_batch(
+            _docs(spark, [(300, "entirely new content for generation test")]),
+            "dump3",
+        )
+        assert index.compact() == "__compact_2"
+        assert index.processed_batches() == {"__compact_2"}
+
+    def test_compact_noop_on_single_batch(self, spark, index):
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        assert index.compact() is None
+        assert index.processed_batches() == {"dump1"}
+
+
 class TestLabelOnly:
     def test_label_batch_does_not_commit(self, spark, index):
         index.ingest_batch(_docs(spark, BASE), "dump1")
