@@ -190,8 +190,18 @@ def main() -> None:
             "from_scratch_label_sec = the SAME label_against pipeline "
             "over the unioned corpus with an empty index (labels only, "
             "no commit) — the recompute a team without a persisted index "
-            "pays on every new dump; it grows with the corpus while the "
-            "per-dump ingest cost stays ~flat."
+            "pays on every new dump. Interpretation guardrails: the "
+            "scratch legs are interleaved best-of-2, so their growth "
+            "with corpus size is measured; the ingest legs are stateful "
+            "and unrepeatable, and separate full sequences order "
+            "ingest2/ingest3 OPPOSITE ways — per-dump ingest cost is "
+            "statistically flat at this scale (host drift exceeds any "
+            "index-size effect; the index side is hash joins over "
+            "16-hash rows, no text re-processing). Scratch cost grows "
+            "~linearly with total corpus, so the speedup grows with "
+            "every dump; the synthetic ~80-word docs UNDERSTATE it — "
+            "real web documents make the text re-shingling that scratch "
+            "repeats (and ingest avoids) several times more expensive."
         ),
     }
     (REPO / "BENCH").mkdir(exist_ok=True)
