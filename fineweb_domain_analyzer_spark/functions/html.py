@@ -90,10 +90,14 @@ def dom_extract_text(html: str) -> str:
             self._closing = False
 
         def close(self):
-            # close() flushes an unterminated trailing construct
-            # (e.g. '<div class="x' at EOF) through handle_data —
-            # tag-shaped leftovers are markup, not visible text
-            self._closing = True
+            # close() flushes whatever the tokenizer still buffers.
+            # Two distinct cases: an unterminated tag-shaped construct
+            # ('<div class="x' at EOF) is markup garbage, but with
+            # convert_charrefs=True the tokenizer ALSO holds back plain
+            # trailing text whose tail contains an unresolved '&' (e.g.
+            # 'Call AT&T') — that is visible text and must be kept.
+            # rawdata tells them apart: markup leftovers start with '<'.
+            self._closing = self.rawdata.startswith("<")
             super().close()
 
         def handle_starttag(self, tag, attrs):
@@ -113,8 +117,8 @@ def dom_extract_text(html: str) -> str:
                 self.parts.append("\n")
 
         def handle_data(self, data):
-            # during close(), the only buffered data is an incomplete
-            # trailing construct (flushed piecewise: '<', then the
+            # _closing is set only when close() is flushing an
+            # incomplete trailing construct (piecewise: '<', then the
             # rest) — markup garbage, never visible text
             if self._skip_depth or self._closing:
                 return

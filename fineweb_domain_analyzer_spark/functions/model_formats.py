@@ -288,12 +288,17 @@ class ArpaLM:
         """Full-sentence log10 score incl. BOS context and scored EOS.
         OOV words enter the context as ``<unk>`` (KenLM state semantics)."""
         words = [t for t in _FT_SPLIT.split(text) if t]
-        total, context = 0.0, ("<s>",)
+        # context is truncated to the last order-1 words every step —
+        # only those are ever read, and growing the tuple unboundedly
+        # would make scoring O(n^2) in document length
+        ctx_len = self.order - 1
+        total, context = 0.0, ("<s>",) if ctx_len > 0 else ()
         for w in words + ["</s>"]:
             if (w,) not in self.probs:
                 w = "<unk>"
-            total += self._logp(context[-(self.order - 1) :] if self.order > 1 else (), w)
-            context = context + (w,)
+            total += self._logp(context, w)
+            if ctx_len > 0:
+                context = (context + (w,))[-ctx_len:]
         return total
 
     def perplexity(self, t: str | None) -> float | None:

@@ -166,6 +166,52 @@ def minhash_bands_xx(
     )
 
 
+def signature_frame(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    shingle_n: int,
+    hash_family: str,
+) -> DataFrame:
+    """(id_col, sig) in one map pass — no explode, no shuffle. The ONE
+    place the shingle→signature staging lives; both intra-batch LSH
+    (``lsh_candidate_pairs``) and the cross-dump incremental index
+    derive signatures here so the two paths can never diverge."""
+    sig_fn = (
+        minhash_signature_from_shingles_xx
+        if hash_family == "xx"
+        else minhash_signature_from_shingles
+    )
+    return (
+        docs.select(
+            F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("_tk")
+        )
+        .select(
+            id_col, word_shingles_from_tokens(F.col("_tk"), shingle_n).alias("_sh")
+        )
+        .select(id_col, sig_fn(F.col("_sh"), k).alias("sig"))
+    )
+
+
+def explode_bands(
+    sigged: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    hash_family: str,
+    sig_col: str = "sig",
+) -> DataFrame:
+    """(id_col, sig) → (id_col, band_id, band_key). The ONE band-key
+    derivation — a change here (salting, key format) reaches intra-batch
+    and cross-dump banding together, keeping their join keys compatible."""
+    band_fn = minhash_bands_xx if hash_family == "xx" else minhash_bands
+    return sigged.select(
+        id_col,
+        F.explode(band_fn(F.col(sig_col), bands, rows_per_band)).alias("b"),
+    ).select(id_col, "b.band_id", "b.band_key")
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -229,37 +275,12 @@ def lsh_candidate_pairs(
     if sigs is not None:
         sigged = sigs.join(
             docs.select(F.col(id_col)), id_col, "left_semi"
-        ).select(F.col(id_col).alias("_id"), F.col("sig").alias("_sig"))
-        band_col = (
-            minhash_bands_xx(F.col("_sig"), bands, rows_per_band)
-            if hash_family == "xx"
-            else minhash_bands(F.col("_sig"), bands, rows_per_band)
-        )
-        banded = sigged.select("_id", F.explode(band_col).alias("b")).select(
-            "_id", "b.band_id", "b.band_key"
-        )
-        return _pairs_from_banded(banded, max_bucket_size, cap_observation)
-    # tokens staged in their own projection — see word_shingles_from_tokens
-    shingled = docs.select(
-        F.col(id_col).alias("_id"),
-        ws_tokens(F.lower(F.col(text_col))).alias("_tk"),
-    ).select(
-        "_id", word_shingles_from_tokens(F.col("_tk"), shingle_n).alias("_sh")
-    )
-    if hash_family == "xx":
-        sigged = shingled.select(
-            "_id", minhash_signature_from_shingles_xx(F.col("_sh"), k).alias("_sig")
-        )
-        band_col = minhash_bands_xx(F.col("_sig"), bands, rows_per_band)
+        ).select(F.col(id_col).alias("_id"), "sig")
     else:
-        sigged = shingled.select(
-            "_id", minhash_signature_from_shingles(F.col("_sh"), k).alias("_sig")
-        )
-        band_col = minhash_bands(F.col("_sig"), bands, rows_per_band)
-    banded = sigged.select(
-        "_id",
-        F.explode(band_col).alias("b"),
-    ).select("_id", "b.band_id", "b.band_key")
+        sigged = signature_frame(
+            docs, id_col, text_col, k, shingle_n, hash_family
+        ).select(F.col(id_col).alias("_id"), "sig")
+    banded = explode_bands(sigged, "_id", bands, rows_per_band, hash_family)
     return _pairs_from_banded(banded, max_bucket_size, cap_observation)
 
 

@@ -55,52 +55,18 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
 from fineweb_domain_analyzer_spark.operators.dedup import (
     connected_components,
-    minhash_bands,
-    minhash_bands_xx,
-    minhash_signature_from_shingles,
-    minhash_signature_from_shingles_xx,
     near_dedup_minhash,
-    word_shingles_from_tokens,
+)
+from fineweb_domain_analyzer_spark.operators.dedup import (
+    # the ONE shingle→signature and sig→band derivation (dedup.py) —
+    # shared with lsh_candidate_pairs so cross-dump and intra-batch
+    # band keys can never diverge
+    explode_bands as _explode_bands,
+    signature_frame as _with_signature,
 )
 from fineweb_domain_analyzer_spark.plans.checkpoint import Checkpointer
-
-
-def _with_signature(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int,
-    shingle_n: int,
-    hash_family: str,
-) -> DataFrame:
-    """(id_col, sig) in one map pass — no explode, no shuffle."""
-    sig_fn = (
-        minhash_signature_from_shingles_xx
-        if hash_family == "xx"
-        else minhash_signature_from_shingles
-    )
-    return (
-        docs.select(
-            F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("_tk")
-        )
-        .select(
-            id_col, word_shingles_from_tokens(F.col("_tk"), shingle_n).alias("_sh")
-        )
-        .select(id_col, sig_fn(F.col("_sh"), k).alias("sig"))
-    )
-
-
-def _explode_bands(
-    sigged: DataFrame, id_col: str, bands: int, rows_per_band: int, hash_family: str
-) -> DataFrame:
-    band_fn = minhash_bands_xx if hash_family == "xx" else minhash_bands
-    return sigged.select(
-        id_col,
-        F.explode(band_fn(F.col("sig"), bands, rows_per_band)).alias("b"),
-    ).select(id_col, "b.band_id", "b.band_key")
 
 
 def sig_match_fraction(a, b):
@@ -471,28 +437,41 @@ class DedupIndex:
         labeled = labeled.persist(StorageLevel.MEMORY_AND_DISK)
         kept_ids = labeled.filter(F.col("keep")).select(id_col, text_col)
 
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            kept_ids.select(
-                F.md5(F.col(text_col)).alias("text_md5"),
-                F.col(id_col).alias("doc_id"),
-                F.lit(batch_id).alias("_batch"),
+        # dynamic overwrite replaces only the _batch=batch_id partition
+        # (crash-idempotent re-ingest); scope it to these two writes and
+        # restore the caller's setting — leaking 'dynamic' would silently
+        # change the semantics of every later partitioned overwrite in
+        # the shared session.
+        _conf_key = "spark.sql.sources.partitionOverwriteMode"
+        _prev_mode = self.spark.conf.get(_conf_key, None)
+        self.spark.conf.set(_conf_key, "dynamic")
+        try:
+            (
+                kept_ids.select(
+                    F.md5(F.col(text_col)).alias("text_md5"),
+                    F.col(id_col).alias("doc_id"),
+                    F.lit(batch_id).alias("_batch"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("_batch")
+                .parquet(self.exact_path)
             )
-            .write.mode("overwrite")
-            .partitionBy("_batch")
-            .parquet(self.exact_path)
-        )
-        (
-            sigs.join(kept_ids.select(id_col), id_col, "left_semi")
-            .select(
-                F.col(id_col).alias("doc_id"),
-                "sig",
-                F.lit(batch_id).alias("_batch"),
+            (
+                sigs.join(kept_ids.select(id_col), id_col, "left_semi")
+                .select(
+                    F.col(id_col).alias("doc_id"),
+                    "sig",
+                    F.lit(batch_id).alias("_batch"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("_batch")
+                .parquet(self.sigs_path)
             )
-            .write.mode("overwrite")
-            .partitionBy("_batch")
-            .parquet(self.sigs_path)
-        )
+        finally:
+            if _prev_mode is None:
+                self.spark.conf.unset(_conf_key)
+            else:
+                self.spark.conf.set(_conf_key, _prev_mode)
         self.checkpointer.mark_processed(batch_id)
         # force the label materialization NOW (while upstream caches are
         # warm) so unpersisting them below can't trigger a recompute of

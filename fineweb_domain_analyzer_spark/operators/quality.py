@@ -379,11 +379,14 @@ def register_model_artifact(spark, name: str, path: str) -> None:
     import shutil
     import tempfile
 
+    import filecmp
+
     existing = _find_artifact(name)
     if existing is not None:
-        with open(existing, "rb") as a, open(path, "rb") as b:
-            if a.read() == b.read():
-                return
+        # chunked compare (shallow=False) — real model artifacts run
+        # 100MB–GBs; never pull two full copies into driver memory
+        if filecmp.cmp(existing, path, shallow=False):
+            return
     staged = os.path.join(tempfile.mkdtemp(prefix="fwda_model_"), artifact_basename(name))
     shutil.copyfile(path, staged)
     spark.sparkContext.addFile(staged)
@@ -757,8 +760,11 @@ def select_within_token_budget(
             F.coalesce(F.sum("b._bt"), F.lit(0).cast("long")).alias("_offset")
         )
     )
+    # <= not <: a band whose offset EQUALS the budget can still hold
+    # zero-token rows the global kernel keeps (_cum_tokens == budget);
+    # pruning it would break the bit-identical-to-global contract
     pruned = df2.join(F.broadcast(offsets), "_band").filter(
-        F.col("_offset") < token_budget
+        F.col("_offset") <= token_budget
     )
     w_in = Window.partitionBy("_band").orderBy(
         F.col(score_col).desc(), F.col(id_col)

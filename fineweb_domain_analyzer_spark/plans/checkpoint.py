@@ -49,27 +49,28 @@ class Checkpointer:
         with open(self.manifest_path, encoding="utf-8") as f:
             return set(json.load(f)["splits"])
 
-    def mark_processed(self, split: str) -> None:
-        splits = self.processed_splits()
-        splits.add(split)
-        d = os.path.dirname(self.manifest_path) or "."
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d)
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            json.dump({"splits": sorted(splits)}, f)
-        os.replace(tmp, self.manifest_path)  # atomic on POSIX
-
-    def replace_splits(self, splits: set[str]) -> None:
-        """Atomically REPLACE the manifest's split set (compaction:
-        many ingested splits fold into one compacted split in a single
-        os.replace — readers see either the old set or the new set,
-        never a mix)."""
+    def _write_manifest(self, splits: set[str]) -> None:
+        """The ONE manifest commit path (tmp write + os.replace, atomic
+        on POSIX) — ingest and compaction must share durability/format,
+        so any future fsync/versioning change lands in both."""
         d = os.path.dirname(self.manifest_path) or "."
         os.makedirs(d, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=d)
         with os.fdopen(fd, "w", encoding="utf-8") as f:
             json.dump({"splits": sorted(splits)}, f)
         os.replace(tmp, self.manifest_path)
+
+    def mark_processed(self, split: str) -> None:
+        splits = self.processed_splits()
+        splits.add(split)
+        self._write_manifest(splits)
+
+    def replace_splits(self, splits: set[str]) -> None:
+        """Atomically REPLACE the manifest's split set (compaction:
+        many ingested splits fold into one compacted split in a single
+        os.replace — readers see either the old set or the new set,
+        never a mix)."""
+        self._write_manifest(splits)
 
     def pending(self, all_splits: list[str]) -> list[str]:
         done = self.processed_splits()
@@ -91,18 +92,29 @@ def run_resumable(
     files — unit granularity trades resume precision against commit
     overhead; snapshot-per-unit keeps Iceberg metadata churn bounded.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    done_now = []
-    for split in checkpointer.pending(splits):
-        df = process_split(spark, split).withColumn(split_col, F.lit(split))
-        (
-            df.write.mode("overwrite")
-            .partitionBy(split_col)
-            .parquet(out_path)
-        )
-        checkpointer.mark_processed(split)
-        done_now.append(split)
-    return done_now
+    # scope the dynamic-overwrite mode to this run and restore the
+    # caller's setting — leaking it would change the semantics of every
+    # later partitioned overwrite in the shared session
+    _key = "spark.sql.sources.partitionOverwriteMode"
+    _prev = spark.conf.get(_key, None)
+    spark.conf.set(_key, "dynamic")
+    try:
+        done_now = []
+        for split in checkpointer.pending(splits):
+            df = process_split(spark, split).withColumn(split_col, F.lit(split))
+            (
+                df.write.mode("overwrite")
+                .partitionBy(split_col)
+                .parquet(out_path)
+            )
+            checkpointer.mark_processed(split)
+            done_now.append(split)
+        return done_now
+    finally:
+        if _prev is None:
+            spark.conf.unset(_key)
+        else:
+            spark.conf.set(_key, _prev)
 
 
 class IcebergCheckpointer(Checkpointer):

@@ -254,9 +254,13 @@ def run_incremental(
         # this query's terminated event so all progress is flushed.
         acc.wait_terminated(qid, timeout=30.0)
         seen = acc.rows_for(qid)
-        if not seen:  # listener never fired — fall back to the capped view
-            for p in query.recentProgress:
-                seen[int(p["batchId"])] = int(p["numInputRows"])
+        # Merge recentProgress unconditionally (keyed by batchId, so
+        # double-counting is impossible): if listener delivery lagged
+        # past the wait timeout, the batches it missed are the LATEST
+        # ones — exactly the window recentProgress retains — so the
+        # union is complete whenever either source is.
+        for p in query.recentProgress:
+            seen.setdefault(int(p["batchId"]), int(p["numInputRows"]))
         rows = sum(seen.values())
         batches = sum(1 for v in seen.values() if v > 0)
         return {"rows": rows, "batches": batches}

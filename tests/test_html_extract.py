@@ -76,6 +76,17 @@ class TestDomExtract:
     def test_unclosed_tag_at_eof(self):
         assert self._dom('<p>text</p><div class="x') == "text"
 
+    def test_trailing_text_with_ampersand_kept(self):
+        """Regression (r4 review): convert_charrefs buffers trailing
+        plain text whose tail holds an unresolved '&'; close() must
+        flush it as visible text, not drop it as markup garbage."""
+        assert self._dom("<p>Hello</p>Call AT&T") == "Hello\nCall AT&T"
+        assert self._dom("Call AT&T") == "Call AT&T"
+        assert self._dom("<p>a</p>trail &") == "a\ntrail &"
+        # ...while genuine incomplete markup at EOF is still dropped
+        assert self._dom("<p>text</p><div class='x") == "text"
+        assert self._dom("text <") == "text"
+
     def test_numeric_and_named_entities(self):
         h = "<p>&amp; &#x27;s&#39; &lt;tag&gt;&nbsp;end</p>"
         assert self._dom(h) == "& 's' <tag> end".replace(" ", "\xa0")

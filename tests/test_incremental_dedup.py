@@ -85,6 +85,25 @@ class TestTwoBatchFlow:
         assert sig_ids == {1, 2, 3, 103, 105}
 
 
+class TestSessionHygiene:
+    def test_ingest_restores_partition_overwrite_mode(self, spark, index):
+        """Regression (r4 review): ingest_batch scopes its dynamic
+        partition-overwrite to the two index writes — leaking it would
+        change the semantics of every later partitioned overwrite in
+        the shared session."""
+        key = "spark.sql.sources.partitionOverwriteMode"
+        assert spark.conf.get(key).lower() == "static"  # Spark default
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        assert spark.conf.get(key).lower() == "static"
+        # and an explicit caller setting is restored verbatim
+        spark.conf.set(key, "static")
+        try:
+            index.ingest_batch(_docs(spark, DUMP2), "dump2")
+            assert spark.conf.get(key) == "static"
+        finally:
+            spark.conf.unset(key)
+
+
 class TestExactlyOnce:
     def test_double_ingest_refused_then_skippable(self, spark, index):
         index.ingest_batch(_docs(spark, BASE), "dump1")

@@ -427,6 +427,29 @@ class TestQualityScoreAndBudget:
         exact_plan = exact._jdf.queryExecution().executedPlan().toString()
         assert "windowspecdefinition(quality_score" in exact_plan
 
+    def test_budget_banded_keeps_zero_token_row_at_exact_boundary(self, spark):
+        """Regression (r4 review): a band whose offset EQUALS the
+        budget can still hold zero-token rows the global kernel keeps
+        (_cum_tokens == budget); the band prune must use <=, not <."""
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            select_within_token_budget,
+        )
+
+        # doc 1 (score 3, 100 tokens) fills the budget exactly; doc 2
+        # (score 2, 0 tokens) lands in a band with offset == budget
+        rows = [(1, 3.0, 100), (2, 2.0, 0), (3, 1.0, 50)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, quality_score double, word_count long"
+        )
+        kept = lambda banded: sorted(
+            (r["doc_id"], r["_cum_tokens"])
+            for r in select_within_token_budget(
+                df, 100, banded=banded, n_bands=4
+            ).collect()
+        )
+        assert kept(False) == [(1, 100), (2, 100)]
+        assert kept(True) == kept(False)
+
     def test_budget_banded_prunes_out_of_budget_bands(self, spark):
         """With budget ≪ corpus, the offset-filter must remove most
         bands BEFORE the per-band sort (scale property: the window
