@@ -851,3 +851,58 @@ def exact_span_contamination(
         F.count(F.lit(1)).alias("n_span_hits"),
         (F.min("pos") + 1).cast("int").alias("first_token_pos"),
     )
+
+
+def duplicated_span_profile(
+    corpus: DataFrame,
+    span_len: int = 10,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Intra-corpus duplicated-span profile — the corpus-internal
+    counterpart of ``exact_span_contamination``: instead of matching
+    against an external eval set, every ``span_len``-token window is
+    matched against every OTHER document's windows, surfacing verbatim
+    boilerplate (shared footers, license blocks, templated paragraphs)
+    that document-level near-dedup can't see because the surrounding
+    text differs (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — the suffix-array use case, re-expressed
+    as a distributed hash join).
+
+    Output, per document that shares at least one span with >=
+    ``min_docs``-1 other documents: ``(id, n_spans, n_dup_spans,
+    dup_span_frac, first_dup_pos)`` — ``dup_span_frac`` is the fraction
+    of the doc's windows that are corpus-duplicated (a removal/score
+    signal), ``first_dup_pos`` the 1-based token offset of the earliest
+    shared span. Docs with no shared spans are omitted.
+
+    Scale shape: one explode to (id, pos, span_hash) — O(total tokens)
+    rows, the same cardinality any suffix-array/dedup-span method must
+    materialize — then ONE shuffle keyed by the span hash (uniform by
+    construction, skew only from true mega-boilerplate, which AQE
+    splits), a count-distinct-docs filter, a self-join back on the
+    hash, and a per-doc aggregation. Spans are hashed with md5 so the
+    DuckDB oracle mirrors them exactly; swap to xxhash64 for CPU-bound
+    corpora (same trick as the minhash family).
+    """
+    spans = corpus.select(
+        F.col(id_col),
+        _span_hashes(F.col(tokens_col), span_len).alias("_sp"),
+    ).select(
+        F.col(id_col),
+        F.size(F.col("_sp")).cast("bigint").alias("n_spans"),
+        F.posexplode(F.col("_sp")).alias("pos", "span_h"),
+    )
+    shared = (
+        spans.groupBy("span_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("span_h")
+    )
+    hits = spans.join(shared, "span_h")
+    return hits.groupBy(id_col, "n_spans").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.round(F.count(F.lit(1)) / F.col("n_spans"), 4).alias("dup_span_frac"),
+        (F.min("pos") + 1).cast("int").alias("first_dup_pos"),
+    )

@@ -2956,6 +2956,128 @@ LEFT JOIN inear i ON w.doc_id = i.doc_id
 """
 
 
+def q65_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style DNS-suffix blocklist labeling
+    (functions/domains.py:with_domain_blocked): hosts synthesized with
+    up to 3 labels + an ``m.`` subdomain tier; the blocklist mixes a
+    parent-suffix entry (blocks a whole TLD-2 zone), a mid-level entry
+    (blocks one source's zone incl. its ``m.`` hosts), an exact-host
+    entry, and a label-boundary trap (``rc3.example.com`` must NOT
+    match ``src3.example.com``). Most-specific (longest) entry wins."""
+    from fineweb_domain_analyzer_spark.functions.domains import (
+        with_domain_blocked,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    zone = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("example.com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("sample.net"))
+        .otherwise(F.lit("test.org"))
+    )
+    host = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("m.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("."),
+        zone,
+    )
+    pages = docs.select("doc_id", host.alias("domain"))
+    bl = spark.createDataFrame(
+        [("sample.net",), ("src3.example.com",), ("m.src4.test.org",),
+         ("rc3.example.com",)],
+        "bd string",
+    )
+    out = with_domain_blocked(pages, bl)
+    return out.select(
+        "doc_id",
+        "domain",
+        "blocked_by",
+        F.col("blocked_by").isNotNull().alias("blocked"),
+    )
+
+
+Q65_SQL = """
+WITH hosts AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 5 = 0 THEN 'm.' ELSE '' END) || source || '.' ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'example.com'
+          WHEN doc_id % 3 = 1 THEN 'sample.net'
+          ELSE 'test.org' END) AS domain
+  FROM documents
+),
+bl(bd) AS (VALUES ('sample.net'), ('src3.example.com'),
+                  ('m.src4.test.org'), ('rc3.example.com')),
+m AS (
+  SELECT h.doc_id, h.domain, b.bd
+  FROM hosts h
+  LEFT JOIN bl b ON h.domain = b.bd OR h.domain LIKE '%.' || b.bd
+)
+SELECT doc_id, domain,
+       arg_max(bd, length(bd)) AS blocked_by,
+       (count(bd) > 0) AS blocked
+FROM m GROUP BY doc_id, domain
+"""
+
+
+# 12 whitespace tokens — long enough to contain 10-token spans
+_BOILERPLATE = (
+    "all rights reserved contact us terms of service privacy policy"
+    " cookie notice"
+)
+
+
+def q66_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus duplicated-span profile
+    (operators/dedup.py:duplicated_span_profile): docs with
+    doc_id % 7 == 0 get the same 12-token boilerplate footer appended
+    (the templated-page pattern document-level near-dedup can't see);
+    the profile must flag exactly the spans those docs now share."""
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        duplicated_span_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+    ).otherwise(F.col("text"))
+    staged = docs.select(
+        "doc_id", ws_tokens(F.lower(t2)).alias("_tk")
+    )
+    return duplicated_span_profile(staged, span_len=10, tokens_col="_tk")
+
+
+Q66_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' {_BOILERPLATE}'
+              ELSE text END AS text
+  FROM documents
+),
+ctk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM aug
+),
+cspans AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 10
+           THEN list_transform(range(1, len(w) - 8),
+                  i -> {{'pos': i, 'h': md5(array_to_string(w[i:i+9], ' '))}})
+           ELSE [] END AS sp
+  FROM ctk
+),
+cs AS (SELECT doc_id, len(sp) AS n_spans, unnest(sp) AS s FROM cspans),
+shared AS (
+  SELECT s.h AS h FROM cs GROUP BY s.h HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id, CAST(c.n_spans AS BIGINT) AS n_spans,
+       count(*) AS n_dup_spans,
+       round(count(*) / c.n_spans, 4) AS dup_span_frac,
+       CAST(min(c.s.pos) AS INT) AS first_dup_pos
+FROM cs c JOIN shared sh ON c.s.h = sh.h
+GROUP BY c.doc_id, c.n_spans
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3022,6 +3144,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_fasttext_bin_langid": q62_fasttext_bin_langid,
     "q63_arpa_perplexity": q63_arpa_perplexity,
     "q64_incremental_dedup": q64_incremental_dedup,
+    "q65_domain_blocklist": q65_domain_blocklist,
+    "q66_duplicated_spans": q66_duplicated_spans,
 }
 
 
@@ -3089,4 +3213,6 @@ def oracle_sql() -> dict[str, str]:
         "q62_fasttext_bin_langid": _q62_sql(),
         "q63_arpa_perplexity": _q63_sql(),
         "q64_incremental_dedup": Q64_SQL,
+        "q65_domain_blocklist": Q65_SQL,
+        "q66_duplicated_spans": Q66_SQL,
     }

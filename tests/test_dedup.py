@@ -535,3 +535,55 @@ class TestContaminationCheck:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestDuplicatedSpanProfile:
+    """Intra-corpus duplicated-span profile (duplicated_span_profile)."""
+
+    def _profile(self, spark, texts, span_len=10, **kw):
+        from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+        from fineweb_domain_analyzer_spark.operators.dedup import (
+            duplicated_span_profile,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        ).select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("_tk"))
+        return {
+            r["doc_id"]: r.asDict()
+            for r in duplicated_span_profile(
+                docs, span_len=span_len, tokens_col="_tk", **kw
+            ).collect()
+        }
+
+    def test_shared_boilerplate_flagged_with_position(self, spark):
+        boiler = " ".join(f"b{j}" for j in range(10))
+        texts = [
+            f"u0a u0b u0c {boiler}",          # boiler at token 4
+            f"{boiler} u1a u1b",               # boiler at token 1
+            "all unique words here nothing shared with anyone else at all",
+        ]
+        got = self._profile(spark, texts)
+        assert set(got) == {0, 1}
+        assert got[0]["first_dup_pos"] == 4
+        assert got[1]["first_dup_pos"] == 1
+        assert got[0]["n_dup_spans"] == 1 and got[1]["n_dup_spans"] == 1
+
+    def test_repeat_within_one_doc_does_not_count(self, spark):
+        """min_docs counts DISTINCT docs — a span repeated twice inside
+        the same document is not corpus duplication."""
+        span = " ".join(f"s{j}" for j in range(10))
+        got = self._profile(spark, [f"{span} filler1 filler2 {span}"])
+        assert got == {}
+
+    def test_docs_shorter_than_span_are_safe(self, spark):
+        got = self._profile(spark, ["too short", "also short", ""])
+        assert got == {}
+
+    def test_frac_and_min_docs_threshold(self, spark):
+        boiler = " ".join(f"c{j}" for j in range(10))
+        texts = [f"{boiler}", f"{boiler}", f"{boiler}"]  # 3 identical docs
+        got = self._profile(spark, texts)
+        assert all(v["dup_span_frac"] == 1.0 for v in got.values())
+        # raise the bar to >=4 docs: nothing qualifies
+        assert self._profile(spark, texts, min_docs=4) == {}

@@ -115,3 +115,92 @@ def test_extract_domain_py_differential(url):
     except Exception:
         expected = None
     assert extract_domain_py(url) == expected
+
+
+class TestDomainBlocklist:
+    """UT1-style DNS-suffix blocklist (with_domain_blocked)."""
+
+    def _label(self, spark, hosts, blocklist, **kw):
+        from fineweb_domain_analyzer_spark.functions.domains import (
+            with_domain_blocked,
+        )
+
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(hosts)], "doc_id long, domain string"
+        )
+        bl = spark.createDataFrame([(b,) for b in blocklist], "bd string")
+        out = with_domain_blocked(df, bl)
+        return {r["domain"]: r["blocked_by"] for r in out.collect()}
+
+    def test_suffix_matches_on_label_boundaries_only(self, spark):
+        got = self._label(
+            spark,
+            ["a.b.example.com", "example.com", "notexample.com", "ample.com"],
+            ["example.com"],
+        )
+        assert got["a.b.example.com"] == "example.com"
+        assert got["example.com"] == "example.com"
+        assert got["notexample.com"] is None  # no label boundary
+        assert got["ample.com"] is None
+
+    def test_most_specific_entry_wins(self, spark):
+        got = self._label(
+            spark,
+            ["x.ads.example.com", "y.example.com"],
+            ["example.com", "ads.example.com"],
+        )
+        assert got["x.ads.example.com"] == "ads.example.com"
+        assert got["y.example.com"] == "example.com"
+
+    def test_port_stripped_and_case_insensitive(self, spark):
+        got = self._label(
+            spark,
+            ["Shop.Example.COM:8080", "safe.org:9090"],
+            ["EXAMPLE.com"],
+        )
+        assert got["Shop.Example.COM:8080"] == "example.com"
+        assert got["safe.org:9090"] is None
+
+    def test_null_domain_and_duplicate_blocklist_entries(self, spark):
+        from fineweb_domain_analyzer_spark.functions.domains import (
+            with_domain_blocked,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a.example.com")], "doc_id long, domain string"
+        )
+        bl = spark.createDataFrame(
+            [("example.com",), ("example.com",)], "bd string"
+        )
+        rows = with_domain_blocked(df, bl).collect()
+        assert len(rows) == 2  # dup entries must not fan out rows
+        by_id = {r["doc_id"]: r["blocked_by"] for r in rows}
+        assert by_id[1] is None
+        assert by_id[2] == "example.com"
+
+    def test_fact_side_is_shuffle_free(self, spark):
+        """The page side must reach all blocklist joins without an
+        Exchange: every hashpartitioning shuffle in the plan keys on
+        the blocklist side (its per-depth distinct), never the fact."""
+        import re
+
+        from fineweb_domain_analyzer_spark.functions.domains import (
+            with_domain_blocked,
+        )
+
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("h"), F.col("id"), F.lit(".example.com")).alias(
+                "domain"
+            ),
+        )
+        bl = spark.createDataFrame([("example.com",)], "bd string")
+        plan = (
+            with_domain_blocked(df, bl)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for key in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan):
+            assert key.startswith("_bl_bd"), f"fact-side shuffle on {key}"
+        assert "BroadcastNestedLoopJoin" not in plan
