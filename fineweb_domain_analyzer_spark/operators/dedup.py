@@ -906,3 +906,70 @@ def duplicated_span_profile(
         F.round(F.count(F.lit(1)) / F.col("n_spans"), 4).alias("dup_span_frac"),
         (F.min("pos") + 1).cast("int").alias("first_dup_pos"),
     )
+
+
+def remove_duplicated_spans(
+    corpus: DataFrame,
+    span_len: int = 10,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cut corpus-duplicated spans out of every document except one
+    canonical occurrence — the REMOVAL half of the Lee et al. 2022
+    span-dedup recipe (``duplicated_span_profile`` is the detection
+    half): for each span hash shared by ≥ ``min_docs`` docs, the
+    occurrence with the smallest (doc id, position) survives; every
+    other occurrence's ``span_len``-token window is deleted, and the
+    text is rebuilt from the remaining tokens. Overlapping cut windows
+    union. Returns every input doc as ``(id, clean_tokens,
+    n_tokens_removed)`` — callers re-join text downstream or
+    ``array_join(clean_tokens, ' ')``.
+
+    Scale shape: detection is the profile's plan (one explode, one
+    shuffle keyed by span hash); the canonical-occurrence choice is a
+    bounded window INSIDE each span-hash group (bucket size = true
+    duplicate count). Cut positions then flow back as ONE small
+    aggregate keyed by doc id (only docs that lose tokens appear) and
+    a left join against the corpus — co-locatable via bucketing on the
+    id. Reconstruction is a pure map: ``filter`` with the element
+    index against the doc's own cut list (tiny), no token explode.
+    """
+    from pyspark.sql.window import Window
+
+    spans = corpus.select(
+        F.col(id_col),
+        _span_hashes(F.col(tokens_col), span_len).alias("_sp"),
+    ).select(F.col(id_col), F.posexplode(F.col("_sp")).alias("pos", "span_h"))
+    shared = (
+        spans.groupBy("span_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("span_h")
+    )
+    w = Window.partitionBy("span_h").orderBy(F.col(id_col), F.col("pos"))
+    cut = (
+        spans.join(shared, "span_h")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        # pos is 0-based into the span array → 1-based token start
+        .select(F.col(id_col), (F.col("pos") + 1).alias("start1"))
+    )
+    cutl = cut.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("start1")).alias("_cuts")
+    )
+    out = corpus.join(cutl, id_col, "left")
+    cuts = F.coalesce(F.col("_cuts"), F.array().cast("array<int>"))
+    clean = F.filter(
+        F.col(tokens_col),
+        lambda x, i: ~F.exists(
+            cuts, lambda p: (i + 1 >= p) & (i + 1 < p + F.lit(span_len))
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        clean.alias("clean_tokens"),
+        (F.size(F.col(tokens_col)) - F.size(clean)).cast("int").alias(
+            "n_tokens_removed"
+        ),
+    )

@@ -3078,6 +3078,79 @@ GROUP BY c.doc_id, c.n_spans
 """
 
 
+def q67_remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL (operators/dedup.py:remove_duplicated_spans) on the
+    q66 corpus: of the docs sharing the planted boilerplate footer, the
+    smallest doc_id keeps it; every other occurrence is cut and the
+    text rebuilt from the surviving tokens."""
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", ws_tokens(F.lower(t2)).alias("_tk"))
+    out = remove_duplicated_spans(staged, span_len=10, tokens_col="_tk")
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("clean_tokens"), " ").alias("clean_text"),
+        "n_tokens_removed",
+    )
+
+
+Q67_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' {_BOILERPLATE}'
+              ELSE text END AS text
+  FROM documents
+),
+ctk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM aug
+),
+cspans AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 10
+           THEN list_transform(range(1, len(w) - 8),
+                  i -> {{'pos': i, 'h': md5(array_to_string(w[i:i+9], ' '))}})
+           ELSE [] END AS sp
+  FROM ctk
+),
+cs AS (SELECT doc_id, unnest(sp) AS s FROM cspans),
+shared AS (
+  SELECT s.h AS h FROM cs GROUP BY s.h HAVING count(DISTINCT doc_id) >= 2
+),
+ranked AS (
+  SELECT c.doc_id, c.s.pos AS start1,
+         row_number() OVER (PARTITION BY c.s.h
+                            ORDER BY c.doc_id, c.s.pos) AS rn
+  FROM cs c JOIN shared sh ON c.s.h = sh.h
+),
+cutl AS (
+  SELECT doc_id, list(start1) AS cuts FROM ranked WHERE rn > 1 GROUP BY doc_id
+),
+final AS (
+  SELECT t.doc_id, t.w,
+         list_transform(
+           list_filter(range(1, len(t.w) + 1),
+             i -> len(list_filter(coalesce(c.cuts, []),
+                                  p -> i >= p AND i < p + 10)) = 0),
+           i -> t.w[i]) AS cw
+  FROM ctk t LEFT JOIN cutl c USING (doc_id)
+)
+SELECT doc_id,
+       -- DuckDB's array_to_string([]) is NULL, Spark's array_join([]) is
+       -- '' — a fully-cut doc must compare equal across engines
+       coalesce(array_to_string(cw, ' '), '') AS clean_text,
+       CAST(len(w) - len(cw) AS INT) AS n_tokens_removed
+FROM final
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3146,6 +3219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_incremental_dedup": q64_incremental_dedup,
     "q65_domain_blocklist": q65_domain_blocklist,
     "q66_duplicated_spans": q66_duplicated_spans,
+    "q67_remove_duplicated_spans": q67_remove_duplicated_spans,
 }
 
 
@@ -3215,4 +3289,5 @@ def oracle_sql() -> dict[str, str]:
         "q64_incremental_dedup": Q64_SQL,
         "q65_domain_blocklist": Q65_SQL,
         "q66_duplicated_spans": Q66_SQL,
+        "q67_remove_duplicated_spans": Q67_SQL,
     }

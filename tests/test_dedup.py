@@ -587,3 +587,51 @@ class TestDuplicatedSpanProfile:
         assert all(v["dup_span_frac"] == 1.0 for v in got.values())
         # raise the bar to >=4 docs: nothing qualifies
         assert self._profile(spark, texts, min_docs=4) == {}
+
+
+class TestRemoveDuplicatedSpans:
+    """Span removal (remove_duplicated_spans) — the Lee et al. cut."""
+
+    def _clean(self, spark, texts, span_len=10, **kw):
+        from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+        from fineweb_domain_analyzer_spark.operators.dedup import (
+            remove_duplicated_spans,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        ).select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("_tk"))
+        return {
+            r["doc_id"]: (" ".join(r["clean_tokens"]), r["n_tokens_removed"])
+            for r in remove_duplicated_spans(
+                docs, span_len=span_len, tokens_col="_tk", **kw
+            ).collect()
+        }
+
+    def test_smallest_doc_keeps_all_others_cut(self, spark):
+        boiler = " ".join(f"b{j}" for j in range(10))
+        got = self._clean(
+            spark,
+            [f"u0 {boiler} t0", f"{boiler} u1", f"u2a u2b {boiler}"],
+        )
+        assert got[0] == (f"u0 {boiler} t0", 0)  # canonical untouched
+        assert got[1] == ("u1", 10)
+        assert got[2] == ("u2a u2b", 10)
+
+    def test_overlapping_cut_windows_union(self, spark):
+        # doc1 contains an 11-token run shared with doc0 → two
+        # overlapping 10-token windows; union removes 11 tokens once
+        run = " ".join(f"r{j}" for j in range(11))
+        got = self._clean(spark, [f"{run} z0", f"x0 {run} y0"])
+        assert got[0][1] == 0
+        assert got[1] == ("x0 y0", 11)
+
+    def test_every_doc_returned_including_untouched(self, spark):
+        got = self._clean(spark, ["w1 w2 w3", "w4 w5 w6"])
+        assert got == {0: ("w1 w2 w3", 0), 1: ("w4 w5 w6", 0)}
+
+    def test_fully_duplicated_doc_becomes_empty(self, spark):
+        span = " ".join(f"s{j}" for j in range(10))
+        got = self._clean(spark, [span, span])
+        assert got[0] == (span, 0)
+        assert got[1] == ("", 10)
