@@ -792,10 +792,29 @@ def contamination_check(
     )
 
 
-def _span_hashes(tk: Column, span_len: int) -> Column:
-    """md5 of every ``span_len``-token window of a MATERIALIZED token
+def _span_hashes(
+    tk: Column, span_len: int, hash_family: str = "md5"
+) -> Column:
+    """Hash of every ``span_len``-token window of a MATERIALIZED token
     array (empty when the doc is shorter than one span — a doc that
-    cannot contain the span cannot be contaminated by it)."""
+    cannot contain the span cannot be contaminated by it).
+
+    ``hash_family``: "md5" (engine-portable — the DuckDB oracle mirrors
+    it exactly) or "xx" (xxhash64 over the window slice directly, no
+    join-to-string materialization — the production family; same
+    downstream plan, the hash is only ever a join/group key)."""
+    if hash_family == "xx":
+        idx = F.sequence(F.lit(1), F.size(tk) - (span_len - 1))
+        spans = F.transform(
+            idx, lambda i: F.xxhash64(F.slice(tk, i, span_len))
+        )
+        return F.when(F.size(tk) >= span_len, spans).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    if hash_family != "md5":
+        raise ValueError(
+            f"hash_family must be 'md5' or 'xx', got {hash_family!r}"
+        )
     idx = F.sequence(F.lit(1), F.size(tk) - (span_len - 1))
     spans = F.transform(
         idx, lambda i: F.md5(F.array_join(F.slice(tk, i, span_len), " "))
@@ -853,12 +872,46 @@ def exact_span_contamination(
     )
 
 
+def _dup_span_rows(spans: DataFrame, id_col: str, min_docs: int) -> DataFrame:
+    """The span rows whose hash occurs in >= ``min_docs`` DISTINCT docs.
+
+    min_docs == 2 (the standard setting): "shared" is exactly
+    min(id) != max(id) over a window partitioned by the hash — the
+    exploded span frame is computed ONCE and shuffled ONCE; the
+    aggregate-then-self-join formulation recomputes the whole
+    explode+hash map stage for the probe side and shuffles it again
+    (measured 2.3x slower at 21M span rows — 84 s vs 36 s profile leg,
+    local[32]; BENCH/span_dedup.json holds the window-plan numbers).
+    min_docs > 2 needs a distinct count, which windows can't stream —
+    that path keeps the aggregate + join shape."""
+    from pyspark.sql.window import Window
+
+    if min_docs == 2:
+        w = Window.partitionBy("span_h").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return (
+            spans.withColumn("_mn", F.min(id_col).over(w))
+            .withColumn("_mx", F.max(id_col).over(w))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .drop("_mn", "_mx")
+        )
+    shared = (
+        spans.groupBy("span_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("span_h")
+    )
+    return spans.join(shared, "span_h")
+
+
 def duplicated_span_profile(
     corpus: DataFrame,
     span_len: int = 10,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     min_docs: int = 2,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Intra-corpus duplicated-span profile — the corpus-internal
     counterpart of ``exact_span_contamination``: instead of matching
@@ -882,25 +935,21 @@ def duplicated_span_profile(
     materialize — then ONE shuffle keyed by the span hash (uniform by
     construction, skew only from true mega-boilerplate, which AQE
     splits), a count-distinct-docs filter, a self-join back on the
-    hash, and a per-doc aggregation. Spans are hashed with md5 so the
-    DuckDB oracle mirrors them exactly; swap to xxhash64 for CPU-bound
-    corpora (same trick as the minhash family).
+    hash, and a per-doc aggregation. ``hash_family="md5"`` (default) is
+    mirrored exactly by the DuckDB oracle; ``"xx"`` (xxhash64 over the
+    window slice, no string materialization) is the production family
+    for CPU-bound corpora — same plan, cheaper map stage
+    (BENCH/span_dedup.json quantifies the gap).
     """
     spans = corpus.select(
         F.col(id_col),
-        _span_hashes(F.col(tokens_col), span_len).alias("_sp"),
+        _span_hashes(F.col(tokens_col), span_len, hash_family).alias("_sp"),
     ).select(
         F.col(id_col),
         F.size(F.col("_sp")).cast("bigint").alias("n_spans"),
         F.posexplode(F.col("_sp")).alias("pos", "span_h"),
     )
-    shared = (
-        spans.groupBy("span_h")
-        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
-        .filter(F.col("_docs") >= min_docs)
-        .select("span_h")
-    )
-    hits = spans.join(shared, "span_h")
+    hits = _dup_span_rows(spans, id_col, min_docs)
     return hits.groupBy(id_col, "n_spans").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.round(F.count(F.lit(1)) / F.col("n_spans"), 4).alias("dup_span_frac"),
@@ -914,6 +963,7 @@ def remove_duplicated_spans(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     min_docs: int = 2,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Cut corpus-duplicated spans out of every document except one
     canonical occurrence — the REMOVAL half of the Lee et al. 2022
@@ -939,17 +989,11 @@ def remove_duplicated_spans(
 
     spans = corpus.select(
         F.col(id_col),
-        _span_hashes(F.col(tokens_col), span_len).alias("_sp"),
+        _span_hashes(F.col(tokens_col), span_len, hash_family).alias("_sp"),
     ).select(F.col(id_col), F.posexplode(F.col("_sp")).alias("pos", "span_h"))
-    shared = (
-        spans.groupBy("span_h")
-        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
-        .filter(F.col("_docs") >= min_docs)
-        .select("span_h")
-    )
     w = Window.partitionBy("span_h").orderBy(F.col(id_col), F.col("pos"))
     cut = (
-        spans.join(shared, "span_h")
+        _dup_span_rows(spans, id_col, min_docs)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") > 1)
         # pos is 0-based into the span array → 1-based token start

@@ -580,6 +580,15 @@ class TestDuplicatedSpanProfile:
         got = self._profile(spark, ["too short", "also short", ""])
         assert got == {}
 
+    def test_xx_family_matches_md5(self, spark):
+        """hash_family='xx' (production) must flag the same docs with
+        the same profile values as the oracle-portable md5 family."""
+        boiler = " ".join(f"b{j}" for j in range(11))
+        texts = [f"x0 {boiler}", f"{boiler} y0 y1", "nothing shared here ok"]
+        md5 = self._profile(spark, texts)
+        xx = self._profile(spark, texts, hash_family="xx")
+        assert md5 == xx and set(md5) == {0, 1}
+
     def test_frac_and_min_docs_threshold(self, spark):
         boiler = " ".join(f"c{j}" for j in range(10))
         texts = [f"{boiler}", f"{boiler}", f"{boiler}"]  # 3 identical docs
