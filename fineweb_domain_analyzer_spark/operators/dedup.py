@@ -1000,14 +1000,42 @@ def remove_duplicated_spans(
         .select(F.col(id_col), (F.col("pos") + 1).alias("start1"))
     )
     cutl = cut.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("start1")).alias("_cuts")
+        F.sort_array(F.collect_list("start1")).alias("_starts")
+    )
+    # merge the sorted window starts into covered [s, e] token intervals
+    # BEFORE the per-token test: a fully-duplicated doc has ~len cut
+    # starts but ONE merged interval, so reconstruction is
+    # O(len × intervals), not O(len × starts) — the difference between
+    # linear and quadratic on exact-duplicate long docs
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    span_end = F.lit(span_len - 1)
+
+    def _merge(acc, p):
+        # try_element_at: NULL (not an ANSI error) on the empty
+        # accumulator — the condition below then falls to 'new'
+        last = F.try_element_at(acc, F.lit(-1))
+        ext = F.struct(
+            last["s"].alias("s"),
+            F.greatest(last["e"], (p + span_end).cast("int")).alias("e"),
+        )
+        new = F.struct(
+            p.cast("int").alias("s"), (p + span_end).cast("int").alias("e")
+        )
+        return F.when(
+            (F.size(acc) > 0) & (p <= last["e"] + 1),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ext)),
+        ).otherwise(F.concat(acc, F.array(new)))
+
+    cutl = cutl.select(
+        F.col(id_col),
+        F.aggregate(F.col("_starts"), empty, _merge).alias("_cuts"),
     )
     out = corpus.join(cutl, id_col, "left")
-    cuts = F.coalesce(F.col("_cuts"), F.array().cast("array<int>"))
+    cuts = F.coalesce(F.col("_cuts"), empty)
     clean = F.filter(
         F.col(tokens_col),
         lambda x, i: ~F.exists(
-            cuts, lambda p: (i + 1 >= p) & (i + 1 < p + F.lit(span_len))
+            cuts, lambda r: (i + 1 >= r["s"]) & (i + 1 <= r["e"])
         ),
     )
     return out.select(

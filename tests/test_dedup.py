@@ -639,6 +639,35 @@ class TestRemoveDuplicatedSpans:
         got = self._clean(spark, ["w1 w2 w3", "w4 w5 w6"])
         assert got == {0: ("w1 w2 w3", 0), 1: ("w4 w5 w6", 0)}
 
+    def test_mega_boilerplate_bucket_survives(self, spark):
+        """A span shared by 20k docs puts 20k rows in ONE window bucket
+        (the span-hash partition) — the plan must stay linear and the
+        removal accounting exact: every doc but the canonical loses the
+        10-token span."""
+        from fineweb_domain_analyzer_spark.operators.dedup import (
+            duplicated_span_profile,
+            remove_duplicated_spans,
+        )
+
+        boiler = " ".join(f"b{j}" for j in range(10))
+        docs = spark.range(20_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.split(F.lit(boiler), " "),
+                F.array(F.concat(F.lit("u"), F.col("id").cast("string"))),
+            ).alias("_tk"),
+        )
+        assert (
+            duplicated_span_profile(docs, span_len=10, tokens_col="_tk").count()
+            == 20_000
+        )
+        removed = (
+            remove_duplicated_spans(docs, span_len=10, tokens_col="_tk")
+            .agg(F.sum("n_tokens_removed"))
+            .first()[0]
+        )
+        assert removed == 10 * (20_000 - 1)
+
     def test_fully_duplicated_doc_becomes_empty(self, spark):
         span = " ".join(f"s{j}" for j in range(10))
         got = self._clean(spark, [span, span])
