@@ -172,6 +172,13 @@ def with_domain_blocked(
     Ports are stripped before matching (the engine's domain value keeps
     the reference's ``:8080`` quirk — see ``with_domain_sql``); matching
     is case-insensitive.
+
+    No silent caps: a blocklist entry with MORE than ``max_labels``
+    labels can never match (no suffix that deep is derived) — raise
+    ``max_labels`` if your list has such entries (UT1's deepest entries
+    are 5 labels; the default 8 covers every public list we know of).
+    Hosts deeper than ``max_labels`` are still fully covered: their
+    shallow suffixes are derived regardless of host depth.
     """
     host = F.regexp_replace(F.lower(F.col(domain_col)), ":.*$", "")
     labels = F.split(host, r"\.")

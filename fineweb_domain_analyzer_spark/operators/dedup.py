@@ -1031,12 +1031,18 @@ def remove_duplicated_spans(
         F.aggregate(F.col("_starts"), empty, _merge).alias("_cuts"),
     )
     out = corpus.join(cutl, id_col, "left")
-    cuts = F.coalesce(F.col("_cuts"), empty)
-    clean = F.filter(
-        F.col(tokens_col),
-        lambda x, i: ~F.exists(
-            cuts, lambda r: (i + 1 >= r["s"]) & (i + 1 <= r["e"])
-        ),
+    # untouched docs (null cut list — the vast majority of any real
+    # corpus) bypass the per-token lambda entirely: higher-order
+    # functions run interpreted, so paying them only on cut docs keeps
+    # the common path in codegen
+    clean = F.when(F.col("_cuts").isNull(), F.col(tokens_col)).otherwise(
+        F.filter(
+            F.col(tokens_col),
+            lambda x, i: ~F.exists(
+                F.col("_cuts"),
+                lambda r: (i + 1 >= r["s"]) & (i + 1 <= r["e"]),
+            ),
+        )
     )
     return out.select(
         F.col(id_col),
