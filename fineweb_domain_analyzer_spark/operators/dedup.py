@@ -933,13 +933,22 @@ def duplicated_span_profile(
     Scale shape: one explode to (id, pos, span_hash) — O(total tokens)
     rows, the same cardinality any suffix-array/dedup-span method must
     materialize — then ONE shuffle keyed by the span hash (uniform by
-    construction, skew only from true mega-boilerplate, which AQE
-    splits), a count-distinct-docs filter, a self-join back on the
-    hash, and a per-doc aggregation. ``hash_family="md5"`` (default) is
-    mirrored exactly by the DuckDB oracle; ``"xx"`` (xxhash64 over the
-    window slice, no string materialization) is the production family
-    for CPU-bound corpora — same plan, cheaper map stage
+    construction, skew only from true mega-boilerplate, which a window
+    bucket absorbs — tested at 20k copies), the shared-span window
+    test (``_dup_span_rows``), and a per-doc aggregation over only the
+    duplicated rows. ``hash_family="md5"`` (default) is mirrored
+    exactly by the DuckDB oracle; ``"xx"`` (xxhash64 over the window
+    slice, no string materialization) is the production family for
+    CPU-bound corpora — same plan, cheaper map stage
     (BENCH/span_dedup.json quantifies the gap).
+
+    At 10^12 docs the exploded frame is ~10^14 rows — run this the way
+    the real pipelines do: per dump/shard (each dump's explode is
+    bounded) and catch CROSS-dump boilerplate at the document level via
+    the incremental index (operators/incremental_dedup.py), whose
+    near-dup layer flags the templated pages this operator would
+    de-span. One full-corpus pass stays available for audits; nothing
+    in the plan assumes the corpus fits anywhere.
     """
     spans = corpus.select(
         F.col(id_col),
