@@ -778,6 +778,48 @@ def select_within_token_budget(
     )
 
 
+def keep_top_pct_by_group(
+    df: DataFrame,
+    pct: int,
+    score_col: str = "quality_score",
+    by_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Group-adaptive curation cut: keep the best ``pct`` percent of
+    rows WITHIN each group — the FineWeb2 move, where one global
+    threshold either guts low-resource languages (their score
+    distributions sit lower) or keeps every doc of the high-resource
+    ones; a per-language percentile keeps the same fraction everywhere.
+
+    Rank-based and integer-exact: a row stays iff
+    ``rank * 100 <= pct * group_count`` with rank ordered by
+    (score desc, id) — pure integer arithmetic, so the kept set is
+    bit-identical across engines/partitionings (no percentile
+    interpolation, whose float arithmetic differs between engines).
+    Groups smaller than 100/pct rows keep nothing (their first row
+    already overshoots the fraction) — the standard floor semantics.
+
+    Scale shape: ONE shuffle keyed by the group, then a per-group sort
+    (the window); groups are languages, so parallelism is bounded by
+    the language count and the big groups dominate — for a 10^12-doc
+    corpus pre-cut each group with ``with_approx_quality_bands``
+    (same composition as ``select_within_token_budget(banded=True)``)
+    so the exact window only sees the boundary band of each language.
+    """
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy(by_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    w_all = Window.partitionBy(by_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("_rn") * 100 <= F.lit(int(pct)) * F.col("_n"))
+        .drop("_rn", "_n")
+    )
+
+
 # --- compression-ratio quality signal ---------------------------------------
 
 def _compression_ratio_udf():

@@ -3151,6 +3151,45 @@ FROM final
 """
 
 
+def q68_per_language_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb2-style group-adaptive curation
+    (operators/quality.py:keep_top_pct_by_group): keep the best 40% of
+    docs WITHIN each language — a single global threshold would keep a
+    different fraction per language because score distributions differ.
+    Rank-based (score desc, doc_id) with integer arithmetic, so the
+    kept set is bit-identical across engines."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        keep_top_pct_by_group,
+        with_quality_features,
+        with_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(with_quality_features(docs))
+    kept = keep_top_pct_by_group(
+        scored, 40, score_col="quality_score", by_col="lang", id_col="doc_id"
+    )
+    return kept.select("doc_id", "lang", "quality_score")
+
+
+Q68_SQL = f"""
+WITH {_feats_cte()},
+scored AS (
+  SELECT f.doc_id, d.lang, {_SCORE_SQL} AS quality_score
+  FROM feats f JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, lang, quality_score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY quality_score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT doc_id, lang, quality_score
+FROM ranked WHERE rn * 100 <= 40 * n
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3220,6 +3259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_domain_blocklist": q65_domain_blocklist,
     "q66_duplicated_spans": q66_duplicated_spans,
     "q67_remove_duplicated_spans": q67_remove_duplicated_spans,
+    "q68_per_language_quality_cut": q68_per_language_quality_cut,
 }
 
 
@@ -3290,4 +3330,5 @@ def oracle_sql() -> dict[str, str]:
         "q65_domain_blocklist": Q65_SQL,
         "q66_duplicated_spans": Q66_SQL,
         "q67_remove_duplicated_spans": Q67_SQL,
+        "q68_per_language_quality_cut": Q68_SQL,
     }

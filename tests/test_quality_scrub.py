@@ -489,3 +489,37 @@ class TestQualityScoreAndBudget:
             exp = 1.0 if not raw else round(len(zlib.compress(raw, 6)) / len(raw), 4)
             assert out[i] == exp, (i, t[:20])
         assert out[0] < 0.1  # repetitive text compresses hard
+
+
+class TestKeepTopPctByGroup:
+    def _kept(self, spark, rows, pct):
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            keep_top_pct_by_group,
+        )
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, quality_score double"
+        )
+        return sorted(
+            r["doc_id"]
+            for r in keep_top_pct_by_group(df, pct).collect()
+        )
+
+    def test_same_fraction_per_group(self, spark):
+        # en: 10 docs scored 0.1..1.0; fr: 5 docs scored 0.1..0.5 —
+        # a 40% cut keeps 4 en and 2 fr (fraction adapts per group;
+        # a global threshold at en's 40% mark would keep 0 fr docs)
+        rows = [(i, "en", i / 10.0) for i in range(1, 11)] + [
+            (100 + i, "fr", i / 10.0) for i in range(1, 6)
+        ]
+        assert self._kept(spark, rows, 40) == [7, 8, 9, 10, 104, 105]
+
+    def test_ties_break_on_id_deterministically(self, spark):
+        rows = [(1, "en", 0.5), (2, "en", 0.5), (3, "en", 0.5), (4, "en", 0.5)]
+        # 50% of 4 = 2 kept; equal scores -> smallest ids win
+        assert self._kept(spark, rows, 50) == [1, 2]
+
+    def test_small_group_floor(self, spark):
+        # 1-doc group at 40%: rank 1*100 > 40*1 -> nothing kept
+        rows = [(1, "xx", 0.9)] + [(i, "en", i / 10.0) for i in range(1, 11)]
+        assert self._kept(spark, rows, 40) == [7, 8, 9, 10]
