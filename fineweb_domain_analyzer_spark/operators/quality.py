@@ -820,6 +820,56 @@ def keep_top_pct_by_group(
     )
 
 
+def plan_sequence_packing(
+    df: DataFrame,
+    seq_len: int,
+    n_shards: int,
+    tokens_col: str = "word_count",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing PLAN (the GPT-style batch
+    layout: concatenate documents in a deterministic order, slice the
+    stream into fixed ``seq_len``-token training sequences, documents
+    crossing boundaries): for each doc, which shard-local sequence it
+    starts in and at what offset. Emits ``(id, shard, tokens,
+    start_seq, start_offset)`` — the deterministic placement map a
+    tokenize-and-pack writer consumes; no text moves here.
+
+    Sharding makes it web-scale: real packers lay out WITHIN a shard
+    (a training file), never across the corpus, so the running token
+    total is a window per shard — shuffle keyed by the shard, per-shard
+    sort by id, no global sort anywhere. ``shard_col`` lets callers
+    bring their own layout key (dump id, path bucket); the default
+    ``id % n_shards`` is the portable deterministic choice.
+
+    All-integer arithmetic (cumulative sums, floor division), so the
+    plan is bit-identical across engines and partitionings.
+    """
+    from pyspark.sql.window import Window
+
+    shard = (
+        F.col(shard_col)
+        if shard_col is not None
+        else F.pmod(F.col(id_col), F.lit(n_shards))
+    )
+    staged = df.select(
+        F.col(id_col),
+        shard.cast("long").alias("shard"),
+        F.col(tokens_col).cast("long").alias("tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col(id_col))
+    cum = F.sum("tokens").over(w)
+    start = cum - F.col("tokens")
+    return staged.select(
+        F.col(id_col),
+        "shard",
+        "tokens",
+        F.floor(start / seq_len).cast("long").alias("start_seq"),
+        F.pmod(start, F.lit(seq_len)).cast("long").alias("start_offset"),
+    )
+
+
 # --- compression-ratio quality signal ---------------------------------------
 
 def _compression_ratio_udf():

@@ -3190,6 +3190,45 @@ FROM ranked WHERE rn * 100 <= 40 * n
 """
 
 
+def q69_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan
+    (operators/quality.py:plan_sequence_packing): documents laid out
+    into 512-token training sequences within 8 shards; each doc's
+    placement (shard, starting sequence, offset) is integer-exact."""
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_token_count
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        plan_sequence_packing,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).cast("long").alias("wc")
+    )
+    return plan_sequence_packing(
+        docs, seq_len=512, n_shards=8, tokens_col="wc"
+    )
+
+
+Q69_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len({TOKS_SQL}) END AS BIGINT) AS tokens,
+         doc_id % 8 AS shard
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, shard, tokens,
+         sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - tokens AS start
+  FROM toks
+)
+SELECT doc_id, shard, tokens,
+       CAST(start // 512 AS BIGINT) AS start_seq,
+       CAST(start % 512 AS BIGINT) AS start_offset
+FROM placed
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3260,6 +3299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_duplicated_spans": q66_duplicated_spans,
     "q67_remove_duplicated_spans": q67_remove_duplicated_spans,
     "q68_per_language_quality_cut": q68_per_language_quality_cut,
+    "q69_sequence_packing": q69_sequence_packing,
 }
 
 
@@ -3331,4 +3371,5 @@ def oracle_sql() -> dict[str, str]:
         "q66_duplicated_spans": Q66_SQL,
         "q67_remove_duplicated_spans": Q67_SQL,
         "q68_per_language_quality_cut": Q68_SQL,
+        "q69_sequence_packing": Q69_SQL,
     }

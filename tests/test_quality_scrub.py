@@ -523,3 +523,40 @@ class TestKeepTopPctByGroup:
         # 1-doc group at 40%: rank 1*100 > 40*1 -> nothing kept
         rows = [(1, "xx", 0.9)] + [(i, "en", i / 10.0) for i in range(1, 11)]
         assert self._kept(spark, rows, 40) == [7, 8, 9, 10]
+
+
+class TestSequencePackingPlan:
+    def _plan(self, spark, rows, seq_len=10, n_shards=1, **kw):
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            plan_sequence_packing,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, word_count long")
+        return {
+            r["doc_id"]: (r["shard"], r["start_seq"], r["start_offset"])
+            for r in plan_sequence_packing(
+                df, seq_len=seq_len, n_shards=n_shards, **kw
+            ).collect()
+        }
+
+    def test_concat_and_chunk_offsets(self, spark):
+        # tokens 4, 9, 10, 3 in id order -> starts 0, 4, 13, 23
+        got = self._plan(spark, [(1, 4), (2, 9), (3, 10), (4, 3)])
+        assert got == {
+            1: (0, 0, 0),   # starts seq 0 offset 0
+            2: (0, 0, 4),   # same seq, offset 4 (crosses into seq 1)
+            3: (0, 1, 3),   # starts inside seq 1
+            4: (0, 2, 3),   # starts inside seq 2
+        }
+
+    def test_shards_pack_independently(self, spark):
+        got = self._plan(spark, [(0, 7), (1, 7), (2, 7), (3, 7)], n_shards=2)
+        # shard 0: ids 0,2 -> starts 0,7 ; shard 1: ids 1,3 -> starts 0,7
+        assert got[0] == (0, 0, 0) and got[2] == (0, 0, 7)
+        assert got[1] == (1, 0, 0) and got[3] == (1, 0, 7)
+
+    def test_zero_token_docs_take_no_space(self, spark):
+        got = self._plan(spark, [(1, 0), (2, 5), (3, 0), (4, 5)])
+        assert got[2] == (0, 0, 0)
+        assert got[3] == (0, 0, 5)  # zero-token doc 3 sits at 5, no advance
+        assert got[4] == (0, 0, 5)
