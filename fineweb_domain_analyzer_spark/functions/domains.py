@@ -145,6 +145,7 @@ def with_domain_blocked(
     blocked_domain_col: str = "bd",
     out_col: str = "blocked_by",
     max_labels: int = 8,
+    validate_entries: bool = True,
 ):
     """Label each row with the most-specific blocklist entry that
     matches its host by DNS-suffix (UT1/adult-blocklist semantics: an
@@ -174,11 +175,13 @@ def with_domain_blocked(
     is case-insensitive.
 
     No silent caps: a blocklist entry with MORE than ``max_labels``
-    labels can never match (no suffix that deep is derived) — raise
-    ``max_labels`` if your list has such entries (UT1's deepest entries
-    are 5 labels; the default 8 covers every public list we know of).
-    Hosts deeper than ``max_labels`` are still fully covered: their
-    shallow suffixes are derived regardless of host depth.
+    labels can never match (no suffix that deep is derived), so by
+    default (``validate_entries=True``) the blocklist is checked with
+    one tiny job and such entries raise — raise ``max_labels`` instead
+    (UT1's deepest entries are 5 labels; the default 8 covers every
+    public list we know of). Hosts deeper than ``max_labels`` are
+    still fully covered: their shallow suffixes are derived regardless
+    of host depth.
     """
     host = F.regexp_replace(F.lower(F.col(domain_col)), ":.*$", "")
     labels = F.split(host, r"\.")
@@ -186,6 +189,20 @@ def with_domain_blocked(
     bl = blocklist.select(
         F.lower(F.col(blocked_domain_col)).alias("_bl_bd")
     ).distinct()
+    if validate_entries:
+        # one short-circuiting job on the (small, dim-side) blocklist —
+        # an unmatched-forever entry is a misconfiguration, not a no-op
+        too_deep = (
+            bl.filter(F.size(F.split(F.col("_bl_bd"), r"\.")) > max_labels)
+            .limit(1)
+            .collect()
+        )
+        if too_deep:
+            raise ValueError(
+                f"blocklist entry {too_deep[0][0]!r} has more than "
+                f"max_labels={max_labels} labels and could never match; "
+                "raise max_labels (or pass validate_entries=False)"
+            )
     matched = []
     for i in range(1, max_labels + 1):
         suf = F.when(

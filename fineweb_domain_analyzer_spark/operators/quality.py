@@ -815,7 +815,13 @@ def keep_top_pct_by_group(
     return (
         df.withColumn("_rn", F.row_number().over(w_rank))
         .withColumn("_n", F.count(F.lit(1)).over(w_all))
-        .filter(F.col("_rn") * 100 <= F.lit(int(pct)) * F.col("_n"))
+        # _rn is IntegerType: cast to long before *100 or groups past
+        # ~21.4M rows overflow int (ANSI error / silent wrap) — exactly
+        # the per-language sizes this operator exists for
+        .filter(
+            F.col("_rn").cast("long") * 100
+            <= F.lit(int(pct)).cast("long") * F.col("_n")
+        )
         .drop("_rn", "_n")
     )
 
@@ -858,15 +864,27 @@ def plan_sequence_packing(
         shard.cast("long").alias("shard"),
         F.col(tokens_col).cast("long").alias("tokens"),
     )
-    w = Window.partitionBy("shard").orderBy(F.col(id_col))
+    # ROWS frame pinned explicitly: the default RANGE frame sums all
+    # ORDER-BY peers, so duplicate ids would each absorb the other's
+    # tokens — ROWS keeps the layout well-defined on any input
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum("tokens").over(w)
-    start = cum - F.col("tokens")
-    return staged.select(
+    placed = staged.withColumn("_start", (cum - F.col("tokens")).cast("long"))
+    # `div` (integral division), NOT `/`: Divide produces DoubleType,
+    # which goes inexact past 2^53 cumulative tokens and can disagree
+    # with the exact pmod offset — breaking the all-integer guarantee
+    return placed.select(
         F.col(id_col),
         "shard",
         "tokens",
-        F.floor(start / seq_len).cast("long").alias("start_seq"),
-        F.pmod(start, F.lit(seq_len)).cast("long").alias("start_offset"),
+        F.expr(f"_start div {int(seq_len)}").cast("long").alias("start_seq"),
+        F.pmod(F.col("_start"), F.lit(seq_len)).cast("long").alias(
+            "start_offset"
+        ),
     )
 
 

@@ -74,10 +74,18 @@ def main() -> None:
     n_tokens = docs.select(F.sum(F.size("_tk"))).first()[0]
     n_planted = (N + PLANT_EVERY - 1) // PLANT_EVERY
 
-    # detection leg (cold), both hash families
+    # detection leg (cold), both hash families. Recall counts the
+    # INTERSECTION with the planted set — total flagged alone would let
+    # false positives mask misses.
     t0 = time.monotonic()
     prof = duplicated_span_profile(docs, span_len=10, tokens_col="_tk")
-    flagged = prof.count()
+    counts = prof.agg(
+        F.count(F.lit(1)).alias("flagged"),
+        F.sum(
+            (F.col("doc_id") % PLANT_EVERY == 0).cast("long")
+        ).alias("planted_hits"),
+    ).first()
+    flagged, planted_hits = counts["flagged"], counts["planted_hits"]
     t_profile = round(time.monotonic() - t0, 2)
 
     t0x = time.monotonic()
@@ -103,7 +111,9 @@ def main() -> None:
         "span_rows_exploded": int(span_rows),
         "n_planted_boiler_docs": n_planted,
         "profile_flagged_docs": flagged,
-        "planted_detection_recall": round(flagged / n_planted, 4),
+        "profile_planted_hits": int(planted_hits),
+        "planted_detection_recall": round(planted_hits / n_planted, 4),
+        "false_positive_docs": flagged - int(planted_hits),
         "removal_docs_cut": removed["docs_cut"],
         "removal_tokens_removed": int(removed["tokens_removed"]),
         # every planted doc except the canonical one loses exactly the

@@ -178,6 +178,25 @@ class TestDomainBlocklist:
         assert by_id[1] is None
         assert by_id[2] == "example.com"
 
+    def test_too_deep_entry_raises(self, spark):
+        """An entry deeper than max_labels could never match — the
+        default validation must surface the misconfiguration."""
+        from fineweb_domain_analyzer_spark.functions.domains import (
+            with_domain_blocked,
+        )
+
+        df = spark.createDataFrame([(1, "a.example.com")], "doc_id long, domain string")
+        bl = spark.createDataFrame(
+            [("a.b.c.d.example.com",)], "bd string"
+        )
+        with pytest.raises(ValueError, match="max_labels"):
+            with_domain_blocked(df, bl, max_labels=3)
+        # opt-out keeps the old silent behavior
+        rows = with_domain_blocked(
+            df, bl, max_labels=3, validate_entries=False
+        ).collect()
+        assert rows[0]["blocked_by"] is None
+
     def test_fact_side_is_shuffle_free(self, spark):
         """The page side must reach all blocklist joins without an
         Exchange: every hashpartitioning shuffle in the plan keys on
