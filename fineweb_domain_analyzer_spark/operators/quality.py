@@ -784,6 +784,9 @@ def keep_top_pct_by_group(
     score_col: str = "quality_score",
     by_col: str = "lang",
     id_col: str = "doc_id",
+    banded: bool = True,
+    n_bands: int = 64,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Group-adaptive curation cut: keep the best ``pct`` percent of
     rows WITHIN each group — the FineWeb2 move, where one global
@@ -799,30 +802,117 @@ def keep_top_pct_by_group(
     Groups smaller than 100/pct rows keep nothing (their first row
     already overshoots the fraction) — the standard floor semantics.
 
-    Scale shape: ONE shuffle keyed by the group, then a per-group sort
-    (the window); groups are languages, so parallelism is bounded by
-    the language count and the big groups dominate — for a 10^12-doc
-    corpus pre-cut each group with ``with_approx_quality_bands``
-    (same composition as ``select_within_token_budget(banded=True)``)
-    so the exact window only sees the boundary band of each language.
+    ``banded=True`` (the default — the safe plan must be the one users
+    get) produces the SAME kept set without ever sorting a whole
+    group: per-group approximate score quantiles split each group into
+    bands (equal scores share a band, so global in-group order is
+    band-monotone); per-(group, band) counts and the group total give
+    each band's rank offset as a tiny aggregate; bands wholly inside
+    the integer threshold keep all rows, bands wholly outside drop,
+    and only each group's ONE boundary band runs the exact rank
+    window — partitioned by (group, band), so no task ever sorts more
+    than ~1/n_bands of a language, no matter how dominant it is.
+
+    ``banded=False`` is the one-window-per-group kernel — simplest
+    plan, single sorted partition per language, fine while every
+    language fits one task.
     """
     from pyspark.sql.window import Window
 
-    w_rank = Window.partitionBy(by_col).orderBy(
+    if not banded:
+        w_rank = Window.partitionBy(by_col).orderBy(
+            F.col(score_col).desc(), F.col(id_col)
+        )
+        w_all = Window.partitionBy(by_col)
+        return (
+            df.withColumn("_rn", F.row_number().over(w_rank))
+            .withColumn("_n", F.count(F.lit(1)).over(w_all))
+            # _rn is IntegerType: cast to long before *100 or groups
+            # past ~21.4M rows overflow int (ANSI error / silent wrap)
+            .filter(
+                F.col("_rn").cast("long") * 100
+                <= F.lit(int(pct)).cast("long") * F.col("_n")
+            )
+            .drop("_rn", "_n")
+        )
+
+    probs = [i / n_bands for i in range(1, n_bands)]
+    cuts = df.groupBy(F.col(by_col).alias("_cut_key")).agg(
+        F.percentile_approx(score_col, probs, accuracy).alias("_cuts")
+    )
+    # higher score → more cuts below it → higher band number; equal
+    # scores always share a band, so (band desc, score desc, id) is
+    # the global in-group order
+    band = (
+        F.aggregate(
+            F.col("_cuts"),
+            F.lit(1),
+            lambda acc, c: acc + F.when(F.col(score_col) > c, 1).otherwise(0),
+        )
+    ).cast("int")
+    df2 = (
+        # eqNullSafe: a null group key must still find its own cut row
+        df.join(
+            F.broadcast(cuts), F.col(by_col).eqNullSafe(F.col("_cut_key"))
+        )
+        .withColumn("_band", band)
+        .drop("_cut_key", "_cuts")
+    )
+    bc = df2.groupBy(by_col, "_band").agg(F.count(F.lit(1)).alias("_bc"))
+    a, b = bc.alias("a"), bc.alias("b")
+    by_a, by_b = F.col(f"a.{by_col}"), F.col(f"b.{by_col}")
+    offsets = (
+        a.join(
+            b,
+            by_a.eqNullSafe(by_b) & (F.col("b._band") > F.col("a._band")),
+            "left",
+        )
+        .groupBy(by_a.alias(by_col), F.col("a._band").alias("_band"),
+                 F.col("a._bc").alias("_bc"))
+        .agg(F.coalesce(F.sum("b._bc"), F.lit(0).cast("long")).alias("_off"))
+    )
+    totals = bc.groupBy(by_col).agg(F.sum("_bc").alias("_n"))
+    # integer threshold rank per group: keep rank <= (pct * n) div 100.
+    # eqNullSafe, NOT a name-list join — a null group key must still
+    # find its total (plain equi-joins silently drop the null group)
+    offsets = (
+        offsets.join(
+            totals.select(
+                F.col(by_col).alias("_tot_key"), "_n"
+            ),
+            F.col(by_col).eqNullSafe(F.col("_tot_key")),
+        )
+        .drop("_tot_key")
+        .withColumn("_thr", F.expr(f"({int(pct)} * _n) div 100"))
+        .drop("_n")
+    )
+    joined = df2.join(
+        F.broadcast(
+            offsets.select(
+                F.col(by_col).alias("_off_key"),
+                F.col("_band").alias("_off_band"),
+                "_bc",
+                "_off",
+                "_thr",
+            )
+        ),
+        F.col(by_col).eqNullSafe(F.col("_off_key"))
+        & (F.col("_band") == F.col("_off_band")),
+    ).drop("_off_key", "_off_band")
+    keep_all = joined.filter(F.col("_off") + F.col("_bc") <= F.col("_thr"))
+    boundary = joined.filter(
+        (F.col("_off") < F.col("_thr"))
+        & (F.col("_off") + F.col("_bc") > F.col("_thr"))
+    )
+    w_in = Window.partitionBy(by_col, "_band").orderBy(
         F.col(score_col).desc(), F.col(id_col)
     )
-    w_all = Window.partitionBy(by_col)
-    return (
-        df.withColumn("_rn", F.row_number().over(w_rank))
-        .withColumn("_n", F.count(F.lit(1)).over(w_all))
-        # _rn is IntegerType: cast to long before *100 or groups past
-        # ~21.4M rows overflow int (ANSI error / silent wrap) — exactly
-        # the per-language sizes this operator exists for
-        .filter(
-            F.col("_rn").cast("long") * 100
-            <= F.lit(int(pct)).cast("long") * F.col("_n")
-        )
-        .drop("_rn", "_n")
+    kept_boundary = boundary.withColumn(
+        "_rn", F.row_number().over(w_in)
+    ).filter(F.col("_off") + F.col("_rn").cast("long") <= F.col("_thr"))
+    helper = ["_band", "_bc", "_off", "_thr"]
+    return keep_all.drop(*helper).unionByName(
+        kept_boundary.drop(*helper, "_rn")
     )
 
 

@@ -519,6 +519,38 @@ class TestKeepTopPctByGroup:
         # 50% of 4 = 2 kept; equal scores -> smallest ids win
         assert self._kept(spark, rows, 50) == [1, 2]
 
+    def test_banded_equals_exact_incl_null_group(self, spark):
+        """The default (banded) plan must produce the EXACT kept set —
+        heavy score ties straddling band cuts, a null group key, and
+        groups of very different sizes — with every window partitioned
+        by (group, band), never by the group alone."""
+        import re
+
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            keep_top_pct_by_group,
+        )
+
+        df = spark.range(20_000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 7 == 0, None)
+            .when(F.col("id") % 3 == 0, "fr")
+            .otherwise("en")
+            .alias("lang"),
+            (F.round((F.col("id") * 37 % 97) / 97.0, 4)).alias(
+                "quality_score"
+            ),
+        )
+        banded = keep_top_pct_by_group(df, 40, banded=True)
+        got = sorted(r["doc_id"] for r in banded.collect())
+        want = sorted(
+            r["doc_id"]
+            for r in keep_top_pct_by_group(df, 40, banded=False).collect()
+        )
+        assert got == want and len(got) > 0
+        plan = banded._jdf.queryExecution().executedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\((\w+)#\d+, (\w+)#", plan)
+        assert specs and all(s == ("lang", "_band") for s in specs)
+
     def test_small_group_floor(self, spark):
         # 1-doc group at 40%: rank 1*100 > 40*1 -> nothing kept
         rows = [(1, "xx", 0.9)] + [(i, "en", i / 10.0) for i in range(1, 11)]
