@@ -673,3 +673,58 @@ class TestRemoveDuplicatedSpans:
         got = self._clean(spark, [span, span])
         assert got[0] == (span, 0)
         assert got[1] == ("", 10)
+
+
+class TestSpanRemovalDifferential:
+    def test_randomized_against_python_reference(self, spark):
+        """30 random small corpora (tiny vocab, span_len=4, lots of
+        accidental shared spans) — the distributed removal must match
+        a direct Python implementation of the spec on every doc.
+        Corpora get disjoint vocabularies so one Spark job covers all."""
+        import random
+
+        from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+        from fineweb_domain_analyzer_spark.operators.dedup import (
+            remove_duplicated_spans,
+        )
+
+        span_len = 4
+        rng = random.Random(20260818)
+        rows, want = [], {}
+        for c in range(30):
+            vocab = [f"c{c}w{j}" for j in range(6)]
+            toks = {
+                c * 100 + d: rng.choices(vocab, k=rng.randint(0, 25))
+                for d in range(rng.randint(3, 8))
+            }
+            # python reference: per shared span-window, the smallest
+            # (doc, pos) occurrence survives; all others cut their window
+            occs = {}
+            for i, tk in toks.items():
+                for p in range(max(0, len(tk) - span_len + 1)):
+                    occs.setdefault(tuple(tk[p : p + span_len]), []).append(
+                        (i, p)
+                    )
+            cut = {}
+            for occ in occs.values():
+                if len({d for d, _ in occ}) >= 2:
+                    for d, p in sorted(occ)[1:]:
+                        cut.setdefault(d, set()).update(
+                            range(p, p + span_len)
+                        )
+            for i, tk in toks.items():
+                keep = [
+                    t for j, t in enumerate(tk) if j not in cut.get(i, set())
+                ]
+                want[i] = (" ".join(keep), len(tk) - len(keep))
+                rows.append((i, " ".join(tk)))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("_tk"))
+        got = {
+            r["doc_id"]: (" ".join(r["clean_tokens"]), r["n_tokens_removed"])
+            for r in remove_duplicated_spans(
+                docs, span_len=span_len, tokens_col="_tk"
+            ).collect()
+        }
+        assert got == want
