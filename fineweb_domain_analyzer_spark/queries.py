@@ -3229,6 +3229,81 @@ FROM placed
 """
 
 
+def q70_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation across the engine's stages in one plan:
+    quality score → threshold → exact dedup (keep-first) →
+    per-language top-60% cut (banded scale plan) → sequence-packing
+    placement. Every stage is the engine's public operator; the oracle
+    re-derives the whole chain independently in SQL. Output: each
+    surviving doc's language, score, and training-sequence placement."""
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        exact_dedup_keep_first,
+    )
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        keep_top_pct_by_group,
+        plan_sequence_packing,
+        with_quality_features,
+        with_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(with_quality_features(docs))
+    k1 = scored.filter(F.col("quality_score") >= 0.5)
+    k2 = exact_dedup_keep_first(k1, "doc_id", "text")
+    k3 = keep_top_pct_by_group(
+        k2, 60, score_col="quality_score", by_col="lang", id_col="doc_id"
+    )
+    packed = plan_sequence_packing(
+        k3, seq_len=512, n_shards=4, tokens_col="word_count"
+    )
+    return packed.join(
+        k3.select("doc_id", "lang", "quality_score"), "doc_id"
+    ).select(
+        "doc_id", "lang", "quality_score", "shard", "tokens",
+        "start_seq", "start_offset",
+    )
+
+
+Q70_SQL = f"""
+WITH {_feats_cte()},
+scored AS (
+  SELECT f.doc_id, d.lang, d.text, f.word_count,
+         {_SCORE_SQL} AS quality_score
+  FROM feats f JOIN documents d USING (doc_id)
+),
+k1 AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+k2 AS (
+  SELECT doc_id, lang, word_count, quality_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS _rn
+    FROM k1
+  ) WHERE _rn = 1
+),
+k3 AS (
+  SELECT doc_id, lang, word_count, quality_score FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY quality_score DESC, doc_id) AS _rnk,
+           count(*) OVER (PARTITION BY lang) AS _n
+    FROM k2
+  ) WHERE _rnk * 100 <= 60 * _n
+),
+placed AS (
+  SELECT doc_id, lang, quality_score,
+         doc_id % 4 AS shard,
+         CAST(word_count AS BIGINT) AS tokens,
+         sum(word_count) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING)
+           - word_count AS start
+  FROM k3
+)
+SELECT doc_id, lang, quality_score, shard, tokens,
+       CAST(start // 512 AS BIGINT) AS start_seq,
+       CAST(start % 512 AS BIGINT) AS start_offset
+FROM placed
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3300,6 +3375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_remove_duplicated_spans": q67_remove_duplicated_spans,
     "q68_per_language_quality_cut": q68_per_language_quality_cut,
     "q69_sequence_packing": q69_sequence_packing,
+    "q70_curation_capstone": q70_curation_capstone,
 }
 
 
@@ -3372,4 +3448,5 @@ def oracle_sql() -> dict[str, str]:
         "q67_remove_duplicated_spans": Q67_SQL,
         "q68_per_language_quality_cut": Q68_SQL,
         "q69_sequence_packing": Q69_SQL,
+        "q70_curation_capstone": Q70_SQL,
     }
