@@ -816,6 +816,13 @@ def keep_top_pct_by_group(
     ``banded=False`` is the one-window-per-group kernel — simplest
     plan, single sorted partition per language, fine while every
     language fits one task.
+
+    The banded path consumes its input in several small aggregates
+    (quantile cuts, band counts, offsets) plus the final probe — each
+    re-executes unmaterialized lineage. Feed it a materialized table,
+    or persist() upstream when the lineage is expensive (measured in
+    BENCH/capstone_bench.json: scoring persisted once, the whole
+    downstream chain then runs in a third of one lineage re-execution).
     """
     from pyspark.sql.window import Window
 
