@@ -680,6 +680,75 @@ def with_quality_score(
     return df.withColumn(out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4))
 
 
+def _banded_weighted_offsets(
+    df: DataFrame,
+    score_col: str,
+    by_cols: list,
+    weight,
+    n_bands: int,
+    accuracy: int,
+):
+    """The ONE banded prefix-offset derivation shared by
+    ``select_within_token_budget`` (global, weight = tokens) and
+    ``keep_top_pct_by_group`` (per group, weight = 1): assign each row
+    an approximate score band within its group (``by_cols``; empty =
+    global), then compute per (group, band) the band weight ``_bw``
+    and the total weight of all HIGHER bands ``_off`` via a tiny
+    triangular self-join — the rank/weight offset of the band's first
+    row in the (score desc, id) order.
+
+    Null-safe throughout: group keys join with eqNullSafe, and the
+    band is ``coalesce(…, 1)`` so a null cut array (a group whose
+    scores are all null, or ``n_bands == 1`` → no cut points) lands
+    every row in band 1 instead of silently falling out of the plan —
+    nulls sort last under ``desc`` exactly like band 1 sorts last, so
+    band-monotonicity holds. Returns ``(df2, offsets)``; offsets has
+    (by_cols…, _band, _bw, _off).
+    """
+    if n_bands < 1:
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
+    probs = [i / n_bands for i in range(1, n_bands)]
+    cut_aliases = [f"_cut_{c}" for c in by_cols]
+    if by_cols:
+        cuts = df.groupBy(
+            *[F.col(c).alias(a) for c, a in zip(by_cols, cut_aliases)]
+        ).agg(F.percentile_approx(score_col, probs, accuracy).alias("_cuts"))
+        cond = None
+        for c, a in zip(by_cols, cut_aliases):
+            clause = F.col(c).eqNullSafe(F.col(a))
+            cond = clause if cond is None else (cond & clause)
+        df2 = df.join(F.broadcast(cuts), cond).drop(*cut_aliases)
+    else:
+        cuts = df.agg(
+            F.percentile_approx(score_col, probs, accuracy).alias("_cuts")
+        )
+        df2 = df.crossJoin(F.broadcast(cuts))
+    # higher score → more cuts below it → higher band number; equal
+    # scores always share a band, so in-group order is band-monotone
+    band = F.aggregate(
+        F.col("_cuts"),
+        F.lit(1),
+        lambda acc, c: acc + F.when(F.col(score_col) > c, 1).otherwise(0),
+    ).cast("int")
+    df2 = df2.withColumn("_band", F.coalesce(band, F.lit(1))).drop("_cuts")
+    bw = df2.groupBy(*by_cols, "_band").agg(F.sum(weight).alias("_bw"))
+    a, b = bw.alias("a"), bw.alias("b")
+    group_match = F.lit(True)
+    for c in by_cols:
+        group_match = group_match & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    offsets = (
+        a.join(b, group_match & (F.col("b._band") > F.col("a._band")), "left")
+        .groupBy(
+            *[F.col(f"a.{c}").alias(c) for c in by_cols],
+            F.col("a._band").alias("_band"),
+            F.col("a._bw").alias("_bw"),
+        )
+        .agg(F.coalesce(F.sum("b._bw"), F.lit(0).cast("long")).alias("_off"))
+    )
+    return df2, offsets
+
+
+
 def select_within_token_budget(
     scored: DataFrame,
     token_budget: int,
@@ -732,40 +801,18 @@ def select_within_token_budget(
         out = scored.withColumn("_cum_tokens", F.sum(tokens_col).over(w))
         return out.filter(F.col("_cum_tokens") <= token_budget)
 
-    probs = [i / n_bands for i in range(1, n_bands)]
-    cuts = scored.agg(
-        F.percentile_approx(score_col, probs, accuracy).alias("_cuts")
-    )
-    band = (
-        F.aggregate(
-            F.col("_cuts"),
-            F.lit(1),
-            lambda acc, c: acc
-            + F.when(F.col(score_col) > c, 1).otherwise(0),
-        )
-    ).cast("int")
-    df2 = (
-        scored.crossJoin(F.broadcast(cuts))
-        .withColumn("_band", band)
-        .drop("_cuts")
-    )
-    # _bt keeps the natural sum type of tokens_col so the banded
-    # _cum_tokens is the SAME type (and value) as the global kernel's
-    bt = df2.groupBy("_band").agg(F.sum(F.col(tokens_col)).alias("_bt"))
-    a, b = bt.alias("a"), bt.alias("b")
-    offsets = (
-        a.join(b, F.col("b._band") > F.col("a._band"), "left")
-        .groupBy(F.col("a._band").alias("_band"))
-        .agg(
-            F.coalesce(F.sum("b._bt"), F.lit(0).cast("long")).alias("_offset")
-        )
+    df2, offsets = _banded_weighted_offsets(
+        scored, score_col, [], F.col(tokens_col), n_bands, accuracy
     )
     # <= not <: a band whose offset EQUALS the budget can still hold
     # zero-token rows the global kernel keeps (_cum_tokens == budget);
     # pruning it would break the bit-identical-to-global contract
-    pruned = df2.join(F.broadcast(offsets), "_band").filter(
-        F.col("_offset") <= token_budget
-    )
+    pruned = df2.join(
+        F.broadcast(
+            offsets.select("_band", F.col("_off").alias("_offset"))
+        ),
+        "_band",
+    ).filter(F.col("_offset") <= token_budget)
     w_in = Window.partitionBy("_band").orderBy(
         F.col(score_col).desc(), F.col(id_col)
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -843,50 +890,16 @@ def keep_top_pct_by_group(
             .drop("_rn", "_n")
         )
 
-    probs = [i / n_bands for i in range(1, n_bands)]
-    cuts = df.groupBy(F.col(by_col).alias("_cut_key")).agg(
-        F.percentile_approx(score_col, probs, accuracy).alias("_cuts")
+    df2, offsets = _banded_weighted_offsets(
+        df, score_col, [by_col], F.lit(1), n_bands, accuracy
     )
-    # higher score → more cuts below it → higher band number; equal
-    # scores always share a band, so (band desc, score desc, id) is
-    # the global in-group order
-    band = (
-        F.aggregate(
-            F.col("_cuts"),
-            F.lit(1),
-            lambda acc, c: acc + F.when(F.col(score_col) > c, 1).otherwise(0),
-        )
-    ).cast("int")
-    df2 = (
-        # eqNullSafe: a null group key must still find its own cut row
-        df.join(
-            F.broadcast(cuts), F.col(by_col).eqNullSafe(F.col("_cut_key"))
-        )
-        .withColumn("_band", band)
-        .drop("_cut_key", "_cuts")
-    )
-    bc = df2.groupBy(by_col, "_band").agg(F.count(F.lit(1)).alias("_bc"))
-    a, b = bc.alias("a"), bc.alias("b")
-    by_a, by_b = F.col(f"a.{by_col}"), F.col(f"b.{by_col}")
-    offsets = (
-        a.join(
-            b,
-            by_a.eqNullSafe(by_b) & (F.col("b._band") > F.col("a._band")),
-            "left",
-        )
-        .groupBy(by_a.alias(by_col), F.col("a._band").alias("_band"),
-                 F.col("a._bc").alias("_bc"))
-        .agg(F.coalesce(F.sum("b._bc"), F.lit(0).cast("long")).alias("_off"))
-    )
-    totals = bc.groupBy(by_col).agg(F.sum("_bc").alias("_n"))
+    totals = offsets.groupBy(by_col).agg(F.sum("_bw").alias("_n"))
     # integer threshold rank per group: keep rank <= (pct * n) div 100.
     # eqNullSafe, NOT a name-list join — a null group key must still
     # find its total (plain equi-joins silently drop the null group)
     offsets = (
         offsets.join(
-            totals.select(
-                F.col(by_col).alias("_tot_key"), "_n"
-            ),
+            totals.select(F.col(by_col).alias("_tot_key"), "_n"),
             F.col(by_col).eqNullSafe(F.col("_tot_key")),
         )
         .drop("_tot_key")
@@ -898,7 +911,7 @@ def keep_top_pct_by_group(
             offsets.select(
                 F.col(by_col).alias("_off_key"),
                 F.col("_band").alias("_off_band"),
-                "_bc",
+                F.col("_bw").alias("_bc"),
                 "_off",
                 "_thr",
             )

@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""End-to-end curation-chain throughput at ~1.2M docs: quality score →
+"""End-to-end curation-chain throughput (default 200k docs, FW_CAPSTONE_N
+to scale): quality score →
 threshold → exact dedup → per-language banded cut → packing placement
 (the q70 composition) over a synthetic multilingual corpus with planted
 exact duplicates. Measures wall time, docs/s, and the funnel counts at
@@ -64,9 +65,15 @@ def main() -> None:
                     F.lit("de"), F.lit("es")),
             (F.pmod(F.xxhash64(F.col("id"), F.lit(17)), F.lit(6)) + 1).cast("int"),
         )
+        text = F.array_join(words, " ")
+        # every 9th doc becomes short symbol-dominated junk (scores
+        # ~0.03) so the score-threshold stage has real selectivity
+        text = F.when(
+            F.col("id") % 9 == 0, F.lit("$$$ ### %%% @@@")
+        ).otherwise(text)
         spark.range(0, N, 1, 64).select(
             F.col("id").alias("doc_id"),
-            F.array_join(words, " ").alias("text"),
+            text.alias("text"),
             lang.alias("lang"),
         ).write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)
@@ -121,10 +128,12 @@ def main() -> None:
         "after_language_cut": c3,
         "placed_docs": funnel["placed_docs"],
         "placed_tokens": int(funnel["placed_tokens"]),
+        "max_seqs_per_shard": int(funnel["max_seqs_per_shard"]),
         "score_wall_sec": t_score,
         "score_docs_per_sec": round(n_docs / t_score, 1),
         "chain_wall_sec": t,
         "chain_docs_per_sec": round(n_docs / t, 1),
+        "threshold_cut_docs": n_docs - c1,
         "language_cut_is_60pct": abs(c3 - 0.6 * c2) <= 6,  # <=1 per lang
         "config": {"seq_len": 2048, "n_shards": 64, "pct": 60},
     }

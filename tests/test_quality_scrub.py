@@ -551,6 +551,49 @@ class TestKeepTopPctByGroup:
         specs = re.findall(r"windowspecdefinition\((\w+)#\d+, (\w+)#", plan)
         assert specs and all(s == ("lang", "_band") for s in specs)
 
+    def test_null_scores_and_single_band_keep_equivalence(self, spark):
+        """Regression (r4 review): a group whose scores are ALL null
+        (null cut array) and the n_bands=1 degenerate case must match
+        the exact kernel — previously the null band fell out of the
+        band equi-join and the whole group silently vanished."""
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            keep_top_pct_by_group,
+        )
+
+        rows = [(i, "en", i / 10.0) for i in range(10)] + [
+            (100 + i, "zz", None) for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, quality_score double"
+        )
+        kept = lambda **kw: sorted(
+            r["doc_id"] for r in keep_top_pct_by_group(df, 50, **kw).collect()
+        )
+        exact = kept(banded=False)
+        assert [d for d in exact if d >= 100] == [100, 101, 102, 103, 104]
+        assert kept(banded=True) == exact
+        assert kept(banded=True, n_bands=1) == exact
+
+    def test_budget_banded_all_null_scores_equivalence(self, spark):
+        """Same defect class in the token-budget twin: all-null scores
+        must not make the banded (default) path return empty."""
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            select_within_token_budget,
+        )
+
+        df = spark.createDataFrame(
+            [(i, None, 30) for i in range(10)],
+            "doc_id long, quality_score double, word_count long",
+        )
+        kept = lambda banded: sorted(
+            r["doc_id"]
+            for r in select_within_token_budget(
+                df, 100, banded=banded
+            ).collect()
+        )
+        assert kept(False) == [0, 1, 2]  # 3 x 30 tokens within 100
+        assert kept(True) == kept(False)
+
     def test_small_group_floor(self, spark):
         # 1-doc group at 40%: rank 1*100 > 40*1 -> nothing kept
         rows = [(1, "xx", 0.9)] + [(i, "en", i / 10.0) for i in range(1, 11)]
