@@ -300,3 +300,42 @@ def paragraph_dedup(
         )
         .drop("_kept")
     )
+
+
+def dedup_paragraphs_in_doc(
+    text: Column, sep: str = "\n"
+) -> Column:
+    """WITHIN-document duplicate-paragraph removal (the Gopher/CCNet
+    pre-clean that runs BEFORE any cross-document dedup): split on
+    ``sep``, keep only the FIRST occurrence of each byte-identical
+    paragraph, rejoin. Templated pages repeat nav blocks / footers
+    inside one page; cross-doc dedup never sees them because the
+    surrounding page differs.
+
+    Pure map expression — no shuffle, free rider on whatever scan it
+    rides. Per-doc cost is O(paragraphs²) via first-index probing,
+    fine at real paragraph counts (tens). Note: duplicate EMPTY
+    paragraphs (consecutive separators) also collapse — blank-line
+    runs shrink to one, which is the behavior the line-cleaning stage
+    wants anyway."""
+    paras = F.split(text, sep)
+    kept = F.filter(
+        paras, lambda p, i: F.array_position(paras, p) == i + 1
+    )
+    return F.array_join(kept, sep)
+
+
+def with_paragraph_dedup_in_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    sep: str = "\n",
+) -> DataFrame:
+    """DataFrame form of ``dedup_paragraphs_in_doc`` + how many
+    paragraphs were dropped (``n_paras_removed``)."""
+    paras = F.split(F.col(text_col), sep)
+    clean = dedup_paragraphs_in_doc(F.col(text_col), sep)
+    return df.withColumn(out_col, clean).withColumn(
+        "n_paras_removed",
+        (F.size(paras) - F.size(F.split(F.col(out_col), sep))).cast("int"),
+    )

@@ -3304,6 +3304,52 @@ FROM placed
 """
 
 
+def q71_paragraph_dedup_in_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-doc duplicate-paragraph removal
+    (operators/textclean.py:dedup_paragraphs_in_doc): docs with
+    doc_id % 5 == 0 get their own first-8-token prefix planted as a
+    repeated nav/footer paragraph (prefix + body + prefix); the clean
+    text must keep only the first copy. Pure map — no shuffle."""
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+    from fineweb_domain_analyzer_spark.operators.textclean import (
+        with_paragraph_dedup_in_doc,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    p1 = F.array_join(F.slice(ws_tokens(F.col("text")), 1, 8), " ")
+    t2 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat_ws("\n", p1, F.col("text"), p1),
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", t2.alias("text"))
+    return with_paragraph_dedup_in_doc(staged).select(
+        "doc_id", "clean_text", "n_paras_removed"
+    )
+
+
+Q71_SQL = """
+WITH staged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           array_to_string(string_split_regex(trim(text), '\\s+')[1:8], ' ')
+           || chr(10) || text || chr(10) ||
+           array_to_string(string_split_regex(trim(text), '\\s+')[1:8], ' ')
+         ELSE text END AS text
+  FROM documents
+),
+split AS (SELECT doc_id, text, string_split(text, chr(10)) AS ps FROM staged),
+kept AS (
+  SELECT doc_id, text, ps,
+         list_filter(ps, (p, i) -> list_position(ps, p) = i) AS kp
+  FROM split
+)
+SELECT doc_id,
+       array_to_string(kp, chr(10)) AS clean_text,
+       CAST(len(ps) - len(kp) AS INT) AS n_paras_removed
+FROM kept
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3376,6 +3422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_per_language_quality_cut": q68_per_language_quality_cut,
     "q69_sequence_packing": q69_sequence_packing,
     "q70_curation_capstone": q70_curation_capstone,
+    "q71_paragraph_dedup_in_doc": q71_paragraph_dedup_in_doc,
 }
 
 
@@ -3449,4 +3496,5 @@ def oracle_sql() -> dict[str, str]:
         "q68_per_language_quality_cut": Q68_SQL,
         "q69_sequence_packing": Q69_SQL,
         "q70_curation_capstone": Q70_SQL,
+        "q71_paragraph_dedup_in_doc": Q71_SQL,
     }
