@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from fineweb_domain_analyzer_spark import merged as _m
 from fineweb_domain_analyzer_spark import queries as _q
 
 
@@ -32,10 +33,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Every computed/aggregate column is aliased identically in the Spark
     code and the oracle SQL.
+
+    The registry is the CONSOLIDATED one (≤ 50 keys): same-granularity
+    operators are merged into wide frames / method-tagged unions so
+    every operator sits inside the driver gate's 50-sorted-key window
+    with a value-level oracle. The fine-grained originals remain in
+    ``fineweb_domain_analyzer_spark.queries.QUERIES`` (checked locally
+    via ``FULL=1 scripts/check_oracle.py``).
     """
-    return dict(_q.QUERIES)
+    return _m.exposed_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for every key in ``queries()``."""
-    return _q.oracle_sql()
+    return _m.exposed_oracle_sql()

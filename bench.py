@@ -45,9 +45,11 @@ PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "300000"))
 
 
 def _run(spark, sf_dir: str) -> dict:
-    import __spark_entry__ as entrymod
+    # the FULL fine-grained registry: HEADLINE names stay stable across
+    # rounds even though the driver-exposed registry consolidates keys
+    from fineweb_domain_analyzer_spark.merged import full_queries
 
-    qs = entrymod.queries()
+    qs = full_queries()
     timings: dict[str, float] = {}
     # One warm-up execution per query at the smallest SF: compiles the
     # whole-stage-codegen classes (Janino) and spawns the Python UDF

@@ -1,0 +1,537 @@
+"""Consolidated driver-contract registry.
+
+The driver's correctness gate records at most the first 50 sorted keys
+of ``__spark_entry__.queries()``.  The engine implements more operators
+than that, so the exposed registry consolidates same-granularity
+queries into wide frames / tagged unions — every operator keeps a
+value-checked oracle row, inside the 50-key window:
+
+* ``q01_relational_suite``   = q01+q02+q03+q04+q05+q06, unpivoted to a
+  common (query, grp, metric, val_d, val_l) shape — values pass through
+  un-stringified so the hash check stays exact.
+* ``q13_quality_surface``    = q13 heuristics + q44 Gopher repetition +
+  q57 classifier score + q58 zlib compression ratio, one doc-level
+  frame.  zlib is not SQL-expressible, so its oracle joins the
+  committed ``artifacts/zlib_ratio.parquet`` fixture (generated from
+  the corpus by scripts/make_zlib_fixture.py with the exact UDF
+  semantics) on md5(text) — value-level, no longer rows-only.
+* ``q14_langid``             = heuristic langid + fastText-.bin langid.
+* ``q17_doc_hashes``         = q17 fingerprint + q18 exact-dedup groups
+  + q19 MinHash signature + q22 SimHash, one doc-level frame.
+* ``q20_candidate_pairs``    = q20 MinHash-LSH pairs + q21 pairwise
+  Jaccard + q36 verified near-dups + q40 SimHash banded candidates,
+  method-tagged union.
+* ``q23_perplexity``         = q23 unigram + q39 bigram + q63 ARPA/KenLM
+  perplexity, one doc-level frame.
+* ``q24_ann``                = q24 brute-force + q25 sign-LSH + q32 IVF
+  top-k, method-tagged union (brute_force is the labeled exact
+  baseline; the approximate methods are the scale paths).
+* ``q30_embedding_near_dups`` = single-key sign-LSH + banded
+  OR-construction near-dup pairs, method-tagged union.
+
+The fine-grained originals stay in ``queries.QUERIES`` (the FULL
+registry) for tests, benches and `FULL=1 scripts/check_oracle.py`;
+their per-operator plans remain the PLANS.md evidence.  The merged
+Spark frames run the SAME operator implementations (imported, not
+re-derived) — a merged green row certifies the same code paths.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fineweb_domain_analyzer_spark import queries as q
+from fineweb_domain_analyzer_spark.functions.textfns import (
+    content_fingerprint,
+    langid_heuristic,
+    ws_tokens,
+)
+from fineweb_domain_analyzer_spark.operators.dedup import (
+    minhash_signature_from_shingles,
+    simhash16_from_hex,
+    token_hex4,
+    word_shingles_from_tokens,
+)
+
+_ZLIB_FIXTURE = str(
+    Path(__file__).resolve().parent / "artifacts" / "zlib_ratio.parquet"
+)
+
+
+# ---------------------------------------------------------------------------
+# q01_relational_suite
+# ---------------------------------------------------------------------------
+
+# (subquery fn, sql, key cols, double metrics, long metrics)
+_SUITE = [
+    ("q01", "q01_pricing_summary", q.Q01_SQL,
+     ["l_returnflag", "l_linestatus"],
+     ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+      "avg_qty", "avg_price", "avg_disc"],
+     ["count_order"]),
+    ("q02", "q02_revenue_by_nation", q.Q02_SQL,
+     ["r_name", "n_name"], ["revenue"], ["line_cnt"]),
+    ("q03", "q03_top_customers", q.Q03_SQL,
+     ["c_custkey", "c_name"], ["revenue"], ["order_cnt"]),
+    ("q04", "q04_window_top_events", q.Q04_SQL,
+     ["user_id", "event_id", "event_type"], ["value"], ["rn"]),
+    ("q05", "q05_hourly_rollup", q.Q05_SQL,
+     ["hour", "event_type"], ["total_value"], ["cnt"]),
+    ("q06", "q06_sessionize", q.Q06_SQL,
+     ["user_id"], [], ["events", "sessions"]),
+]
+
+
+def _unpivot_spark(
+    df: DataFrame, qname: str, keys: list[str],
+    d_metrics: list[str], l_metrics: list[str],
+) -> DataFrame:
+    """One-pass unpivot to (query, grp, metric, val_d, val_l): values
+    stay typed (never stringified), so the driver's value hash is
+    checking the same doubles/bigints the original query produced."""
+    grp = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
+    kvs = [
+        F.struct(
+            F.lit(m).alias("metric"),
+            F.col(m).cast("double").alias("val_d"),
+            F.lit(None).cast("bigint").alias("val_l"),
+        )
+        for m in d_metrics
+    ] + [
+        F.struct(
+            F.lit(m).alias("metric"),
+            F.lit(None).cast("double").alias("val_d"),
+            F.col(m).cast("bigint").alias("val_l"),
+        )
+        for m in l_metrics
+    ]
+    return df.select(
+        F.lit(qname).alias("query"),
+        grp.alias("grp"),
+        F.explode(F.array(*kvs)).alias("kv"),
+    ).select("query", "grp", "kv.metric", "kv.val_d", "kv.val_l")
+
+
+def q01_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six relational demos (scan/agg, multi-join, top-k, window,
+    time rollup, sessionize) folded into one driver entry."""
+    parts = [
+        _unpivot_spark(q.QUERIES[full](spark, sf_dir), tag, keys, dm, lm)
+        for tag, full, _sql, keys, dm, lm in _SUITE
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _suite_sql() -> str:
+    blocks = []
+    for tag, _full, sql, keys, dm, lm in _SUITE:
+        grp = " || '|' || ".join(f"CAST({k} AS VARCHAR)" for k in keys)
+        for m in dm:
+            blocks.append(
+                f"SELECT '{tag}' AS query, {grp} AS grp, '{m}' AS metric,\n"
+                f"       CAST({m} AS DOUBLE) AS val_d, CAST(NULL AS BIGINT) AS val_l\n"
+                f"FROM ({sql})"
+            )
+        for m in lm:
+            blocks.append(
+                f"SELECT '{tag}' AS query, {grp} AS grp, '{m}' AS metric,\n"
+                f"       CAST(NULL AS DOUBLE) AS val_d, CAST({m} AS BIGINT) AS val_l\n"
+                f"FROM ({sql})"
+            )
+    return "\nUNION ALL\n".join(blocks)
+
+
+# ---------------------------------------------------------------------------
+# q13_quality_surface
+# ---------------------------------------------------------------------------
+
+def q13_quality_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level quality surface: Gopher/C4 heuristics + n-gram
+    repetition + classifier score + zlib compression ratio, composed as
+    column adders over ONE scan — the whole frame is a single map stage
+    (repetition's sorted-runs fold included), no joins, no shuffles."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        with_compression_ratio,
+        with_quality_features,
+        with_quality_score,
+    )
+    from fineweb_domain_analyzer_spark.operators.textclean import (
+        with_ngram_repetition,
+    )
+
+    docs = q._t(spark, sf_dir, "documents")
+    df = with_quality_score(with_quality_features(docs))
+    df = with_ngram_repetition(df)
+    df = with_compression_ratio(df)
+    return df.select(
+        "doc_id",
+        F.col("word_count").cast("bigint").alias("word_count"),
+        "mean_word_len",
+        "symbol_ratio",
+        "stopword_density",
+        "max_word_repeat_ratio",
+        "top2gram_char_frac",
+        "dup5gram_char_frac",
+        "quality_score",
+        (F.col("quality_score") >= 0.5).alias("keep_by_score"),
+        "compression_ratio",
+    )
+
+
+def _quality_surface_sql() -> str:
+    rep = (
+        """rep_toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+),"""
+        + q._rep_sql(2, "sum(CASE WHEN rn = 1 THEN c * length(g) ELSE 0 END)",
+                     "top2gram_char_frac")
+        + ","
+        + q._rep_sql(5, "sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)",
+                     "dup5gram_char_frac")
+    )
+    return f"""
+WITH {q._feats_cte()},
+{rep},
+zr AS (
+  SELECT d.doc_id, f.compression_ratio
+  FROM documents d
+  LEFT JOIN read_parquet('{_ZLIB_FIXTURE}') f ON md5(d.text) = f.text_md5
+)
+SELECT feats.doc_id,
+       CAST(feats.word_count AS BIGINT) AS word_count,
+       feats.mean_word_len, feats.symbol_ratio, feats.stopword_density,
+       feats.max_word_repeat_ratio,
+       a2.top2gram_char_frac, a5.dup5gram_char_frac,
+       {q._SCORE_SQL} AS quality_score,
+       {q._SCORE_SQL} >= 0.5 AS keep_by_score,
+       zr.compression_ratio
+FROM feats
+JOIN a2 ON feats.doc_id = a2.doc_id
+JOIN a5 ON feats.doc_id = a5.doc_id
+JOIN zr ON feats.doc_id = zr.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14_langid (heuristic + fastText-format .bin)
+# ---------------------------------------------------------------------------
+
+def q14_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID both ways in one projection: the JVM-side stopword
+    heuristic and the committed fastText-format .bin artifact through
+    the Arrow UDF (per-executor model cache)."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        langid_udf_for,
+        register_model_artifact,
+    )
+
+    register_model_artifact(spark, "langid_fx", q._artifact("langid_marker.bin"))
+    docs = q._t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        langid_heuristic(F.col("text")).alias("langid_pred"),
+        langid_udf_for("langid_fx")(F.col("text")).alias("ft_label"),
+    )
+
+
+def _langid_merged_sql() -> str:
+    return f"""
+WITH lh AS (SELECT * FROM ({q._langid_sql()})),
+     fh AS (SELECT * FROM ({q._q62_sql()}))
+SELECT lh.doc_id, lh.langid_pred, fh.ft_label
+FROM lh JOIN fh ON lh.doc_id = fh.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17_doc_hashes (fingerprint + exact-dedup groups + minhash sig + simhash)
+# ---------------------------------------------------------------------------
+
+def q17_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-document dedup signal in one frame: bag-of-words
+    fingerprint, exact text hash (with canonical = min doc_id per
+    group, the exact-dedup semantics), MinHash signature (k=8) and
+    16-bit SimHash.  All signals are computed in one map stage; the two
+    canonical ids are hash-key windows (the same one-shuffle-per-key
+    shape the standalone operators use)."""
+    docs = q._t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_hash"),
+        content_fingerprint(F.col("text")).alias("fp"),
+        ws_tokens(F.lower(F.col("text"))).alias("_tk"),
+        token_hex4(F.col("text")).alias("_hx"),
+    ).select(
+        "doc_id", "text_hash", "fp",
+        word_shingles_from_tokens(F.col("_tk")).alias("_sh"),
+        simhash16_from_hex(F.col("_hx")).alias("simhash"),
+    ).select(
+        "doc_id", "text_hash", "fp", "simhash",
+        F.concat_ws("|", minhash_signature_from_shingles(F.col("_sh"), k=8)).alias("sig"),
+    )
+    return staged.withColumn(
+        "fp_canonical_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).withColumn(
+        "exact_canonical_id", F.min("doc_id").over(Window.partitionBy("text_hash"))
+    )
+
+
+def _doc_hashes_sql() -> str:
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         md5(text) AS text_hash,
+         md5(array_to_string(list_sort(list_distinct({q.TOKS_SQL})), ' ')) AS fp,
+         {q.SHINGLES_SQL} AS sh,
+         {q._simhash_expr_sql()} AS simhash
+  FROM documents
+),
+sigd AS (
+  SELECT doc_id, text_hash, fp, simhash,
+         array_to_string(
+           list_transform(range(0, 8),
+             i -> list_aggregate(
+                    list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)),
+                    'min')),
+           '|') AS sig
+  FROM staged
+)
+SELECT doc_id, text_hash, fp, simhash, sig,
+       min(doc_id) OVER (PARTITION BY fp) AS fp_canonical_id,
+       min(doc_id) OVER (PARTITION BY text_hash) AS exact_canonical_id
+FROM sigd
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20_candidate_pairs (LSH ∪ Jaccard ∪ verified near-dup ∪ SimHash bands)
+# ---------------------------------------------------------------------------
+
+def _pad_pairs(
+    df: DataFrame, method: str, *,
+    jaccard: bool = False, sim: bool = False,
+) -> DataFrame:
+    cols = [
+        F.lit(method).alias("method"),
+        F.col("id_a"),
+        F.col("id_b"),
+        (F.col("jaccard") if jaccard else F.lit(None).cast("double")).alias("jaccard"),
+        (F.col("sim_a") if sim else F.lit(None).cast("bigint")).alias("sim_a"),
+        (F.col("sim_b") if sim else F.lit(None).cast("bigint")).alias("sim_b"),
+        (F.col("hamming") if sim else F.lit(None).cast("int")).alias("hamming"),
+    ]
+    return df.select(*cols)
+
+
+def q20_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four pairwise dedup-candidate paths, method-tagged: raw
+    MinHash-LSH band pairs, exact shingle-Jaccard on a fixed pair list,
+    the full candidates→verify near-dup composition, and SimHash banded
+    candidates.  Each branch is the standalone operator composition —
+    the union certifies all four in one driver row."""
+    return (
+        _pad_pairs(q.q20_lsh_pairs(spark, sf_dir), "minhash_lsh")
+        .unionAll(_pad_pairs(q.q21_ngram_jaccard(spark, sf_dir), "jaccard",
+                             jaccard=True))
+        .unionAll(_pad_pairs(q.q36_near_dedup(spark, sf_dir), "near_dedup",
+                             jaccard=True))
+        .unionAll(_pad_pairs(q.q40_simhash_candidates(spark, sf_dir), "simhash",
+                             sim=True))
+    )
+
+
+def _candidate_pairs_sql() -> str:
+    def block(method, sql, jaccard=False, sim=False):
+        j = "jaccard" if jaccard else "CAST(NULL AS DOUBLE) AS jaccard"
+        s = ("sim_a, sim_b, hamming" if sim
+             else "CAST(NULL AS BIGINT) AS sim_a, CAST(NULL AS BIGINT) AS sim_b, "
+                  "CAST(NULL AS INTEGER) AS hamming")
+        return (f"SELECT '{method}' AS method, id_a, id_b, {j}, {s}\n"
+                f"FROM ({sql})")
+
+    return "\nUNION ALL\n".join([
+        block("minhash_lsh", q.Q20_SQL),
+        block("jaccard", q.Q21_SQL, jaccard=True),
+        block("near_dedup", q.Q36_SQL, jaccard=True),
+        block("simhash", q._q40_sql(), sim=True),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# q23_perplexity (unigram + bigram + ARPA/KenLM)
+# ---------------------------------------------------------------------------
+
+def q23_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three LM-perplexity scorers in one doc-level frame: corpus
+    unigram LM, corpus bigram LM (both distributed LM build + broadcast
+    score join) and the committed ARPA artifact through the KenLM-
+    semantics Arrow UDF (map-only)."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        bigram_perplexity,
+        perplexity_udf_for,
+        register_model_artifact,
+        unigram_perplexity,
+    )
+
+    register_model_artifact(spark, "kenlm_fx", q._artifact("tiny_unigram.arpa"))
+    docs = q._t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.round(perplexity_udf_for("kenlm_fx")(F.col("text")), 4).alias("arpa_ppl"),
+    )
+    uni = unigram_perplexity(docs)
+    bi = bigram_perplexity(docs)
+    return (
+        base.join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select("doc_id", "perplexity", "bigram_perplexity", "arpa_ppl")
+    )
+
+
+def _perplexity_sql() -> str:
+    return f"""
+WITH u AS (SELECT * FROM ({q.Q23_SQL})),
+     b AS (SELECT * FROM ({q.Q39_SQL})),
+     a AS (SELECT * FROM ({q._q63_sql()}))
+SELECT a.doc_id, u.perplexity, b.bigram_perplexity, a.arpa_ppl
+FROM a
+LEFT JOIN u ON a.doc_id = u.doc_id
+LEFT JOIN b ON a.doc_id = b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q24_ann (brute-force ∪ sign-LSH ∪ IVF)
+# ---------------------------------------------------------------------------
+
+def q24_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbor search three ways, method-tagged: exact
+    brute-force cosine (the labeled baseline), sign-LSH buckets and
+    IVF nprobe=1 (the scale paths)."""
+    def tag(df, m):
+        return df.select(F.lit(m).alias("method"), "query_id", "neighbor_id",
+                         "cos", "rk")
+
+    return (
+        tag(q.q24_ann_brute_force(spark, sf_dir), "brute_force")
+        .unionAll(tag(q.q25_ann_lsh(spark, sf_dir), "sign_lsh"))
+        .unionAll(tag(q.q32_ann_ivf(spark, sf_dir), "ivf"))
+    )
+
+
+def _ann_sql() -> str:
+    def block(m, sql):
+        return (f"SELECT '{m}' AS method, query_id, neighbor_id, cos, rk\n"
+                f"FROM ({sql})")
+
+    return "\nUNION ALL\n".join([
+        block("brute_force", q.Q24_SQL),
+        block("sign_lsh", q.Q25_SQL),
+        block("ivf", q.Q32_SQL),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# q30_embedding_near_dups (single-key ∪ banded OR-construction)
+# ---------------------------------------------------------------------------
+
+def q30_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via both bucketing constructions:
+    one 8-bit sign-LSH key, and the 2×4-bit banded OR-construction
+    (the recall knob that survives corpus growth)."""
+    def tag(df, m):
+        return df.select(F.lit(m).alias("method"), "id_a", "id_b", "cos")
+
+    return tag(q.q30_embedding_near_dups(spark, sf_dir), "sign_lsh").unionAll(
+        tag(q.q43_embedding_near_dups_banded(spark, sf_dir), "banded_or")
+    )
+
+
+def _embedding_near_dups_sql() -> str:
+    return (
+        f"SELECT 'sign_lsh' AS method, id_a, id_b, cos FROM ({q.Q30_SQL})\n"
+        f"UNION ALL\n"
+        f"SELECT 'banded_or' AS method, id_a, id_b, cos FROM ({q.Q43_SQL})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exposed registry: every operator, ≤ 50 keys
+# ---------------------------------------------------------------------------
+
+_MERGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_relational_suite": q01_relational_suite,
+    "q13_quality_surface": q13_quality_surface,
+    "q14_langid": q14_langid,
+    "q17_doc_hashes": q17_doc_hashes,
+    "q20_candidate_pairs": q20_candidate_pairs,
+    "q23_perplexity": q23_perplexity,
+    "q24_ann": q24_ann,
+    "q30_embedding_near_dups": q30_embedding_near_dups,
+}
+
+_FOLDED = {
+    "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_customers",
+    "q04_window_top_events", "q05_hourly_rollup", "q06_sessionize",
+    "q13_quality_features", "q44_gopher_repetition", "q57_quality_score",
+    "q58_compression_ratio",
+    "q14_langid", "q62_fasttext_bin_langid",
+    "q17_fingerprint", "q18_exact_dedup", "q19_minhash_signature",
+    "q22_simhash",
+    "q20_lsh_pairs", "q21_ngram_jaccard", "q36_near_dedup",
+    "q40_simhash_candidates",
+    "q23_unigram_perplexity", "q39_bigram_perplexity", "q63_arpa_perplexity",
+    "q24_ann_brute_force", "q25_ann_lsh", "q32_ann_ivf",
+    "q30_embedding_near_dups", "q43_embedding_near_dups_banded",
+}
+
+
+def exposed_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, fn in q.QUERIES.items():
+        if name not in _FOLDED:
+            out[name] = fn
+    out.update(_MERGED_QUERIES)
+    return dict(sorted(out.items()))
+
+
+def merged_oracle_sql() -> dict[str, str]:
+    return {
+        "q01_relational_suite": _suite_sql(),
+        "q13_quality_surface": _quality_surface_sql(),
+        "q14_langid": _langid_merged_sql(),
+        "q17_doc_hashes": _doc_hashes_sql(),
+        "q20_candidate_pairs": _candidate_pairs_sql(),
+        "q23_perplexity": _perplexity_sql(),
+        "q24_ann": _ann_sql(),
+        "q30_embedding_near_dups": _embedding_near_dups_sql(),
+    }
+
+
+def exposed_oracle_sql() -> dict[str, str]:
+    base = q.oracle_sql()
+    out = {k: v for k, v in base.items() if k not in _FOLDED}
+    out.update(merged_oracle_sql())
+    return dict(sorted(out.items()))
+
+
+def full_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Fine-grained originals ∪ merged frames — for local check_oracle
+    FULL=1 runs and tests; the driver sees exposed_queries()."""
+    out = dict(q.QUERIES)
+    out.update(_MERGED_QUERIES)
+    return dict(sorted(out.items()))
+
+
+def full_oracle_sql() -> dict[str, str]:
+    out = dict(q.oracle_sql())
+    out.update(merged_oracle_sql())
+    return dict(sorted(out.items()))

@@ -273,6 +273,7 @@ def lsh_candidate_pairs(
         )
     rows_per_band = k // bands
     if sigs is not None:
+        sigs = validate_sigs(sigs, k, hash_family)
         sigged = sigs.join(
             docs.select(F.col(id_col)), id_col, "left_semi"
         ).select(F.col(id_col).alias("_id"), "sig")
@@ -282,6 +283,41 @@ def lsh_candidate_pairs(
         ).select(F.col(id_col).alias("_id"), "sig")
     banded = explode_bands(sigged, "_id", bands, rows_per_band, hash_family)
     return _pairs_from_banded(banded, max_bucket_size, cap_observation)
+
+
+def validate_sigs(sigs: DataFrame, k: int, hash_family: str) -> DataFrame:
+    """Guard for caller-precomputed ``sigs=`` frames: a frame built
+    with a different k or hash_family would silently yield wrong/short
+    band keys and lost candidates (recall loss, no error). Static
+    check: the sig element type must match the hash family (md5 →
+    string hex, xx → bigint). Runtime check: a JVM-side raise_error on
+    any row whose signature length != k — zero cost on the happy path,
+    a loud job failure instead of silent recall loss otherwise."""
+    from pyspark.sql.types import ArrayType, LongType, StringType
+
+    sig_type = {f.name: f.dataType for f in sigs.schema.fields}.get("sig")
+    if not isinstance(sig_type, ArrayType):
+        raise TypeError(
+            f"sigs must have an array 'sig' column, got "
+            f"{sig_type.simpleString() if sig_type else 'no sig column'}"
+        )
+    want = LongType() if hash_family == "xx" else StringType()
+    if sig_type.elementType != want:
+        raise TypeError(
+            f"sigs.sig element type {sig_type.elementType.simpleString()} "
+            f"does not match hash_family {hash_family!r} "
+            f"(expected {want.simpleString()})"
+        )
+    guard = F.when(F.size("sig") == k, F.col("sig")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("precomputed sig length "),
+                F.size("sig").cast("string"),
+                F.lit(f" != k={k} — sigs= frame built with different MinHash parameters"),
+            )
+        )
+    )
+    return sigs.withColumn("sig", guard)
 
 
 def _pairs_from_banded(

@@ -157,7 +157,11 @@ def label_against(
     ).select(id_col, text_col)
 
     if sigs is not None:
-        new_sigs = sigs.join(reps.select(id_col), id_col, "left_semi")
+        from fineweb_domain_analyzer_spark.operators.dedup import validate_sigs
+
+        new_sigs = validate_sigs(sigs, k, hash_family).join(
+            reps.select(id_col), id_col, "left_semi"
+        )
     else:
         new_sigs = _with_signature(
             reps, id_col, text_col, k, shingle_n, hash_family
@@ -274,6 +278,60 @@ class DedupIndex:
         self.exact_path = os.path.join(root, "exact")
         self.sigs_path = os.path.join(root, "sigs")
         self.checkpointer = Checkpointer(os.path.join(root, "_manifest.json"))
+        self._params_path = os.path.join(root, "_params.json")
+        self._validate_params()
+
+    # -- parameter pinning ---------------------------------------------------
+    #
+    # Signatures stored under one (k, bands, shingle_n, hash_family) are
+    # meaningless under another: band keys stop matching and
+    # sig_match_fraction's zip_with pads unequal-length arrays with
+    # nulls, so the Jaccard estimate goes null, the >= threshold filter
+    # drops it, and true cross-dump near-dups get labeled 'kept' with no
+    # error. The params are therefore persisted next to the manifest on
+    # first ingest and re-validated on every reopen.
+
+    _PARAM_KEYS = ("threshold", "k", "bands", "shingle_n", "hash_family")
+
+    def _params(self) -> dict:
+        return {p: getattr(self, p) for p in self._PARAM_KEYS}
+
+    def _validate_params(self) -> None:
+        if not os.path.exists(self._params_path):
+            return
+        import json
+
+        with open(self._params_path, encoding="utf-8") as f:
+            stored = json.load(f)
+        mismatch = {
+            p: (stored.get(p), getattr(self, p))
+            for p in self._PARAM_KEYS
+            if stored.get(p) != getattr(self, p)
+        }
+        if mismatch:
+            detail = ", ".join(
+                f"{p}: index={s!r} vs requested={r!r}"
+                for p, (s, r) in sorted(mismatch.items())
+            )
+            raise ValueError(
+                f"DedupIndex at {self.root} was built with different "
+                f"parameters ({detail}); reopening with mismatched MinHash "
+                "parameters would silently miss cross-dump near-dups"
+            )
+
+    def _pin_params(self) -> None:
+        """Persist the parameter set (atomic tmp+replace, like the
+        manifest). Called before the first ingest commit; idempotent."""
+        if os.path.exists(self._params_path):
+            return
+        import json
+        import tempfile
+
+        os.makedirs(self.root, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root)
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(self._params(), f)
+        os.replace(tmp, self._params_path)
 
     # -- index reads --------------------------------------------------------
 
@@ -354,6 +412,14 @@ class DedupIndex:
         filesystem best-effort; on object stores run the storage-level
         GC instead). Must not run concurrently with an ingest.
 
+        LOCAL-FILESYSTEM ONLY: both the rename-into-place of the
+        compacted partition (os.replace below) and the cleanup use
+        POSIX path semantics. On HDFS/S3 deployments route the move
+        through the Hadoop FileSystem API (``FileSystem.rename`` /
+        S3 multipart copy) — or skip compaction and rely on manifest
+        pruning; ingest and labeling are already object-store-safe
+        (plain Spark writes + the atomic manifest swap).
+
         Returns the compacted batch name, or None if there is nothing
         to compact (0 or 1 manifested batches)."""
         import re as _re
@@ -419,6 +485,7 @@ class DedupIndex:
                 f"batch {batch_id!r} already ingested into {self.root} "
                 "(pass if_exists='skip' to no-op)"
             )
+        self._pin_params()
         from pyspark import StorageLevel
 
         # One signature map pass for the whole ingest: labeling consumes

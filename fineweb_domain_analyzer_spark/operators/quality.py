@@ -387,6 +387,15 @@ def register_model_artifact(spark, name: str, path: str) -> None:
         # 100MB–GBs; never pull two full copies into driver memory
         if filecmp.cmp(existing, path, shallow=False):
             return
+        # falling through to addFile would collide on the basename and
+        # surface as an obscure Spark 'file does not match contents'
+        # failure mid-job — fail here with the actual conflict instead
+        raise ValueError(
+            f"model artifact {name!r} is already registered with "
+            f"different bytes (existing: {existing}, new: {path}); "
+            "artifact names are immutable per SparkContext — register "
+            "the new model under a new name"
+        )
     staged = os.path.join(tempfile.mkdtemp(prefix="fwda_model_"), artifact_basename(name))
     shutil.copyfile(path, staged)
     spark.sparkContext.addFile(staged)

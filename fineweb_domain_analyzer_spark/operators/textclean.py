@@ -23,6 +23,8 @@ Gopher (Rae et al. 2021, table A1) repetition signal implemented:
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -318,7 +320,10 @@ def dedup_paragraphs_in_doc(
     paragraphs (consecutive separators) also collapse — blank-line
     runs shrink to one, which is the behavior the line-cleaning stage
     wants anyway."""
-    paras = F.split(text, sep)
+    # F.split takes a REGEX while F.array_join takes a literal — escape
+    # the separator for the split side so metacharacter separators
+    # (e.g. '.', '|') split on the intended byte sequence
+    paras = F.split(text, _re.escape(sep))
     kept = F.filter(
         paras, lambda p, i: F.array_position(paras, p) == i + 1
     )
@@ -333,9 +338,9 @@ def with_paragraph_dedup_in_doc(
 ) -> DataFrame:
     """DataFrame form of ``dedup_paragraphs_in_doc`` + how many
     paragraphs were dropped (``n_paras_removed``)."""
-    paras = F.split(F.col(text_col), sep)
+    paras = F.split(F.col(text_col), _re.escape(sep))
     clean = dedup_paragraphs_in_doc(F.col(text_col), sep)
     return df.withColumn(out_col, clean).withColumn(
         "n_paras_removed",
-        (F.size(paras) - F.size(F.split(F.col(out_col), sep))).cast("int"),
+        (F.size(paras) - F.size(F.split(F.col(out_col), _re.escape(sep)))).cast("int"),
     )

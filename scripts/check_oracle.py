@@ -67,8 +67,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if os.environ.get("FULL"):
+        from fineweb_domain_analyzer_spark import merged
+
+        qs = merged.full_queries()
+        oracles = merged.full_oracle_sql()
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     failed, passed = [], []
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):

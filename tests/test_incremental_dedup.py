@@ -208,3 +208,68 @@ class TestLabelOnly:
         assert lab[101] == "exact_dup_cross"
         assert lab[102] == "near_dup_cross"
         assert lab[103] == "kept"
+
+
+class TestParamPinning:
+    """Reopening an index with different MinHash parameters must fail
+    loudly — mismatched k/bands/shingle_n silently break cross-dump
+    near-dedup (band keys stop matching; the null-padded zip_with makes
+    the Jaccard estimate null and true near-dups get labeled kept)."""
+
+    def test_params_pinned_on_first_ingest(self, spark, index):
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        with open(os.path.join(index.root, "_params.json"), encoding="utf-8") as f:
+            stored = json.load(f)
+        assert stored == {
+            "threshold": 0.75, "k": 16, "bands": 4,
+            "shingle_n": 3, "hash_family": "md5",
+        }
+
+    def test_reopen_with_mismatched_params_raises(self, spark, index):
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        with pytest.raises(ValueError, match="k: index=16"):
+            DedupIndex(spark, index.root, threshold=0.75, k=32, bands=4)
+        with pytest.raises(ValueError, match="hash_family"):
+            DedupIndex(
+                spark, index.root, threshold=0.75, k=16, bands=4,
+                hash_family="xx",
+            )
+
+    def test_reopen_with_matching_params_ok(self, spark, index):
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        reopened = DedupIndex(
+            spark, index.root, threshold=0.75, k=16, bands=4
+        )
+        assert reopened.processed_batches() == {"dump1"}
+
+
+class TestSigsValidation:
+    """Precomputed sigs= frames are no longer accepted on trust."""
+
+    def test_wrong_element_type_raises(self, spark, index):
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        bad = spark.createDataFrame(
+            [(101, [1, 2, 3])], "doc_id long, sig array<bigint>"
+        )
+        with pytest.raises(TypeError, match="does not match hash_family"):
+            index.label_batch(_docs(spark, DUMP2), sigs=bad)
+
+    def test_wrong_k_fails_the_job(self, spark, index):
+        from py4j.protocol import Py4JJavaError
+
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        short = index.batch_signatures(_docs(spark, DUMP2)).withColumn(
+            "sig", F.slice("sig", 1, 8)
+        )
+        with pytest.raises(Exception, match="sig length|USER_RAISED"):
+            index.label_batch(_docs(spark, DUMP2), sigs=short).collect()
+
+    def test_correct_sigs_still_accepted(self, spark, index):
+        index.ingest_batch(_docs(spark, BASE), "dump1")
+        sigs = index.batch_signatures(_docs(spark, DUMP2))
+        lab = {
+            r["doc_id"]: r["drop_reason"]
+            for r in index.label_batch(_docs(spark, DUMP2), sigs=sigs).collect()
+        }
+        assert lab[101] == "exact_dup_cross"
+        assert lab[102] == "near_dup_cross"

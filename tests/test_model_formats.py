@@ -216,3 +216,21 @@ class TestSparkEndToEnd:
         with pytest.raises(Exception) as ei:
             df.select(perplexity_udf_for("langid_fx_t2")(F.col("text"))).collect()
         assert "not a perplexity LM" in str(ei.value)
+
+
+class TestArtifactConflict:
+    def test_re_register_different_bytes_raises(self, spark):
+        """Same name + different bytes must fail HERE with the conflict
+        spelled out, not later inside addFile with an obscure
+        'file does not match contents' Spark error."""
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            register_model_artifact,
+        )
+
+        register_model_artifact(
+            spark, "conflict_fx", os.path.join(ART, "tiny_unigram.arpa")
+        )
+        with pytest.raises(ValueError, match="different bytes"):
+            register_model_artifact(
+                spark, "conflict_fx", os.path.join(ART, "tiny_bigram.arpa")
+            )

@@ -166,3 +166,30 @@ class TestParagraphDedup:
         assert 2 not in got
         assert 1 in got and 4 in got
         assert got == want
+
+
+class TestInDocParagraphDedupSeparator:
+    def test_regex_metachar_separator(self, spark):
+        """sep goes to F.split (regex semantics) but F.array_join
+        (literal): metacharacter separators like '|' must split on the
+        literal byte, not on every position."""
+        from fineweb_domain_analyzer_spark.operators.textclean import (
+            with_paragraph_dedup_in_doc,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha|beta|alpha|gamma")], ["doc_id", "text"]
+        )
+        row = with_paragraph_dedup_in_doc(df, sep="|").collect()[0]
+        assert row["clean_text"] == "alpha|beta|gamma"
+        assert row["n_paras_removed"] == 1
+
+    def test_dot_separator(self, spark):
+        from fineweb_domain_analyzer_spark.operators.textclean import (
+            with_paragraph_dedup_in_doc,
+        )
+
+        df = spark.createDataFrame([(1, "aa.bb.aa.cc")], ["doc_id", "text"])
+        row = with_paragraph_dedup_in_doc(df, sep=".").collect()[0]
+        assert row["clean_text"] == "aa.bb.cc"
+        assert row["n_paras_removed"] == 1
