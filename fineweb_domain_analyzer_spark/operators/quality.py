@@ -945,6 +945,106 @@ def keep_top_pct_by_group(
     )
 
 
+def exact_ntile_by_group(
+    df: DataFrame,
+    k: int,
+    order_col: str = "word_count",
+    by_col: str = "lang",
+    id_col: str = "doc_id",
+    out_col: str = "ntile",
+    banded: bool = True,
+    n_bands: int = 64,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """EXACT ``ntile(k)`` per group over (order_col asc, id asc) —
+    quality deciles/percentile bands for per-band curation — without
+    ever sorting a whole group in one task.
+
+    ``banded=False`` is the textbook kernel: ``ntile(k)`` over a window
+    PARTITIONED BY group — which funnels every row of a group through
+    ONE reducer. At web scale the dominant language is ~80% of the
+    corpus, so that task never finishes; this kernel exists as the
+    spec/oracle mirror.
+
+    ``banded=True`` (the DEFAULT — the safe plan must be the one users
+    get) computes the identical assignment via the shared banded
+    prefix-offset machinery (``_banded_weighted_offsets``, the same
+    derivation the token-budget cut and the per-group percentage cut
+    ride):
+
+      1. per-group approximate quantile cut points on the NEGATED
+         order column band each group (equal values share a band, so
+         ascending in-group order is band-monotone; approximation
+         moves band boundaries, never the result);
+      2. per-(group, band) counts give each band's exact rank offset
+         through a tiny triangular aggregate (broadcast back);
+      3. the only windows run PARTITIONED BY (group, band) — no task
+         sorts more than ~1/n_bands of a group;
+      4. global rank = band offset + in-band row_number, and the
+         ntile bucket follows in closed form from the exact rank and
+         the group size: with q = n div k, r = n mod k, the first r
+         buckets hold q+1 rows —
+         bucket = (rank-1) div (q+1) + 1           while rank ≤ r(q+1)
+                  r + (rank - r(q+1) - 1) div q + 1 otherwise
+         (pure integer arithmetic → bit-identical across engines).
+
+    Sizing note: n_bands bounds the largest window task at
+    ~group_size/n_bands rows; a 10^12-doc corpus wants 10^4–10^5 bands
+    (see select_within_token_budget). Feed materialized/persisted
+    input — the banded path consumes its lineage in several small
+    aggregates plus the final probe."""
+    from pyspark.sql.window import Window
+
+    if not banded:
+        w = Window.partitionBy(by_col).orderBy(F.col(order_col), F.col(id_col))
+        return df.withColumn(out_col, F.ntile(k).over(w).cast("int"))
+
+    df2, offsets = _banded_weighted_offsets(
+        df.withColumn("_negord", -F.col(order_col)),
+        "_negord",
+        [by_col],
+        F.lit(1),
+        n_bands,
+        accuracy,
+    )
+    totals = offsets.groupBy(by_col).agg(F.sum("_bw").alias("_n"))
+    offsets = offsets.join(
+        totals.select(F.col(by_col).alias("_tot_key"), "_n"),
+        F.col(by_col).eqNullSafe(F.col("_tot_key")),
+    ).drop("_tot_key")
+    joined = df2.join(
+        F.broadcast(
+            offsets.select(
+                F.col(by_col).alias("_off_key"),
+                F.col("_band").alias("_off_band"),
+                "_off",
+                "_n",
+            )
+        ),
+        F.col(by_col).eqNullSafe(F.col("_off_key"))
+        & (F.col("_band") == F.col("_off_band")),
+    ).drop("_off_key", "_off_band")
+    w_in = Window.partitionBy(by_col, "_band").orderBy(
+        F.col(order_col), F.col(id_col)
+    )
+    ranked = joined.withColumn(
+        "_rank", F.col("_off") + F.row_number().over(w_in).cast("long")
+    )
+    kk = int(k)
+    bucket = F.when(
+        F.col("_rank") <= F.expr(f"(_n % {kk}) * ((_n div {kk}) + 1)"),
+        F.expr(f"(_rank - 1) div ((_n div {kk}) + 1) + 1"),
+    ).otherwise(
+        F.expr(
+            f"(_n % {kk}) + (_rank - (_n % {kk}) * ((_n div {kk}) + 1) - 1)"
+            f" div (_n div {kk}) + 1"
+        )
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "_negord", "_band", "_off", "_n", "_rank"
+    )
+
+
 def plan_sequence_packing(
     df: DataFrame,
     seq_len: int,

@@ -1766,18 +1766,21 @@ FROM g5 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
 
 def q47_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language word-count deciles (corpus curation: sample or
-    threshold per quality band instead of one global cutoff). ntile
-    over a deterministic order (word_count, doc_id), then a rollup per
+    threshold per quality band instead of one global cutoff): EXACT
+    ntile(10) over (word_count, doc_id), then a rollup per
     (lang, decile).
 
-    Scale note: the ntile window funnels each language through ONE
-    reducer — exact and fine at bench scale, quadratic-pain at web
-    scale where 'en' is most of the corpus. The production path is
-    operators/quality.py:with_approx_quality_bands (percentile_approx
-    cut points + broadcast + map-only probe; plan-asserted in
-    tests/test_urls_repetition.py). This query stays exact because the
-    oracle is exact."""
+    Runs the BANDED default of operators/quality.py:
+    exact_ntile_by_group — the oracle's per-language ntile window
+    would funnel each language through ONE reducer (at web scale 'en'
+    is ~80% of the corpus, so that task never finishes); the banded
+    kernel computes the identical assignment with every window
+    partitioned by (lang, band). Equivalence + plan assertions:
+    tests/test_quality_scrub.py::TestExactNtileByGroup."""
     from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        exact_ntile_by_group,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(
@@ -1785,9 +1788,10 @@ def q47_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(ws_tokens(F.lower(F.col("text")))).cast("bigint").alias("word_count"),
     )
-    dec = F.ntile(10).over(Window.partitionBy("lang").orderBy("word_count", "doc_id"))
     return (
-        d.withColumn("decile", dec.cast("int"))
+        exact_ntile_by_group(
+            d, 10, "word_count", "lang", "doc_id", out_col="decile"
+        )
         .groupBy("lang", "decile")
         .agg(
             F.count(F.lit(1)).alias("docs"),
