@@ -523,15 +523,23 @@ def exposed_oracle_sql() -> dict[str, str]:
     return dict(sorted(out.items()))
 
 
+# two merged keys reuse a fine-grained name; in the FULL registry the
+# original stays checkable under a disambiguated key
+_RENAMED_IN_FULL = {
+    "q14_langid": "q14_langid_heuristic_only",
+    "q30_embedding_near_dups": "q30_embedding_near_dups_single_key",
+}
+
+
 def full_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Fine-grained originals ∪ merged frames — for local check_oracle
     FULL=1 runs and tests; the driver sees exposed_queries()."""
-    out = dict(q.QUERIES)
+    out = {_RENAMED_IN_FULL.get(k, k): fn for k, fn in q.QUERIES.items()}
     out.update(_MERGED_QUERIES)
     return dict(sorted(out.items()))
 
 
 def full_oracle_sql() -> dict[str, str]:
-    out = dict(q.oracle_sql())
+    out = {_RENAMED_IN_FULL.get(k, k): v for k, v in q.oracle_sql().items()}
     out.update(merged_oracle_sql())
     return dict(sorted(out.items()))

@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
-UDF signatures — is real and tested; the actual codec work (image
-decode, audio resample, video frame-sample) is stubbed behind
-``NotImplementedError`` / deterministic fakes because the media
-libraries aren't available in this environment. On a cluster, swap the
-``_fake_*`` bodies for PIL/torchaudio/ffmpeg calls; nothing else
-changes.
+UDF signatures — is real and tested, and so are the codec-free
+byte-level operators: container-header dimension parsing
+(``parse_image_dims``, PNG/GIF/JPEG specs), format sniffing, and the
+fixed-stride frame slicer (``sample_video_frames``). Pixel-level
+decode is gated behind PIL (``_decode_image``: real decode when the
+wheel is installed, NotImplementedError otherwise) and the embedding
+vector is a declared deterministic stand-in (``_fake_feature_vec`` —
+swap for a real model UDF; nothing else changes).
 
 Scale notes: payloads stay in BinaryType columns end-to-end (Arrow
 moves them zero-copy into the Python workers); feature extraction is
@@ -70,10 +72,25 @@ def sniff_format(payload: bytes | None) -> str | None:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int]:
-    """STUB: real impl returns (width, height) via PIL.Image.open.
-    Raises until a codec library is wired in. (Header-level dimension
-    extraction — which needs no codec — is parse_image_dims below.)"""
-    raise NotImplementedError("image decode requires PIL; not available here")
+    """Pixel-level decode, gated behind PIL: when the wheel is
+    installed the image is actually decoded (``Image.open`` +
+    ``load()``, so corrupt payloads fail here, not downstream) and the
+    true (width, height) returned; without PIL this raises
+    NotImplementedError. The codec-free default path stays
+    ``parse_image_dims`` (header parsing) — decode is only for
+    pipelines that need pixel access (resize/re-encode/embedding)."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise NotImplementedError(
+            "pixel-level image decode requires the 'Pillow' wheel "
+            "(header-level dims need no codec: parse_image_dims)"
+        ) from e
+    with Image.open(io.BytesIO(payload)) as im:
+        im.load()
+        return (im.width, im.height)
 
 
 def parse_image_dims(payload: bytes | None) -> tuple[int | None, int | None]:
@@ -179,12 +196,16 @@ def extract_media_features(assets: DataFrame, feature_dim: int = 8) -> DataFrame
 def sample_video_frames(
     assets: DataFrame, frame_bytes: int = 16, max_frames: int = 8
 ) -> DataFrame:
-    """Video frame sampling — one output row per sampled frame
-    (asset_id, frame_idx, frame_payload). The one-to-many mapInPandas
-    shape (explode inside the Python worker, bounded by max_frames) is
-    the real plumbing; "frames" here are deterministic payload slices —
-    a real deployment swaps the slicer for ffmpeg/pyav keyframe
-    extraction, nothing else changes."""
+    """Frame sampling — one output row per sampled frame
+    (asset_id, frame_idx, frame_payload), via a FIXED-STRIDE BYTE
+    SLICER: frame j is bytes [j*frame_bytes, (j+1)*frame_bytes), at
+    most ``max_frames`` per asset. That is the shipped, tested
+    semantics (deterministic, codec-free — the right primitive for
+    raw/planar formats where a frame IS a fixed-size byte window).
+    The one-to-many mapInPandas shape (explode inside the Python
+    worker, output bounded by max_frames) is the plumbing a
+    container-aware deployment reuses unchanged, swapping only the
+    slicer body for ffmpeg/pyav keyframe extraction."""
     schema = StructType(
         [
             StructField("asset_id", LongType()),

@@ -216,3 +216,57 @@ def test_warc_streaming_memory_bounded(tmp_path):
     # file grew 144 MB; a buffering reader would grow RSS by ~that much
     # (plus DataFrame overhead). The streaming loop's delta stays small.
     assert growth < 24, peaks
+
+
+def test_fixed_stride_slicer_exact_bytes(spark):
+    """The frame slicer's CONTRACT: frame j is exactly bytes
+    [j*frame_bytes, (j+1)*frame_bytes) of the payload, at most
+    max_frames frames — deterministic, codec-free."""
+    from fineweb_domain_analyzer_spark.schema import MEDIA_ASSET
+    from fineweb_domain_analyzer_spark.sources.media import sample_video_frames
+
+    payload = bytes(range(100))
+    df = spark.createDataFrame(
+        [(1, "u", "video", payload, len(payload), "h")], MEDIA_ASSET
+    )
+    rows = sorted(
+        sample_video_frames(df, frame_bytes=16, max_frames=4).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    for j, r in enumerate(rows):
+        assert bytes(r["frame_payload"]) == payload[j * 16 : (j + 1) * 16]
+
+
+def test_pixel_decode_pil_gated():
+    """Without the Pillow wheel _decode_image raises NotImplementedError
+    naming the missing dependency; with it, it must return the true
+    dims of a real PNG (exercised only where PIL is installed)."""
+    from fineweb_domain_analyzer_spark.sources.media import _decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 3, 2) + b"\x08\x02\x00\x00\x00"
+    )
+    if have_pil:
+        # header-only payload is corrupt as pixels — decode must fail
+        # loudly (load() forces it), not return garbage
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            _decode_image(png)
+    else:
+        try:
+            _decode_image(png)
+            raise AssertionError("expected NotImplementedError without PIL")
+        except NotImplementedError as e:
+            assert "Pillow" in str(e)
