@@ -32,7 +32,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 CAP = 64
-HOT_SIZES = [2500, 5000]
+HOT_SIZES = [5000, 20000]
 N_BASE = 30_000
 
 
