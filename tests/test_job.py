@@ -56,3 +56,76 @@ def test_job_resume_skips_committed_splits(spark, tmp_path, capsys):
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert second["splits_processed"] == []
     assert second["total"] == first["total"]
+
+
+def test_spark_submit_py_files_packaging(tmp_path):
+    """North-rule packaging clause, end to end: zip the package, launch
+    it through REAL ``spark-submit --py-files`` in a subprocess whose
+    environment cannot import the repo (PYTHONPATH cleared, cwd outside
+    the repo) — so every import, driver AND Python-UDF worker side, must
+    resolve from the zip. Asserts the job completes and prints its
+    read-back metrics report."""
+    import os
+    import subprocess
+    import sys
+    import zipfile
+    from pathlib import Path
+
+    import pyspark
+
+    repo = Path(__file__).resolve().parent.parent
+    pkg = repo / "fineweb_domain_analyzer_spark"
+    zip_path = tmp_path / "fineweb_spark.zip"
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for f in sorted(pkg.rglob("*")):
+            if "__pycache__" in f.parts or not f.is_file():
+                continue
+            zf.write(f, f.relative_to(repo))
+
+    launcher = tmp_path / "launch_job.py"
+    launcher.write_text(
+        "import sys\n"
+        "from fineweb_domain_analyzer_spark.job import main\n"
+        "sys.exit(main(sys.argv[1:]))\n",
+        encoding="utf-8",
+    )
+
+    spark_submit = Path(pyspark.__file__).parent / "bin" / "spark-submit"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_HOME")
+    }
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    out_dir = tmp_path / "out"
+    res = subprocess.run(
+        [
+            str(spark_submit),
+            "--master",
+            "local[4]",
+            "--py-files",
+            str(zip_path),
+            str(launcher),
+            "--synth-rows",
+            "4000",
+            "--splits",
+            "0,1",
+            "--output",
+            str(out_dir),
+            "--manifest",
+            str(tmp_path / "manifest.json"),
+        ],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    report = json.loads(
+        [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert sorted(report["splits_processed"]) == ["0", "1"]
+    assert report["total"] == report["kept"] + report["excluded"] > 0
+    assert report["lineage_partitions"] > 0
