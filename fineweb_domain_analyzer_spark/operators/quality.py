@@ -915,6 +915,19 @@ def keep_top_pct_by_group(
         .withColumn("_thr", F.expr(f"({int(pct)} * _n) div 100"))
         .drop("_n")
     )
+    return _keep_by_rank_threshold(df2, offsets, score_col, by_col, id_col)
+
+
+def _keep_by_rank_threshold(df2, offsets, score_col, by_col, id_col):
+    """Shared tail of the banded per-group cuts: given the banded rows
+    (``df2``) and per-(group, band) offsets carrying an integer rank
+    threshold column ``_thr``, keep exactly the rows whose global
+    in-group rank (by score desc, id) is <= _thr — whole bands inside
+    the threshold pass untouched, whole bands outside drop, and only
+    each group's ONE boundary band runs an exact rank window,
+    partitioned by (group, band)."""
+    from pyspark.sql.window import Window
+
     joined = df2.join(
         F.broadcast(
             offsets.select(
@@ -943,6 +956,51 @@ def keep_top_pct_by_group(
     return keep_all.drop(*helper).unionByName(
         kept_boundary.drop(*helper, "_rn")
     )
+
+
+def keep_top_n_by_group(
+    df: DataFrame,
+    n: int,
+    score_col: str = "quality_score",
+    by_col: str = "source",
+    id_col: str = "doc_id",
+    banded: bool = True,
+    n_bands: int = 64,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group diversity cap: keep at most ``n`` rows per group,
+    preferring (score desc, id) — the C4/Gopher-style anti-domination
+    move that stops a single mega-domain (or dump, or template farm)
+    from owning the kept corpus. Rank-exact integer semantics: a row
+    stays iff its in-group rank <= n, so the kept set is bit-identical
+    across engines and partitionings.
+
+    ``banded=True`` (default) rides the shared banded prefix-offset
+    machinery: per-group approximate score quantiles band each group,
+    tiny aggregates give every band its exact rank offset, bands wholly
+    inside/outside the cap short-circuit, and only each group's ONE
+    boundary band runs a rank window partitioned by (group, band) —
+    the hot-domain group never sorts in a single task. ``banded=False``
+    is the one-window-per-group kernel, kept as the oracle mirror
+    (q73's SQL is exactly that window)."""
+    from pyspark.sql.window import Window
+
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    if not banded:
+        w_rank = Window.partitionBy(by_col).orderBy(
+            F.col(score_col).desc(), F.col(id_col)
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w_rank))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn")
+        )
+    df2, offsets = _banded_weighted_offsets(
+        df, score_col, [by_col], F.lit(1), n_bands, accuracy
+    )
+    offsets = offsets.withColumn("_thr", F.lit(int(n)).cast("long"))
+    return _keep_by_rank_threshold(df2, offsets, score_col, by_col, id_col)
 
 
 def exact_ntile_by_group(

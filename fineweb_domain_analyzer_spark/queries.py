@@ -3354,6 +3354,116 @@ FROM kept
 """
 
 
+def q72_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (operators/dsir.py; Xie et al. 2023,
+    public method): hashed uni+bigram bucket models (B=512, md5 hash
+    family) fit on raw = all documents vs target = the English subset;
+    each doc scored with the EXACT-INTEGER micro-nat log-likelihood
+    ratio (per-bucket llr quantized to bigint before the per-doc sum,
+    so partitioning cannot move the value); top 40% kept by the banded
+    global cut (rank-exact, no full-corpus sort). The oracle replays
+    the entire chain in SQL — tokenize, hash, both smoothed models,
+    ln, the same quantization, the same integer rank cut."""
+    from fineweb_domain_analyzer_spark.operators.dsir import dsir_logweight
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        keep_top_pct_by_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    weighted = dsir_logweight(docs, target, n_buckets=512)
+    kept = keep_top_pct_by_group(
+        weighted.withColumn("_g", F.lit(1)),
+        40,
+        score_col="dsir_weight_micro",
+        by_col="_g",
+        id_col="doc_id",
+    ).drop("_g")
+    return kept.select("doc_id", "lang", "dsir_weight_micro")
+
+
+Q72_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(t,
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+  FROM toks
+),
+bucketed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS bucket
+  FROM grams
+),
+doccnt AS (
+  SELECT doc_id, bucket, count(*)::BIGINT AS cnt FROM bucketed GROUP BY 1, 2
+),
+rawb AS (SELECT bucket, sum(cnt)::BIGINT AS rc FROM doccnt GROUP BY 1),
+tgtb AS (
+  SELECT bucket, count(*)::BIGINT AS tc FROM bucketed
+  WHERE lang = 'en' GROUP BY 1
+),
+tots AS (
+  SELECT (SELECT sum(rc) FROM rawb) AS rtot,
+         (SELECT coalesce(sum(tc), 0) FROM tgtb) AS ttot
+),
+llr AS (
+  SELECT coalesce(r.bucket, t.bucket) AS bucket,
+         CAST(round((ln((coalesce(t.tc, 0) + 1.0) / (tots.ttot + 512.0))
+                   - ln((coalesce(r.rc, 0) + 1.0) / (tots.rtot + 512.0)))
+                   * 1000000.0, 0) AS BIGINT) AS llr_micro
+  FROM rawb r FULL OUTER JOIN tgtb t ON r.bucket = t.bucket CROSS JOIN tots
+),
+weights AS (
+  SELECT d.doc_id, sum(d.cnt * l.llr_micro)::BIGINT AS w
+  FROM doccnt d JOIN llr l USING (bucket) GROUP BY 1
+),
+scored AS (
+  SELECT doc.doc_id, doc.lang, coalesce(w.w, 0)::BIGINT AS dsir_weight_micro
+  FROM documents doc LEFT JOIN weights w USING (doc_id)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY dsir_weight_micro DESC, doc_id) AS rn,
+         count(*) OVER () AS nn
+  FROM scored
+)
+SELECT doc_id, lang, dsir_weight_micro FROM ranked WHERE rn * 100 <= 40 * nn
+"""
+
+
+def q73_domain_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain diversity cap (operators/quality.py
+    keep_top_n_by_group): at most 12 docs per source, preferring the
+    longest (n_chars desc, doc_id) — the C4/Gopher anti-domination
+    move. Banded default: the cap never sorts a whole domain in one
+    task; the oracle is the plain per-group rank window the banded
+    kernel must reproduce bit-for-bit."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        keep_top_n_by_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return keep_top_n_by_group(
+        docs, 12, score_col="n_chars", by_col="source", id_col="doc_id"
+    ).select("doc_id", "source", "n_chars")
+
+
+Q73_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC NULLS LAST, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 12
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3427,6 +3537,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_sequence_packing": q69_sequence_packing,
     "q70_curation_capstone": q70_curation_capstone,
     "q71_paragraph_dedup_in_doc": q71_paragraph_dedup_in_doc,
+    "q72_dsir_selection": q72_dsir_selection,
+    "q73_domain_doc_cap": q73_domain_doc_cap,
 }
 
 
@@ -3501,4 +3613,6 @@ def oracle_sql() -> dict[str, str]:
         "q69_sequence_packing": Q69_SQL,
         "q70_curation_capstone": Q70_SQL,
         "q71_paragraph_dedup_in_doc": Q71_SQL,
+        "q72_dsir_selection": Q72_SQL,
+        "q73_domain_doc_cap": Q73_SQL,
     }
