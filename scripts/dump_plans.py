@@ -41,6 +41,8 @@ PICKS = {
     "q47_quality_deciles": "exact ntile deciles, banded DEFAULT: rank = broadcast band offset + in-band row_number, every window partitioned by (lang, _band) — the whole-language single-reducer ntile sort is gone (it survives only as the banded=False oracle mirror)",
     "q68_per_language_quality_cut": "group-adaptive cut, banded DEFAULT: per-language approx-quantile cuts + tiny offset aggregates (all broadcast back); only each language's boundary band runs the exact rank window, partitioned by (lang, band) — no whole-language sort anywhere",
     "q69_sequence_packing": "packing plan: ONE shard-keyed exchange, per-shard running-total window, integral div/pmod placement — no global sort",
+    "q72_dsir_selection": "DSIR: gram explode map-side, ONE (id,bucket) count shuffle, both bucket models tiny aggregates BROADCAST into the scoring join (the corpus never shuffles against the model), one id-keyed weight agg, banded global cut — every window keyed by (_g, _band)",
+    "q73_domain_doc_cap": "per-domain cap, banded DEFAULT: whole bands inside/outside the cap short-circuit; the only window partitions by (source, band) — the hot domain never sorts in one task",
     "q70_curation_capstone": "full curation chain in one plan: fused score projection, hash-window dedup, banded per-language cut (no whole-language sort), shard-keyed packing",
 }
 
