@@ -94,7 +94,10 @@ def _unpivot_spark(
     """One-pass unpivot to (query, grp, metric, val_d, val_l): values
     stay typed (never stringified), so the driver's value hash is
     checking the same doubles/bigints the original query produced."""
-    grp = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
+    if keys:
+        grp = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
+    else:
+        grp = F.lit("")  # single-row summary frames have no group key
     kvs = [
         F.struct(
             F.lit(m).alias("metric"),
@@ -117,12 +120,13 @@ def _unpivot_spark(
     ).select("query", "grp", "kv.metric", "kv.val_d", "kv.val_l")
 
 
-def q01_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The six relational demos (scan/agg, multi-join, top-k, window,
-    time rollup, sessionize) folded into one driver entry."""
+def _folded_union(
+    spark: SparkSession, sf_dir: str, suite: list
+) -> DataFrame:
+    """Union the unpivoted members of a fold suite into one frame."""
     parts = [
         _unpivot_spark(q.QUERIES[full](spark, sf_dir), tag, keys, dm, lm)
-        for tag, full, _sql, keys, dm, lm in _SUITE
+        for tag, full, _sql, keys, dm, lm in suite
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -130,10 +134,14 @@ def q01_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _suite_sql() -> str:
+def _folded_union_sql(suite: list) -> str:
     blocks = []
-    for tag, _full, sql, keys, dm, lm in _SUITE:
-        grp = " || '|' || ".join(f"CAST({k} AS VARCHAR)" for k in keys)
+    for tag, _full, sql, keys, dm, lm in suite:
+        grp = (
+            " || '|' || ".join(f"CAST({k} AS VARCHAR)" for k in keys)
+            if keys
+            else "''"
+        )
         for m in dm:
             blocks.append(
                 f"SELECT '{tag}' AS query, {grp} AS grp, '{m}' AS metric,\n"
@@ -147,6 +155,61 @@ def _suite_sql() -> str:
                 f"FROM ({sql})"
             )
     return "\nUNION ALL\n".join(blocks)
+
+
+def q01_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six relational demos (scan/agg, multi-join, top-k, window,
+    time rollup, sessionize) folded into one driver entry."""
+    return _folded_union(spark, sf_dir, _SUITE)
+
+
+def _suite_sql() -> str:
+    return _folded_union_sql(_SUITE)
+
+
+# ---------------------------------------------------------------------------
+# q28_filter_metrics — global filter stats (A3) + drop-reason histogram
+# (north-rule lineage) folded into one summary frame: both are tiny
+# aggregates over the SAME flagship labels, so one entry covers both
+# operators with typed values.
+# ---------------------------------------------------------------------------
+
+_FILTER_METRICS = [
+    ("q28", "q28_filter_stats", q.Q28_SQL,
+     [], ["keep_ratio"],
+     ["total_processed", "filtered_kept", "excluded_count"]),
+    ("q29", "q29_drop_reason_histogram", q.Q29_SQL,
+     ["drop_reason"], [], ["cnt"]),
+]
+
+
+def q28_filter_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 global filter stats + the drop-reason histogram in one frame."""
+    return _folded_union(spark, sf_dir, _FILTER_METRICS)
+
+
+def _filter_metrics_sql() -> str:
+    return _folded_union_sql(_FILTER_METRICS)
+
+
+# ---------------------------------------------------------------------------
+# q34_corpus_profiles — vocabulary heavy hitters + doc-length histogram:
+# the two per-snapshot corpus profile reports, same summary granularity.
+# ---------------------------------------------------------------------------
+
+_CORPUS_PROFILES = [
+    ("q34", "q34_vocab_topk", q.Q34_SQL, ["token"], [], ["cnt"]),
+    ("q35", "q35_length_histogram", q.Q35_SQL, ["bucket"], ["share"], ["cnt"]),
+]
+
+
+def q34_corpus_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab top-k + length histogram folded into one profile frame."""
+    return _folded_union(spark, sf_dir, _CORPUS_PROFILES)
+
+
+def _corpus_profiles_sql() -> str:
+    return _folded_union_sql(_CORPUS_PROFILES)
 
 
 # ---------------------------------------------------------------------------
@@ -473,6 +536,8 @@ _MERGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_langid": q14_langid,
     "q17_doc_hashes": q17_doc_hashes,
     "q20_candidate_pairs": q20_candidate_pairs,
+    "q28_filter_metrics": q28_filter_metrics,
+    "q34_corpus_profiles": q34_corpus_profiles,
     "q23_perplexity": q23_perplexity,
     "q24_ann": q24_ann,
     "q30_embedding_near_dups": q30_embedding_near_dups,
@@ -488,6 +553,8 @@ _FOLDED = {
     "q22_simhash",
     "q20_lsh_pairs", "q21_ngram_jaccard", "q36_near_dedup",
     "q40_simhash_candidates",
+    "q28_filter_stats", "q29_drop_reason_histogram",
+    "q34_vocab_topk", "q35_length_histogram",
     "q23_unigram_perplexity", "q39_bigram_perplexity", "q63_arpa_perplexity",
     "q24_ann_brute_force", "q25_ann_lsh", "q32_ann_ivf",
     "q30_embedding_near_dups", "q43_embedding_near_dups_banded",
@@ -510,6 +577,8 @@ def merged_oracle_sql() -> dict[str, str]:
         "q14_langid": _langid_merged_sql(),
         "q17_doc_hashes": _doc_hashes_sql(),
         "q20_candidate_pairs": _candidate_pairs_sql(),
+        "q28_filter_metrics": _filter_metrics_sql(),
+        "q34_corpus_profiles": _corpus_profiles_sql(),
         "q23_perplexity": _perplexity_sql(),
         "q24_ann": _ann_sql(),
         "q30_embedding_near_dups": _embedding_near_dups_sql(),

@@ -3464,6 +3464,60 @@ SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 12
 """
 
 
+def q74_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated incremental URL dedup (operators/bloom.py): treat
+    pages with doc_id % 5 != 0 as the already-ingested corpus and pages
+    with doc_id % 2 == 0 as the arriving dump (the overlap — evens not
+    divisible by 5 — are true re-crawls; multiples of 10 are novel).
+    A corpus-sized filter (16 bits/item, k=5, md5 hash family) is built
+    with zero per-url shuffle and broadcast; the new dump is flagged
+    map-side. ``verify_exact=True`` adds the exact join the oracle
+    needs to value-check the deterministic false-positive accounting —
+    at scale only the bloom_hit slice would ever reach that join."""
+    from fineweb_domain_analyzer_spark.operators.bloom import (
+        bloom_gate_new_dump,
+    )
+
+    pages = pages_view(spark, sf_dir)
+    old = pages.filter(F.col("doc_id") % 5 != 0).select("url")
+    new = pages.filter(F.col("doc_id") % 2 == 0).select("doc_id", "url")
+    return bloom_gate_new_dump(old, new, "url", verify_exact=True).select(
+        "doc_id", "url", "bloom_hit", "exact_hit", "false_positive"
+    )
+
+
+Q74_SQL = f"""
+WITH {PAGES_CTE},
+old AS (SELECT url FROM pages WHERE doc_id % 5 <> 0),
+new AS (SELECT doc_id, url FROM pages WHERE doc_id % 2 = 0),
+params AS (
+  SELECT GREATEST(1024,
+           CAST(POWER(2, CEIL(LOG2(16 * count(*)))) AS BIGINT)) AS m
+  FROM old
+),
+oldpos AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(o.url || '#' || CAST(r.i AS VARCHAR)), 1, 8))::BIGINT
+      % (SELECT m FROM params) AS p
+  FROM old o, range(1, 6) r(i)
+),
+flags AS (
+  SELECT n.doc_id, n.url,
+         bool_and(
+           ('0x' || substr(md5(n.url || '#' || CAST(r.i AS VARCHAR)), 1, 8))::BIGINT
+             % (SELECT m FROM params)
+           IN (SELECT p FROM oldpos)
+         ) AS bloom_hit
+  FROM new n, range(1, 6) r(i)
+  GROUP BY n.doc_id, n.url
+)
+SELECT f.doc_id, f.url, f.bloom_hit,
+       (f.url IN (SELECT url FROM old)) AS exact_hit,
+       f.bloom_hit AND f.url NOT IN (SELECT url FROM old) AS false_positive
+FROM flags f
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3539,6 +3593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_paragraph_dedup_in_doc": q71_paragraph_dedup_in_doc,
     "q72_dsir_selection": q72_dsir_selection,
     "q73_domain_doc_cap": q73_domain_doc_cap,
+    "q74_bloom_dedup": q74_bloom_dedup,
 }
 
 
@@ -3615,4 +3670,5 @@ def oracle_sql() -> dict[str, str]:
         "q71_paragraph_dedup_in_doc": Q71_SQL,
         "q72_dsir_selection": Q72_SQL,
         "q73_domain_doc_cap": Q73_SQL,
+        "q74_bloom_dedup": Q74_SQL,
     }
