@@ -20,6 +20,7 @@ source/doc_id, exercising the www/port/:8080 extraction quirks).
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -3518,6 +3519,34 @@ FROM flags f
 """
 
 
+def q75_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization (functions/bpe.py): the committed merge
+    table (trained deterministically on the corpus by
+    scripts/make_bpe_fixture.py) applied greedily per word in an
+    Arrow-batched UDF, yielding exact token counts and an order-proof
+    id-sum checksum per document. The merge loop is not SQL-expressible,
+    so the oracle joins the fixture parquet generated by the same pure
+    functions (the q58 zlib pattern); the algorithm itself is
+    differential-tested by hand in tests/test_bpe.py."""
+    from fineweb_domain_analyzer_spark.functions.bpe import with_bpe_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_bpe_stats(docs).select("doc_id", "bpe_n_tokens", "bpe_checksum")
+
+
+_BPE_FIXTURE = str(
+    Path(__file__).resolve().parent / "artifacts" / "bpe_tokens.parquet"
+)
+
+Q75_SQL = f"""
+SELECT d.doc_id,
+       coalesce(f.bpe_n_tokens, 0) AS bpe_n_tokens,
+       coalesce(f.bpe_checksum, 0) AS bpe_checksum
+FROM documents d
+LEFT JOIN read_parquet('{_BPE_FIXTURE}') f ON md5(d.text) = f.text_md5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3594,6 +3623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_dsir_selection": q72_dsir_selection,
     "q73_domain_doc_cap": q73_domain_doc_cap,
     "q74_bloom_dedup": q74_bloom_dedup,
+    "q75_bpe_tokenize": q75_bpe_tokenize,
 }
 
 
@@ -3671,4 +3701,5 @@ def oracle_sql() -> dict[str, str]:
         "q72_dsir_selection": Q72_SQL,
         "q73_domain_doc_cap": Q73_SQL,
         "q74_bloom_dedup": Q74_SQL,
+        "q75_bpe_tokenize": Q75_SQL,
     }
