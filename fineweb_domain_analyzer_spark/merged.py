@@ -28,6 +28,10 @@ value-checked oracle row, inside the 50-key window:
   baseline; the approximate methods are the scale paths).
 * ``q30_embedding_near_dups`` = single-key sign-LSH + banded
   OR-construction near-dup pairs, method-tagged union.
+* ``q42_media_features``     = q42 byte-level media features (magic
+  sniff + md5-seeded embedding over text payloads) + q76 REAL pixel
+  decode (stdlib PNG/BMP/PPM with an analytic closed-form oracle),
+  method-tagged union.
 
 The fine-grained originals stay in ``queries.QUERIES`` (the FULL
 registry) for tests, benches and `FULL=1 scripts/check_oracle.py`;
@@ -527,6 +531,57 @@ def _embedding_near_dups_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q42_media_features (byte features ∪ real pixel decode)
+# ---------------------------------------------------------------------------
+
+def q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media surface, method-tagged: the byte-level feature path (magic
+    sniff + md5-seeded embedding, SQL-mirrored oracle) and the REAL
+    pixel-decode path (stdlib PNG/BMP/PPM decoders over formula-pixel
+    assets, closed-form analytic oracle)."""
+    bytes_side = q.q42_media_features(spark, sf_dir).select(
+        F.lit("byte_features").alias("method"),
+        "asset_id",
+        "byte_len",
+        "sniffed_format",
+        "fv",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("bigint").alias("sum_r"),
+        F.lit(None).cast("bigint").alias("sum_g"),
+        F.lit(None).cast("bigint").alias("sum_b"),
+    )
+    pixel_side = q.q76_pixel_stats(spark, sf_dir).select(
+        F.lit("pixel_stats").alias("method"),
+        "asset_id",
+        F.lit(None).cast("bigint").alias("byte_len"),
+        F.col("fmt").alias("sniffed_format"),
+        F.lit(None).cast("string").alias("fv"),
+        "width",
+        "height",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+    )
+    return bytes_side.unionAll(pixel_side)
+
+
+def _media_features_sql() -> str:
+    return f"""
+SELECT 'byte_features' AS method, asset_id, byte_len, sniffed_format, fv,
+       CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+       CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+       CAST(NULL AS BIGINT) AS sum_b
+FROM ({q.Q42_SQL})
+UNION ALL
+SELECT 'pixel_stats' AS method, asset_id, CAST(NULL AS BIGINT) AS byte_len,
+       fmt AS sniffed_format, CAST(NULL AS VARCHAR) AS fv,
+       width, height, sum_r, sum_g, sum_b
+FROM ({q.Q76_SQL})
+"""
+
+
+# ---------------------------------------------------------------------------
 # exposed registry: every operator, ≤ 50 keys
 # ---------------------------------------------------------------------------
 
@@ -541,6 +596,7 @@ _MERGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_perplexity": q23_perplexity,
     "q24_ann": q24_ann,
     "q30_embedding_near_dups": q30_embedding_near_dups,
+    "q42_media_features": q42_media_features,
 }
 
 _FOLDED = {
@@ -558,6 +614,7 @@ _FOLDED = {
     "q23_unigram_perplexity", "q39_bigram_perplexity", "q63_arpa_perplexity",
     "q24_ann_brute_force", "q25_ann_lsh", "q32_ann_ivf",
     "q30_embedding_near_dups", "q43_embedding_near_dups_banded",
+    "q76_pixel_stats",
 }
 
 
@@ -582,6 +639,7 @@ def merged_oracle_sql() -> dict[str, str]:
         "q23_perplexity": _perplexity_sql(),
         "q24_ann": _ann_sql(),
         "q30_embedding_near_dups": _embedding_near_dups_sql(),
+        "q42_media_features": _media_features_sql(),
     }
 
 
@@ -597,6 +655,7 @@ def exposed_oracle_sql() -> dict[str, str]:
 _RENAMED_IN_FULL = {
     "q14_langid": "q14_langid_heuristic_only",
     "q30_embedding_near_dups": "q30_embedding_near_dups_single_key",
+    "q42_media_features": "q42_media_features_bytes",
 }
 
 

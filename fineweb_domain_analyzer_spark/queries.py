@@ -3547,6 +3547,43 @@ LEFT JOIN read_parquet('{_BPE_FIXTURE}') f ON md5(d.text) = f.text_md5
 """
 
 
+def q76_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level image decode, oracle-checked analytically:
+    sources/pixels.py decodes PNG (zlib inflate + all five scanline
+    un-filters), uncompressed 24-bit BMP (padding, BGR, bottom-up) and
+    netpbm P6 with the standard library only, over deterministic
+    formula-pixel assets (pixel(x,y,c) = (7x+11y+13c+17i) mod 256).
+    The oracle recomputes the per-channel sums from the closed form in
+    pure SQL — fully independent of the decoder, so any un-filter /
+    padding / channel-order bug mismatches. Map-only (mapInPandas),
+    no shuffle; sums are exact int64, partition-order-proof."""
+    from fineweb_domain_analyzer_spark.sources.pixels import (
+        pixel_stats,
+        synth_decodable_assets,
+    )
+
+    return pixel_stats(synth_decodable_assets(spark))
+
+
+Q76_SQL = """
+WITH a AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'ppm' END AS fmt,
+         8 + (i % 5) * 4 AS w,
+         6 + (i % 4) * 3 AS h
+  FROM range(0, 30) t(i)
+)
+SELECT a.i AS asset_id, a.fmt,
+       a.w::INTEGER AS width, a.h::INTEGER AS height,
+       SUM((7 * x.x + 11 * y.y + 17 * a.i) % 256)::BIGINT AS sum_r,
+       SUM((7 * x.x + 11 * y.y + 13 + 17 * a.i) % 256)::BIGINT AS sum_g,
+       SUM((7 * x.x + 11 * y.y + 26 + 17 * a.i) % 256)::BIGINT AS sum_b
+FROM a, range(0, 24) x(x), range(0, 15) y(y)
+WHERE x.x < a.w AND y.y < a.h
+GROUP BY 1, 2, 3, 4
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3624,6 +3661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_domain_doc_cap": q73_domain_doc_cap,
     "q74_bloom_dedup": q74_bloom_dedup,
     "q75_bpe_tokenize": q75_bpe_tokenize,
+    "q76_pixel_stats": q76_pixel_stats,
 }
 
 
@@ -3702,4 +3740,5 @@ def oracle_sql() -> dict[str, str]:
         "q73_domain_doc_cap": Q73_SQL,
         "q74_bloom_dedup": Q74_SQL,
         "q75_bpe_tokenize": Q75_SQL,
+        "q76_pixel_stats": Q76_SQL,
     }

@@ -72,21 +72,30 @@ def sniff_format(payload: bytes | None) -> str | None:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int]:
-    """Pixel-level decode, gated behind PIL: when the wheel is
-    installed the image is actually decoded (``Image.open`` +
-    ``load()``, so corrupt payloads fail here, not downstream) and the
-    true (width, height) returned; without PIL this raises
-    NotImplementedError. The codec-free default path stays
-    ``parse_image_dims`` (header parsing) — decode is only for
-    pipelines that need pixel access (resize/re-encode/embedding)."""
+    """Pixel-level decode. Stdlib-decodable formats (8-bit truecolor
+    PNG via zlib + scanline un-filtering, uncompressed 24-bit BMP,
+    netpbm P6 — sources/pixels.py) decode for real with no codec wheel:
+    the full pixel grid is materialized, so corrupt payloads fail here,
+    not downstream. Everything else (JPEG/GIF/palette PNG/…) falls back
+    to PIL when installed, and raises NotImplementedError otherwise.
+    The codec-free default path for dimension-only needs stays
+    ``parse_image_dims`` (header parsing, no pixel materialization)."""
+    from fineweb_domain_analyzer_spark.sources import pixels as _px
+
+    try:
+        _, arr = _px.decode_pixels(payload)
+        return (arr.shape[1], arr.shape[0])
+    except ValueError:
+        pass  # not a stdlib-decodable payload — try the PIL path
     try:
         import io
 
         from PIL import Image  # type: ignore[import-not-found]
     except ImportError as e:
         raise NotImplementedError(
-            "pixel-level image decode requires the 'Pillow' wheel "
-            "(header-level dims need no codec: parse_image_dims)"
+            "pixel-level decode of this format requires the 'Pillow' "
+            "wheel (stdlib decoders cover PNG/BMP/PPM: sources/pixels.py;"
+            " header-level dims need no codec: parse_image_dims)"
         ) from e
     with Image.open(io.BytesIO(payload)) as im:
         im.load()
