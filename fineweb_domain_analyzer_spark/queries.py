@@ -3550,13 +3550,17 @@ LEFT JOIN read_parquet('{_BPE_FIXTURE}') f ON md5(d.text) = f.text_md5
 def q76_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel-level image decode, oracle-checked analytically:
     sources/pixels.py decodes PNG (zlib inflate + all five scanline
-    un-filters), uncompressed 24-bit BMP (padding, BGR, bottom-up) and
-    netpbm P6 with the standard library only, over deterministic
-    formula-pixel assets (pixel(x,y,c) = (7x+11y+13c+17i) mod 256).
-    The oracle recomputes the per-channel sums from the closed form in
-    pure SQL — fully independent of the decoder, so any un-filter /
-    padding / channel-order bug mismatches. Map-only (mapInPandas),
-    no shuffle; sums are exact int64, partition-order-proof."""
+    un-filters), uncompressed 24-bit BMP (padding, BGR, bottom-up),
+    netpbm P6, and GIF (full LZW with variable code width, color
+    table, de-interlace) with the standard library only, over
+    deterministic formula-pixel assets: RGB formats carry
+    pixel(x,y,c) = (7x+11y+13c+17i) mod 256; GIF carries palette
+    index (3x+5y+i) mod 256 through palette[j][c] = (7j+13c+11)
+    mod 256. The oracle recomputes the per-channel sums from those
+    closed forms in pure SQL — fully independent of the decoders, so
+    any un-filter / LZW / padding / channel-order / de-interlace bug
+    mismatches. Map-only (mapInPandas), no shuffle; sums are exact
+    int64, partition-order-proof."""
     from fineweb_domain_analyzer_spark.sources.pixels import (
         pixel_stats,
         synth_decodable_assets,
@@ -3568,18 +3572,27 @@ def q76_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q76_SQL = """
 WITH a AS (
   SELECT i,
-         CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'ppm' END AS fmt,
+         CASE i % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                    WHEN 2 THEN 'ppm' ELSE 'gif' END AS fmt,
          8 + (i % 5) * 4 AS w,
-         6 + (i % 4) * 3 AS h
-  FROM range(0, 30) t(i)
+         6 + (i % 7) * 2 AS h
+  FROM range(0, 32) t(i)
+),
+px AS (
+  SELECT a.i, a.fmt, a.w, a.h, x.x, y.y,
+         (3 * x.x + 5 * y.y + a.i) % 256 AS gj
+  FROM a, range(0, 24) x(x), range(0, 18) y(y)
+  WHERE x.x < a.w AND y.y < a.h
 )
-SELECT a.i AS asset_id, a.fmt,
-       a.w::INTEGER AS width, a.h::INTEGER AS height,
-       SUM((7 * x.x + 11 * y.y + 17 * a.i) % 256)::BIGINT AS sum_r,
-       SUM((7 * x.x + 11 * y.y + 13 + 17 * a.i) % 256)::BIGINT AS sum_g,
-       SUM((7 * x.x + 11 * y.y + 26 + 17 * a.i) % 256)::BIGINT AS sum_b
-FROM a, range(0, 24) x(x), range(0, 15) y(y)
-WHERE x.x < a.w AND y.y < a.h
+SELECT i AS asset_id, fmt,
+       w::INTEGER AS width, h::INTEGER AS height,
+       SUM(CASE WHEN fmt = 'gif' THEN (7 * gj + 11) % 256
+                ELSE (7 * x + 11 * y + 17 * i) % 256 END)::BIGINT AS sum_r,
+       SUM(CASE WHEN fmt = 'gif' THEN (7 * gj + 24) % 256
+                ELSE (7 * x + 11 * y + 13 + 17 * i) % 256 END)::BIGINT AS sum_g,
+       SUM(CASE WHEN fmt = 'gif' THEN (7 * gj + 37) % 256
+                ELSE (7 * x + 11 * y + 26 + 17 * i) % 256 END)::BIGINT AS sum_b
+FROM px
 GROUP BY 1, 2, 3, 4
 """
 

@@ -5,8 +5,9 @@ UDF signatures — is real and tested, and so are the codec-free
 byte-level operators: container-header dimension parsing
 (``parse_image_dims``, PNG/GIF/JPEG specs), format sniffing, and the
 fixed-stride frame slicer (``sample_video_frames``). Pixel-level
-decode is gated behind PIL (``_decode_image``: real decode when the
-wheel is installed, NotImplementedError otherwise) and the embedding
+decode is REAL for PNG/BMP/PPM/GIF via the stdlib decoders in
+``sources/pixels.py`` (``_decode_image`` tries them first and falls
+back to PIL for the rest, e.g. JPEG) and the embedding
 vector is a declared deterministic stand-in (``_fake_feature_vec`` —
 swap for a real model UDF; nothing else changes).
 
@@ -74,9 +75,10 @@ def sniff_format(payload: bytes | None) -> str | None:
 def _decode_image(payload: bytes) -> tuple[int, int]:
     """Pixel-level decode. Stdlib-decodable formats (8-bit truecolor
     PNG via zlib + scanline un-filtering, uncompressed 24-bit BMP,
-    netpbm P6 — sources/pixels.py) decode for real with no codec wheel:
+    netpbm P6, GIF via full LZW — sources/pixels.py) decode for real
+    with no codec wheel:
     the full pixel grid is materialized, so corrupt payloads fail here,
-    not downstream. Everything else (JPEG/GIF/palette PNG/…) falls back
+    not downstream. Everything else (JPEG/palette PNG/…) falls back
     to PIL when installed, and raises NotImplementedError otherwise.
     The codec-free default path for dimension-only needs stays
     ``parse_image_dims`` (header parsing, no pixel materialization)."""
@@ -94,7 +96,7 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
     except ImportError as e:
         raise NotImplementedError(
             "pixel-level decode of this format requires the 'Pillow' "
-            "wheel (stdlib decoders cover PNG/BMP/PPM: sources/pixels.py;"
+            "wheel (stdlib decoders cover PNG/BMP/PPM/GIF: sources/pixels.py;"
             " header-level dims need no codec: parse_image_dims)"
         ) from e
     with Image.open(io.BytesIO(payload)) as im:
@@ -111,8 +113,8 @@ def parse_image_dims(payload: bytes | None) -> tuple[int | None, int | None]:
     * JPEG: scan markers for SOF0-SOF15 (skipping non-frame markers);
       height/width big-endian u16 at +5/+7 inside the SOF segment
 
-    Pixel decoding stays stubbed (_decode_image); header dims are all
-    a curation pipeline needs for resize/aspect/size filters.
+    Header dims are all a curation pipeline needs for resize/aspect/
+    size filters; full pixel decode is _decode_image.
     """
     import struct
 
@@ -188,8 +190,7 @@ def extract_media_features(assets: DataFrame, feature_dim: int = 8) -> DataFrame
                 "sniffed_format": pdf["payload"].map(
                     lambda p: sniff_format(None if p is None else bytes(p))
                 ),
-                # header-level dims (real, codec-free); pixel decode
-                # stays stubbed in _decode_image
+                # header-level dims (real, codec-free, no pixel materialization)
                 "width": dims.map(lambda d: d[0]),
                 "height": dims.map(lambda d: d[1]),
                 "n_frames": pd.Series([None] * len(pdf), dtype="object"),

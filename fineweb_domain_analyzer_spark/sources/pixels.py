@@ -11,6 +11,10 @@ three formats whose pixel layer IS decodable with the standard library:
 * **BMP** (BITMAPINFOHEADER): uncompressed 24-bit, 4-byte row padding,
   bottom-up row order, BGR channel order.
 * **PPM** (netpbm P6): whitespace/comment-tolerant header, maxval 255.
+* **GIF** (89a spec Appendix F): full LZW decode — variable code width
+  with lockstep counter bumps, clear/EOI codes, the KwKwK special
+  case, sub-block reassembly — plus global/local color tables,
+  extension-block skipping and 4-pass de-interlacing.
 
 Encoders for the same three formats live here too — they are the test
 harness's ground truth (encode a formula-generated pixel grid, decode
@@ -195,11 +199,158 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     )
 
 
-_DECODERS = {
-    "png": decode_png,
-    "bmp": decode_bmp,
-    "ppm": decode_ppm,
-}
+# --- GIF ---------------------------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    order: list[int] = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, height, step))
+    return order
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """GIF-flavor LZW (LSB-first bit packing, variable code width).
+
+    The width-bump counter increments once per code PROCESSED — not per
+    table entry written — which keeps it in lockstep with the encoder's
+    once-per-code-emitted counter even though the decoder's table write
+    for a slot happens one code later (the slot's only early use is the
+    KwKwK case, handled explicitly)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    # prefix/suffix tables, 4096 max codes
+    prefix = [0] * 4096
+    suffix = bytearray(4096)
+    for i in range(clear):
+        suffix[i] = i
+    out = bytearray()
+    hi = eoi  # highest allocated slot counter (lockstep with encoder)
+    overflow = 1 << width
+    last = -1
+    acc = 0
+    nbits = 0
+    pos = 0
+    stack = bytearray()
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            width = min_code_size + 1
+            hi = eoi
+            overflow = 1 << width
+            last = -1
+            continue
+        if code == eoi:
+            break
+        if code > hi or (code == hi and last < 0):
+            raise ValueError(f"bad GIF LZW code {code}")
+        if code == hi and last >= 0:
+            # KwKwK: expands to last's expansion + its first byte
+            stack.clear()
+            c = last
+            while c >= clear:
+                stack.append(suffix[c])
+                c = prefix[c]
+            stack.append(suffix[c])
+            first = stack[-1]
+            expansion = bytes(reversed(stack)) + bytes([first])
+        else:
+            stack.clear()
+            c = code
+            while c >= clear:
+                stack.append(suffix[c])
+                c = prefix[c]
+            stack.append(suffix[c])
+            expansion = bytes(reversed(stack))
+        if last >= 0 and hi < 4096:
+            prefix[hi] = last
+            suffix[hi] = expansion[0]
+        out += expansion
+        last = code
+        hi += 1
+        if hi >= overflow and width < 12:
+            width += 1
+            overflow <<= 1
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to RGB (full LZW,
+    global/local color table, extension skipping, de-interlace)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            _, _, width, height = struct.unpack("<HHHH", payload[pos : pos + 8])
+            ipacked = payload[pos + 8]
+            pos += 9
+            palette = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(
+                    n, 3
+                )
+                pos += n * 3
+            if palette is None:
+                raise ValueError("GIF image has no color table")
+            if pos >= len(payload):
+                raise ValueError("truncated GIF LZW header")
+            min_code_size = payload[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), min_code_size, width * height)
+            if len(idx) < width * height:
+                raise ValueError("GIF pixel data short")
+            grid = np.frombuffer(
+                bytes(idx[: width * height]), np.uint8
+            ).reshape(height, width)
+            if ipacked & 0x40:  # interlaced: rows stored in pass order
+                out = np.empty_like(grid)
+                out[_gif_interlace_order(height)] = grid
+                grid = out
+            if int(grid.max()) >= len(palette):
+                raise ValueError("GIF index out of palette range")
+            return palette[grid]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block marker {block:#x}")
+    raise ValueError("GIF contains no image data")
 
 
 def decode_pixels(payload: bytes) -> tuple[str, np.ndarray]:
@@ -210,6 +361,8 @@ def decode_pixels(payload: bytes) -> tuple[str, np.ndarray]:
         return "bmp", decode_bmp(payload)
     if payload[:2] == b"P6":
         return "ppm", decode_ppm(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif", decode_gif(payload)
     raise ValueError("no stdlib decoder for this payload (try PIL path)")
 
 
@@ -292,17 +445,129 @@ def encode_ppm(px: np.ndarray) -> bytes:
     )
 
 
+def _lzw_encode(
+    indices: bytes, min_code_size: int, clear_every: int | None = None
+) -> bytes:
+    """Real dictionary-building GIF LZW (the inverse of _lzw_decode):
+    emits an initial Clear, grows the string table as it matches,
+    widens the code width in the same lockstep-counter convention the
+    decoder uses, and resets with a Clear when the table fills (or
+    every ``clear_every`` codes, a test knob for the reset path)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    hi = eoi
+    overflow = 1 << width
+    emitted = 0
+    emit(clear, width)
+
+    def reset() -> None:
+        nonlocal table, hi, overflow, width, emitted
+        table = {bytes([i]): i for i in range(clear)}
+        hi = eoi
+        width = min_code_size + 1
+        overflow = 1 << width
+        emitted = 0
+
+    # slot/width bookkeeping mirrors the decoder's lockstep counter:
+    # bump hi once per emitted code, widen on the post-bump boundary,
+    # THEN assign the new entry (first real entry lands at clear+2 —
+    # clear+1 is EOI and must never be assigned)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        emitted += 1
+        hi += 1
+        if hi >= overflow and width < 12:
+            width += 1
+            overflow <<= 1
+        if hi >= 4095 or (clear_every and emitted >= clear_every):
+            emit(clear, width)
+            reset()
+        else:
+            table[wk] = hi
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+        hi += 1
+        if hi >= overflow and width < 12:
+            width += 1
+            overflow <<= 1
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    interlaced: bool = False,
+    clear_every: int | None = None,
+) -> bytes:
+    """Encode a palettized frame (h, w) uint8 + (n, 3) palette as a
+    GIF89a: global color table padded to a power of two, a graphic
+    control extension (so decode's extension skipping runs), optional
+    interlaced row order, real LZW body in ≤255-byte sub-blocks."""
+    h, w = indices.shape
+    n = 2
+    while n < len(palette):
+        n *= 2
+    n = max(n, 4)
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    size_bits = n.bit_length() - 2  # 2 << size_bits == n
+    min_code_size = max(2, (n - 1).bit_length())
+    rows = indices[_gif_interlace_order(h)] if interlaced else indices
+    lzw = _lzw_encode(rows.tobytes(), min_code_size, clear_every)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i : i + 255]
+        blocks.append(len(part))
+        blocks += part
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | 0x70 | size_bits, 0, 0)
+        + pal.tobytes()
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, no transparency
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+        + bytes([min_code_size])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic decodable assets + the q76 pixel-stats operator
 # ---------------------------------------------------------------------------
 
-N_DECODABLE_ASSETS = 30
+N_DECODABLE_ASSETS = 32
 
 
 def _asset_spec(i: int) -> tuple[str, int, int]:
     """(fmt, w, h) for asset i — mirrored analytically by the q76 oracle."""
-    fmt = ("png", "bmp", "ppm")[i % 3]
-    return fmt, 8 + (i % 5) * 4, 6 + (i % 4) * 3
+    fmt = ("png", "bmp", "ppm", "gif")[i % 4]
+    return fmt, 8 + (i % 5) * 4, 6 + (i % 7) * 2
 
 
 def _asset_pixels(i: int, w: int, h: int) -> np.ndarray:
@@ -314,22 +579,46 @@ def _asset_pixels(i: int, w: int, h: int) -> np.ndarray:
     return ((7 * x + 11 * y + 13 * c + 17 * i) % 256).astype(np.uint8)
 
 
+def _gif_index_grid(i: int, w: int, h: int) -> np.ndarray:
+    """GIF palette index (x, y) = (3x + 5y + i) mod 256."""
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    return ((3 * x + 5 * y + i) % 256).astype(np.uint8)
+
+
+def gif_palette() -> np.ndarray:
+    """palette[j][c] = (7j + 13c + 11) mod 256, so GIF pixel values are
+    the closed form (7·((3x+5y+i) mod 256) + 13c + 11) mod 256."""
+    j = np.arange(256).reshape(256, 1)
+    c = np.arange(3).reshape(1, 3)
+    return ((7 * j + 13 * c + 11) % 256).astype(np.uint8)
+
+
 def synth_decodable_assets(
     spark: SparkSession, n: int = N_DECODABLE_ASSETS
 ) -> DataFrame:
-    """n fully-decodable images (PNG round-robin with BMP and PPM; every
-    other PNG is RGBA so the alpha-drop path runs) whose pixels follow
-    the closed-form _asset_pixels formula."""
+    """n fully-decodable images (PNG/BMP/PPM/GIF round-robin; every
+    other PNG is RGBA so the alpha-drop path runs, every other GIF is
+    interlaced so de-interlacing runs) whose pixels follow closed-form
+    formulas (_asset_pixels / _gif_index_grid + gif_palette)."""
     rows = []
     for i in range(n):
         fmt, w, h = _asset_spec(i)
+        if fmt == "gif":
+            payload = encode_gif(
+                _gif_index_grid(i, w, h),
+                gif_palette(),
+                interlaced=bool((i // 4) % 2),
+            )
+            rows.append((i, payload))
+            continue
         px = _asset_pixels(i, w, h)
         if fmt == "png":
             alpha = (
                 ((np.arange(h).reshape(h, 1) + np.arange(w) + i) % 256).astype(
                     np.uint8
                 )
-                if (i // 3) % 2
+                if (i // 4) % 2
                 else None
             )
             payload = encode_png(px, alpha)

@@ -44,6 +44,8 @@ PICKS = {
     "q72_dsir_selection": "DSIR: gram explode map-side, ONE (id,bucket) count shuffle, both bucket models tiny aggregates BROADCAST into the scoring join (the corpus never shuffles against the model), one id-keyed weight agg, banded global cut — every window keyed by (_g, _band)",
     "q73_domain_doc_cap": "per-domain cap, banded DEFAULT: whole bands inside/outside the cap short-circuit; the only window partitions by (source, band) — the hot domain never sorts in one task",
     "q70_curation_capstone": "full curation chain in one plan: fused score projection, hash-window dedup, banded per-language cut (no whole-language sort), shard-keyed packing",
+    "q75_bpe_tokenize": "real BPE: merge table rides the UDF closure, ONE Arrow-batched projection, ZERO exchanges — exact token counts without a tokenizer service",
+    "q76_pixel_stats": "stdlib pixel decode: mapInPandas over the binary column, ZERO exchanges — per-asset sums are map-side integers",
 }
 
 

@@ -18,13 +18,19 @@ from fineweb_domain_analyzer_spark.sources.pixels import (
     N_DECODABLE_ASSETS,
     _asset_pixels,
     _asset_spec,
+    _gif_index_grid,
+    _lzw_decode,
+    _lzw_encode,
     decode_bmp,
+    decode_gif,
     decode_pixels,
     decode_png,
     decode_ppm,
     encode_bmp,
+    encode_gif,
     encode_png,
     encode_ppm,
+    gif_palette,
     pixel_stats,
     synth_decodable_assets,
 )
@@ -84,16 +90,62 @@ def test_ppm_round_trip_and_comment_header():
 def test_all_synth_assets_round_trip():
     for i in range(N_DECODABLE_ASSETS):
         fmt, w, h = _asset_spec(i)
-        px = _asset_pixels(i, w, h)
-        if fmt == "png":
-            payload = encode_png(px)
-        elif fmt == "bmp":
-            payload = encode_bmp(px)
+        if fmt == "gif":
+            px = gif_palette()[_gif_index_grid(i, w, h)]
+            payload = encode_gif(
+                _gif_index_grid(i, w, h), gif_palette(), interlaced=bool(i % 8)
+            )
         else:
-            payload = encode_ppm(px)
+            px = _asset_pixels(i, w, h)
+            if fmt == "png":
+                payload = encode_png(px)
+            elif fmt == "bmp":
+                payload = encode_bmp(px)
+            else:
+                payload = encode_ppm(px)
         got_fmt, got = decode_pixels(payload)
         assert got_fmt == fmt
         assert np.array_equal(got, px), f"asset {i} ({fmt})"
+
+
+# ---------------------------------------------------------------------------
+# GIF / LZW
+# ---------------------------------------------------------------------------
+
+def test_gif_round_trip_plain_and_interlaced():
+    idx = _gif_index_grid(5, 21, 13)
+    pal = gif_palette()
+    for interlaced in (False, True):
+        payload = encode_gif(idx, pal, interlaced=interlaced)
+        assert np.array_equal(decode_gif(payload), pal[idx]), interlaced
+
+
+def test_gif_small_palette_and_clear_reset():
+    rng = np.random.RandomState(11)
+    idx = rng.randint(0, 5, size=(17, 23)).astype(np.uint8)
+    pal = rng.randint(0, 256, size=(5, 3)).astype(np.uint8)
+    # clear_every forces mid-stream table resets (the Clear-code path)
+    payload = encode_gif(idx, pal, clear_every=13)
+    assert np.array_equal(decode_gif(payload), pal[idx])
+
+
+def test_lzw_kwkwk_and_width_growth():
+    # "abab…" immediately hits the KwKwK case (code == next slot)
+    raw = bytes([0, 1] * 100)
+    assert bytes(_lzw_decode(_lzw_encode(raw, 2), 2, len(raw))) == raw
+    # incompressible long stream: code width must grow to 12 bits and
+    # the table must reset at 4095 without desync
+    rng = np.random.RandomState(3)
+    raw = bytes(rng.randint(0, 4, size=60000, dtype=np.uint8))
+    assert bytes(_lzw_decode(_lzw_encode(raw, 2), 2, len(raw))) == raw
+
+
+def test_gif_rejects_truncated_and_garbage():
+    payload = encode_gif(_gif_index_grid(1, 9, 7), gif_palette())
+    with pytest.raises(ValueError):
+        decode_gif(payload[:40])
+    with pytest.raises(ValueError, match="bad GIF block marker"):
+        decode_gif(b"GIF89a" + struct.pack("<HHBBB", 4, 3, 0, 0, 0) + b"\x07")
 
 
 def test_channel_sums_match_closed_form():
@@ -153,21 +205,23 @@ def test_ppm_rejects_bad_maxval_and_truncation():
 
 def test_decode_pixels_unknown_format():
     with pytest.raises(ValueError, match="no stdlib decoder"):
-        decode_pixels(b"GIF89a" + b"\x00" * 64)
+        decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG magic
 
 
 # ---------------------------------------------------------------------------
 # media.py integration: stdlib-first, PIL fallback
 # ---------------------------------------------------------------------------
 
-def test_decode_image_uses_stdlib_for_png():
-    # works with no PIL installed: the stdlib decoder handles it
+def test_decode_image_uses_stdlib_decoders():
+    # works with no PIL installed: the stdlib decoders handle these
     assert _decode_image(encode_png(_grid())) == (12, 7)
     assert _decode_image(encode_bmp(_grid(w=13))) == (13, 7)
+    gif = encode_gif(_gif_index_grid(2, 10, 4), gif_palette())
+    assert _decode_image(gif) == (10, 4)
 
 
-def test_decode_image_gif_falls_through():
-    gif = b"GIF89a" + struct.pack("<HH", 4, 3) + b"\x00" * 32
+def test_decode_image_jpeg_falls_through():
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     try:
         import PIL  # noqa: F401
 
@@ -175,7 +229,7 @@ def test_decode_image_gif_falls_through():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError, match="Pillow"):
-        _decode_image(gif)
+        _decode_image(jpeg)
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +244,10 @@ def test_pixel_stats_operator(spark):
     assert len(out) == 9
     for i in range(9):
         fmt, w, h = _asset_spec(i)
-        px = _asset_pixels(i, w, h)
+        if fmt == "gif":
+            px = gif_palette()[_gif_index_grid(i, w, h)]
+        else:
+            px = _asset_pixels(i, w, h)
         sums = px.sum(axis=(0, 1), dtype=np.int64)
         r = out[i]
         assert (r["fmt"], r["width"], r["height"]) == (fmt, w, h)
