@@ -536,49 +536,81 @@ def _embedding_near_dups_sql() -> str:
 
 def q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media surface, method-tagged: the byte-level feature path (magic
-    sniff + md5-seeded embedding, SQL-mirrored oracle) and the REAL
-    pixel-decode path (stdlib PNG/BMP/PPM decoders over formula-pixel
-    assets, closed-form analytic oracle)."""
-    bytes_side = q.q42_media_features(spark, sf_dir).select(
-        F.lit("byte_features").alias("method"),
-        "asset_id",
-        "byte_len",
-        "sniffed_format",
-        "fv",
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("bigint").alias("sum_r"),
-        F.lit(None).cast("bigint").alias("sum_g"),
-        F.lit(None).cast("bigint").alias("sum_b"),
+    sniff + md5-seeded embedding, SQL-mirrored oracle), the REAL
+    pixel-decode path (stdlib PNG/BMP/PPM/GIF decoders over
+    formula-pixel assets) and the REAL audio-decode path (RIFF/WAVE
+    PCM over formula-sample assets) — both decode paths carry
+    closed-form analytic oracles."""
+    _NULLS = [
+        ("byte_len", "bigint"), ("fv", "string"),
+        ("width", "int"), ("height", "int"),
+        ("sum_r", "bigint"), ("sum_g", "bigint"), ("sum_b", "bigint"),
+        ("sample_rate", "int"), ("n_frames", "bigint"),
+        ("n_channels", "int"), ("sum_samples", "bigint"),
+        ("sum_abs", "bigint"),
+    ]
+
+    def pad(df: DataFrame, method: str, fmt_col, present: dict) -> DataFrame:
+        cols = [F.lit(method).alias("method"), F.col("asset_id"), fmt_col]
+        for name, typ in _NULLS:
+            cols.append(
+                present[name] if name in present
+                else F.lit(None).cast(typ).alias(name)
+            )
+        return df.select(*cols)
+
+    bytes_side = pad(
+        q.q42_media_features(spark, sf_dir), "byte_features",
+        F.col("sniffed_format"),
+        {"byte_len": F.col("byte_len"), "fv": F.col("fv")},
     )
-    pixel_side = q.q76_pixel_stats(spark, sf_dir).select(
-        F.lit("pixel_stats").alias("method"),
-        "asset_id",
-        F.lit(None).cast("bigint").alias("byte_len"),
+    pixel_side = pad(
+        q.q76_pixel_stats(spark, sf_dir), "pixel_stats",
         F.col("fmt").alias("sniffed_format"),
-        F.lit(None).cast("string").alias("fv"),
-        "width",
-        "height",
-        "sum_r",
-        "sum_g",
-        "sum_b",
+        {n: F.col(n) for n in ("width", "height", "sum_r", "sum_g", "sum_b")},
     )
-    return bytes_side.unionAll(pixel_side)
+    audio_side = pad(
+        q.q77_audio_stats(spark, sf_dir), "audio_stats",
+        F.lit("wav").alias("sniffed_format"),
+        {n: F.col(n) for n in
+         ("sample_rate", "n_frames", "n_channels", "sum_samples", "sum_abs")},
+    )
+    return bytes_side.unionAll(pixel_side).unionAll(audio_side)
 
 
 def _media_features_sql() -> str:
-    return f"""
-SELECT 'byte_features' AS method, asset_id, byte_len, sniffed_format, fv,
-       CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
-       CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
-       CAST(NULL AS BIGINT) AS sum_b
-FROM ({q.Q42_SQL})
-UNION ALL
-SELECT 'pixel_stats' AS method, asset_id, CAST(NULL AS BIGINT) AS byte_len,
-       fmt AS sniffed_format, CAST(NULL AS VARCHAR) AS fv,
-       width, height, sum_r, sum_g, sum_b
-FROM ({q.Q76_SQL})
-"""
+    null_cols = (
+        "CAST(NULL AS BIGINT) AS byte_len, CAST(NULL AS VARCHAR) AS fv, "
+        "CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height, "
+        "CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g, "
+        "CAST(NULL AS BIGINT) AS sum_b, "
+        "CAST(NULL AS INTEGER) AS sample_rate, CAST(NULL AS BIGINT) AS n_frames, "
+        "CAST(NULL AS INTEGER) AS n_channels, CAST(NULL AS BIGINT) AS sum_samples, "
+        "CAST(NULL AS BIGINT) AS sum_abs"
+    )
+
+    def block(method: str, sql: str, fmt: str, keep: set[str]) -> str:
+        cols = ", ".join(
+            part if part.split(" AS ")[-1] not in keep
+            else part.split(" AS ")[-1]
+            for part in null_cols.split(", ")
+        )
+        return (
+            f"SELECT '{method}' AS method, asset_id, {fmt} AS sniffed_format, "
+            f"{cols}\nFROM ({sql})"
+        )
+
+    return "\nUNION ALL\n".join(
+        [
+            block("byte_features", q.Q42_SQL, "sniffed_format",
+                  {"byte_len", "fv"}),
+            block("pixel_stats", q.Q76_SQL, "fmt",
+                  {"width", "height", "sum_r", "sum_g", "sum_b"}),
+            block("audio_stats", q.Q77_SQL, "'wav'",
+                  {"sample_rate", "n_frames", "n_channels", "sum_samples",
+                   "sum_abs"}),
+        ]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -614,7 +646,7 @@ _FOLDED = {
     "q23_unigram_perplexity", "q39_bigram_perplexity", "q63_arpa_perplexity",
     "q24_ann_brute_force", "q25_ann_lsh", "q32_ann_ivf",
     "q30_embedding_near_dups", "q43_embedding_near_dups_banded",
-    "q76_pixel_stats",
+    "q76_pixel_stats", "q77_audio_stats",
 }
 
 

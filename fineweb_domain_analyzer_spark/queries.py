@@ -3597,6 +3597,45 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def q77_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked analytically: sources/audio.py
+    parses RIFF/WAVE PCM (chunk walk incl. junk LIST chunks, 8/16-bit,
+    mono/stereo de-interleave) with the standard library only, over
+    deterministic formula-sample assets (sample(t,ch) =
+    ((13t+29ch+31i) mod M) - M/2). The oracle recomputes frame counts
+    and exact integer sample sums from the closed form in pure SQL —
+    decoder-independent. Map-only (mapInPandas), no shuffle."""
+    from fineweb_domain_analyzer_spark.sources.audio import (
+        audio_stats,
+        synth_audio_assets,
+    )
+
+    return audio_stats(synth_audio_assets(spark))
+
+
+Q77_SQL = """
+WITH a AS (
+  SELECT i,
+         100 + (i % 6) * 50 AS n_frames,
+         1 + (i % 2) AS n_channels,
+         8000 + (i % 3) * 4000 AS sample_rate,
+         CASE WHEN i % 4 = 0 THEN 256 ELSE 65536 END AS m
+  FROM range(0, 24) t(i)
+),
+s AS (
+  SELECT a.i, a.n_frames, a.n_channels, a.sample_rate,
+         (13 * t.t + 29 * c.c + 31 * a.i) % a.m - a.m // 2 AS v
+  FROM a, range(0, 400) t(t), range(0, 2) c(c)
+  WHERE t.t < a.n_frames AND c.c < a.n_channels
+)
+SELECT i AS asset_id, sample_rate::INTEGER AS sample_rate,
+       n_frames::BIGINT AS n_frames, n_channels::INTEGER AS n_channels,
+       SUM(v)::BIGINT AS sum_samples, SUM(ABS(v))::BIGINT AS sum_abs
+FROM s
+GROUP BY 1, 2, 3, 4
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3675,6 +3714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_bloom_dedup": q74_bloom_dedup,
     "q75_bpe_tokenize": q75_bpe_tokenize,
     "q76_pixel_stats": q76_pixel_stats,
+    "q77_audio_stats": q77_audio_stats,
 }
 
 
@@ -3754,4 +3794,5 @@ def oracle_sql() -> dict[str, str]:
         "q74_bloom_dedup": Q74_SQL,
         "q75_bpe_tokenize": Q75_SQL,
         "q76_pixel_stats": Q76_SQL,
+        "q77_audio_stats": Q77_SQL,
     }

@@ -46,6 +46,7 @@ PICKS = {
     "q70_curation_capstone": "full curation chain in one plan: fused score projection, hash-window dedup, banded per-language cut (no whole-language sort), shard-keyed packing",
     "q75_bpe_tokenize": "real BPE: merge table rides the UDF closure, ONE Arrow-batched projection, ZERO exchanges — exact token counts without a tokenizer service",
     "q76_pixel_stats": "stdlib pixel decode: mapInPandas over the binary column, ZERO exchanges — per-asset sums are map-side integers",
+    "q77_audio_stats": "stdlib WAV/PCM decode: mapInPandas over the binary column, ZERO exchanges — exact sample sums map-side",
 }
 
 
