@@ -3551,16 +3551,20 @@ def q76_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel-level image decode, oracle-checked analytically:
     sources/pixels.py decodes PNG (zlib inflate + all five scanline
     un-filters), uncompressed 24-bit BMP (padding, BGR, bottom-up),
-    netpbm P6, and GIF (full LZW with variable code width, color
-    table, de-interlace) with the standard library only, over
-    deterministic formula-pixel assets: RGB formats carry
-    pixel(x,y,c) = (7x+11y+13c+17i) mod 256; GIF carries palette
+    netpbm P6, GIF (full LZW with variable code width, color table,
+    de-interlace) and baseline JPEG (Huffman entropy decode,
+    dequantize, IDCT — sources/jpeg_codec.py) with the standard
+    library only, over deterministic formula-pixel assets: RGB formats
+    carry pixel(x,y,c) = (7x+11y+13c+17i) mod 256; GIF carries palette
     index (3x+5y+i) mod 256 through palette[j][c] = (7j+13c+11)
-    mod 256. The oracle recomputes the per-channel sums from those
-    closed forms in pure SQL — fully independent of the decoders, so
-    any un-filter / LZW / padding / channel-order / de-interlace bug
-    mismatches. Map-only (mapInPandas), no shuffle; sums are exact
-    int64, partition-order-proof."""
+    mod 256; JPEG carries blockwise-constant grayscale
+    (5·(x//8)+9·(y//8)+31i) mod 256, which with an all-ones quant
+    table round-trips bit-exactly (DC-only DCT). The oracle recomputes
+    the per-channel sums from those closed forms in pure SQL — fully
+    independent of the decoders, so any un-filter / LZW / Huffman /
+    IDCT / padding / channel-order / de-interlace bug mismatches.
+    Map-only (mapInPandas), no shuffle; sums are exact int64,
+    partition-order-proof."""
     from fineweb_domain_analyzer_spark.sources.pixels import (
         pixel_stats,
         synth_decodable_assets,
@@ -3572,25 +3576,29 @@ def q76_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q76_SQL = """
 WITH a AS (
   SELECT i,
-         CASE i % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                    WHEN 2 THEN 'ppm' ELSE 'gif' END AS fmt,
+         CASE i % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm'
+                    WHEN 3 THEN 'gif' ELSE 'jpeg' END AS fmt,
          8 + (i % 5) * 4 AS w,
          6 + (i % 7) * 2 AS h
-  FROM range(0, 32) t(i)
+  FROM range(0, 35) t(i)
 ),
 px AS (
   SELECT a.i, a.fmt, a.w, a.h, x.x, y.y,
-         (3 * x.x + 5 * y.y + a.i) % 256 AS gj
+         (3 * x.x + 5 * y.y + a.i) % 256 AS gj,
+         (5 * (x.x // 8) + 9 * (y.y // 8) + 31 * a.i) % 256 AS jv
   FROM a, range(0, 24) x(x), range(0, 18) y(y)
   WHERE x.x < a.w AND y.y < a.h
 )
 SELECT i AS asset_id, fmt,
        w::INTEGER AS width, h::INTEGER AS height,
        SUM(CASE WHEN fmt = 'gif' THEN (7 * gj + 11) % 256
+                WHEN fmt = 'jpeg' THEN jv
                 ELSE (7 * x + 11 * y + 17 * i) % 256 END)::BIGINT AS sum_r,
        SUM(CASE WHEN fmt = 'gif' THEN (7 * gj + 24) % 256
+                WHEN fmt = 'jpeg' THEN jv
                 ELSE (7 * x + 11 * y + 13 + 17 * i) % 256 END)::BIGINT AS sum_g,
        SUM(CASE WHEN fmt = 'gif' THEN (7 * gj + 37) % 256
+                WHEN fmt = 'jpeg' THEN jv
                 ELSE (7 * x + 11 * y + 26 + 17 * i) % 256 END)::BIGINT AS sum_b
 FROM px
 GROUP BY 1, 2, 3, 4

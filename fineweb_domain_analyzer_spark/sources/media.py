@@ -5,9 +5,10 @@ UDF signatures — is real and tested, and so are the codec-free
 byte-level operators: container-header dimension parsing
 (``parse_image_dims``, PNG/GIF/JPEG specs), format sniffing, and the
 fixed-stride frame slicer (``sample_video_frames``). Pixel-level
-decode is REAL for PNG/BMP/PPM/GIF via the stdlib decoders in
-``sources/pixels.py`` (``_decode_image`` tries them first and falls
-back to PIL for the rest, e.g. JPEG) and the embedding
+decode is REAL for PNG/BMP/PPM/GIF/baseline-JPEG via the stdlib
+decoders in ``sources/pixels.py`` + ``sources/jpeg_codec.py``
+(``_decode_image`` tries them first; PIL is only a fallback for
+exotic variants, e.g. progressive JPEG) and the embedding
 vector is a declared deterministic stand-in (``_fake_feature_vec`` —
 swap for a real model UDF; nothing else changes).
 
@@ -75,10 +76,11 @@ def sniff_format(payload: bytes | None) -> str | None:
 def _decode_image(payload: bytes) -> tuple[int, int]:
     """Pixel-level decode. Stdlib-decodable formats (8-bit truecolor
     PNG via zlib + scanline un-filtering, uncompressed 24-bit BMP,
-    netpbm P6, GIF via full LZW — sources/pixels.py) decode for real
-    with no codec wheel:
+    netpbm P6, GIF via full LZW, baseline JPEG via Huffman+IDCT —
+    sources/pixels.py + jpeg_codec.py) decode for real with no codec
+    wheel:
     the full pixel grid is materialized, so corrupt payloads fail here,
-    not downstream. Everything else (JPEG/palette PNG/…) falls back
+    not downstream. Everything else (progressive JPEG/palette PNG/…) falls back
     to PIL when installed, and raises NotImplementedError otherwise.
     The codec-free default path for dimension-only needs stays
     ``parse_image_dims`` (header parsing, no pixel materialization)."""
@@ -96,7 +98,7 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
     except ImportError as e:
         raise NotImplementedError(
             "pixel-level decode of this format requires the 'Pillow' "
-            "wheel (stdlib decoders cover PNG/BMP/PPM/GIF: sources/pixels.py;"
+            "wheel (stdlib decoders cover PNG/BMP/PPM/GIF/baseline-JPEG: sources/pixels.py + jpeg_codec.py;"
             " header-level dims need no codec: parse_image_dims)"
         ) from e
     with Image.open(io.BytesIO(payload)) as im:

@@ -363,6 +363,10 @@ def decode_pixels(payload: bytes) -> tuple[str, np.ndarray]:
         return "ppm", decode_ppm(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif", decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from fineweb_domain_analyzer_spark.sources.jpeg_codec import decode_jpeg
+
+        return "jpeg", decode_jpeg(payload)
     raise ValueError("no stdlib decoder for this payload (try PIL path)")
 
 
@@ -561,13 +565,25 @@ def encode_gif(
 # deterministic decodable assets + the q76 pixel-stats operator
 # ---------------------------------------------------------------------------
 
-N_DECODABLE_ASSETS = 32
+N_DECODABLE_ASSETS = 35
 
 
 def _asset_spec(i: int) -> tuple[str, int, int]:
     """(fmt, w, h) for asset i — mirrored analytically by the q76 oracle."""
-    fmt = ("png", "bmp", "ppm", "gif")[i % 4]
+    fmt = ("png", "bmp", "ppm", "gif", "jpeg")[i % 5]
     return fmt, 8 + (i % 5) * 4, 6 + (i % 7) * 2
+
+
+def _jpeg_block_grid(i: int, w: int, h: int) -> np.ndarray:
+    """Blockwise-constant grayscale: pixel (x, y) =
+    (5·(x//8) + 9·(y//8) + 31i) mod 256 — constant per 8×8 block, so
+    with an all-ones quant table baseline JPEG round-trips bit-exactly
+    (DC-only DCT) and the closed form stays SQL-recomputable."""
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    return (
+        (5 * bx.reshape(1, w) + 9 * by.reshape(h, 1) + 31 * i) % 256
+    ).astype(np.uint8)
 
 
 def _asset_pixels(i: int, w: int, h: int) -> np.ndarray:
@@ -597,10 +613,13 @@ def gif_palette() -> np.ndarray:
 def synth_decodable_assets(
     spark: SparkSession, n: int = N_DECODABLE_ASSETS
 ) -> DataFrame:
-    """n fully-decodable images (PNG/BMP/PPM/GIF round-robin; every
-    other PNG is RGBA so the alpha-drop path runs, every other GIF is
-    interlaced so de-interlacing runs) whose pixels follow closed-form
-    formulas (_asset_pixels / _gif_index_grid + gif_palette)."""
+    """n fully-decodable images (PNG/BMP/PPM/GIF/JPEG round-robin;
+    every other PNG is RGBA so the alpha-drop path runs, every other
+    GIF is interlaced so de-interlacing runs, JPEG is grayscale
+    blockwise-constant inside its exactness window) whose pixels
+    follow closed-form formulas."""
+    from fineweb_domain_analyzer_spark.sources.jpeg_codec import encode_jpeg
+
     rows = []
     for i in range(n):
         fmt, w, h = _asset_spec(i)
@@ -608,7 +627,13 @@ def synth_decodable_assets(
             payload = encode_gif(
                 _gif_index_grid(i, w, h),
                 gif_palette(),
-                interlaced=bool((i // 4) % 2),
+                interlaced=bool((i // 5) % 2),
+            )
+            rows.append((i, payload))
+            continue
+        if fmt == "jpeg":
+            payload = encode_jpeg(
+                _jpeg_block_grid(i, w, h), quant=np.ones((8, 8))
             )
             rows.append((i, payload))
             continue
@@ -618,7 +643,7 @@ def synth_decodable_assets(
                 ((np.arange(h).reshape(h, 1) + np.arange(w) + i) % 256).astype(
                     np.uint8
                 )
-                if (i // 4) % 2
+                if (i // 5) % 2
                 else None
             )
             payload = encode_png(px, alpha)

@@ -88,6 +88,9 @@ def test_ppm_round_trip_and_comment_header():
 
 
 def test_all_synth_assets_round_trip():
+    from fineweb_domain_analyzer_spark.sources.jpeg_codec import encode_jpeg
+    from fineweb_domain_analyzer_spark.sources.pixels import _jpeg_block_grid
+
     for i in range(N_DECODABLE_ASSETS):
         fmt, w, h = _asset_spec(i)
         if fmt == "gif":
@@ -95,6 +98,10 @@ def test_all_synth_assets_round_trip():
             payload = encode_gif(
                 _gif_index_grid(i, w, h), gif_palette(), interlaced=bool(i % 8)
             )
+        elif fmt == "jpeg":
+            g = _jpeg_block_grid(i, w, h)
+            px = np.dstack([g, g, g])
+            payload = encode_jpeg(g, quant=np.ones((8, 8)))
         else:
             px = _asset_pixels(i, w, h)
             if fmt == "png":
@@ -205,7 +212,7 @@ def test_ppm_rejects_bad_maxval_and_truncation():
 
 def test_decode_pixels_unknown_format():
     with pytest.raises(ValueError, match="no stdlib decoder"):
-        decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG magic
+        decode_pixels(b"RIFF" + b"\x00" * 64)  # wav/webp container
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +227,8 @@ def test_decode_image_uses_stdlib_decoders():
     assert _decode_image(gif) == (10, 4)
 
 
-def test_decode_image_jpeg_falls_through():
+def test_decode_image_exotic_falls_through():
+    # a corrupt/unsupported payload the stdlib decoders reject
     jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     try:
         import PIL  # noqa: F401
@@ -246,6 +254,13 @@ def test_pixel_stats_operator(spark):
         fmt, w, h = _asset_spec(i)
         if fmt == "gif":
             px = gif_palette()[_gif_index_grid(i, w, h)]
+        elif fmt == "jpeg":
+            from fineweb_domain_analyzer_spark.sources.pixels import (
+                _jpeg_block_grid,
+            )
+
+            g = _jpeg_block_grid(i, w, h)
+            px = np.dstack([g, g, g])
         else:
             px = _asset_pixels(i, w, h)
         sums = px.sum(axis=(0, 1), dtype=np.int64)
