@@ -114,6 +114,8 @@ def parse_image_dims(payload: bytes | None) -> tuple[int | None, int | None]:
     * GIF: logical screen descriptor — little-endian u16 at 6/8
     * JPEG: scan markers for SOF0-SOF15 (skipping non-frame markers);
       height/width big-endian u16 at +5/+7 inside the SOF segment
+    * BMP: BITMAPINFOHEADER — width/|height| little-endian i32 at 18/22
+    * PPM (P6): whitespace/comment-tolerant ASCII header
 
     Header dims are all a curation pipeline needs for resize/aspect/
     size filters; full pixel decode is _decode_image.
@@ -135,6 +137,30 @@ def parse_image_dims(payload: bytes | None) -> tuple[int | None, int | None]:
     if payload[:4] in (b"GIF8",) and len(payload) >= 10:
         w, h = struct.unpack("<HH", payload[6:10])
         return _valid(w, h)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return _valid(w, abs(h))  # negative height = top-down row order
+    if payload[:2] == b"P6":
+        vals: list[int] = []
+        p = 2
+        limit = min(len(payload), 128)  # header is ASCII and short
+        while len(vals) < 2 and p < limit:
+            c = payload[p : p + 1]
+            if c == b"#":
+                while p < limit and payload[p : p + 1] != b"\n":
+                    p += 1
+            elif c.isspace():
+                p += 1
+            elif c.isdigit():
+                start = p
+                while p < limit and payload[p : p + 1].isdigit():
+                    p += 1
+                vals.append(int(payload[start:p]))
+            else:
+                return (None, None)
+        if len(vals) == 2:
+            return _valid(vals[0], vals[1])
+        return (None, None)
     if payload[:3] == b"\xff\xd8\xff":
         i = 2
         n = len(payload)

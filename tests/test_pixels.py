@@ -215,6 +215,20 @@ def test_decode_pixels_unknown_format():
         decode_pixels(b"RIFF" + b"\x00" * 64)  # wav/webp container
 
 
+def test_parse_image_dims_bmp_and_ppm_headers():
+    from fineweb_domain_analyzer_spark.sources.media import parse_image_dims
+
+    px = _grid(w=13, h=9)
+    assert parse_image_dims(encode_bmp(px)) == (13, 9)
+    assert parse_image_dims(encode_ppm(px)) == (13, 9)
+    # top-down BMP stores a negative height; dims are |height|
+    b = bytearray(encode_bmp(px))
+    struct.pack_into("<i", b, 22, -9)
+    assert parse_image_dims(bytes(b)) == (13, 9)
+    assert parse_image_dims(b"P6\nabc") == (None, None)
+    assert parse_image_dims(b"P6\n# only a comment\n") == (None, None)
+
+
 # ---------------------------------------------------------------------------
 # media.py integration: stdlib-first, PIL fallback
 # ---------------------------------------------------------------------------
