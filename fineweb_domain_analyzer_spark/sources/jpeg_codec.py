@@ -312,7 +312,6 @@ def _encode_blocks(
     dc: dict[int, tuple[int, int]],
     ac: dict[int, tuple[int, int]],
     pred: int,
-    interleave_cb=None,
 ) -> int:
     bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
     for by in range(bh):
