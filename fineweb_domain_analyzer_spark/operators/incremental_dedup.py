@@ -408,23 +408,22 @@ class DedupIndex:
         manifest atomically REPLACES the old split set with the one
         compacted split (``Checkpointer.replace_splits``); a crash on
         either side leaves a fully consistent index. ``cleanup``
-        removes the now-invisible folded partition directories (local
-        filesystem best-effort; on object stores run the storage-level
-        GC instead). Must not run concurrently with an ingest.
+        removes the now-invisible folded partition directories.
+        Must not run concurrently with an ingest.
 
-        LOCAL-FILESYSTEM ONLY: both the rename-into-place of the
-        compacted partition (os.replace below) and the cleanup use
-        POSIX path semantics. On HDFS/S3 deployments route the move
-        through the Hadoop FileSystem API (``FileSystem.rename`` /
-        S3 multipart copy) — or skip compaction and rely on manifest
-        pruning; ingest and labeling are already object-store-safe
-        (plain Spark writes + the atomic manifest swap).
+        All moves/deletes go through the HADOOP FILESYSTEM API of the
+        table's own scheme (``FileSystem.rename`` / ``delete`` via the
+        session JVM), so compaction works uniformly on file://, HDFS
+        and S3A. Note S3A's rename is copy+delete, not atomic — which
+        is fine here, because VISIBILITY is governed solely by the
+        manifest swap: a half-renamed partition is simply absent from
+        the manifest and invisible to readers.
 
         Returns the compacted batch name, or None if there is nothing
         to compact (0 or 1 manifested batches)."""
         import re as _re
-        import shutil as _shutil
 
+        fs, hpath = self._hadoop_fs()
         batches = self.processed_batches()
         if len(batches) <= 1:
             return None
@@ -443,24 +442,37 @@ class DedupIndex:
         # derives _batch from the dir name) — still invisible until the
         # manifest swap, and no index-sized caching needed.
         tmp_root = os.path.join(self.root, "_tmp_compact")
-        _shutil.rmtree(tmp_root, ignore_errors=True)
+        fs.delete(hpath(tmp_root), True)
         for sub, df in (("exact", self.stored_exact()), ("sigs", self.stored_sigs())):
             df.drop("_batch").write.mode("overwrite").parquet(
                 os.path.join(tmp_root, sub)
             )
         for sub, table in (("exact", self.exact_path), ("sigs", self.sigs_path)):
             dest = os.path.join(table, f"_batch={name}")
-            _shutil.rmtree(dest, ignore_errors=True)
-            os.replace(os.path.join(tmp_root, sub), dest)
-        _shutil.rmtree(tmp_root, ignore_errors=True)
+            fs.delete(hpath(dest), True)
+            if not fs.rename(hpath(os.path.join(tmp_root, sub)), hpath(dest)):
+                raise OSError(
+                    f"Hadoop FileSystem rename failed: "
+                    f"{os.path.join(tmp_root, sub)} -> {dest}"
+                )
+        fs.delete(hpath(tmp_root), True)
         self.checkpointer.replace_splits({name})
         if cleanup:
             for path in (self.exact_path, self.sigs_path):
                 for b in batches:
-                    _shutil.rmtree(
-                        os.path.join(path, f"_batch={b}"), ignore_errors=True
-                    )
+                    fs.delete(hpath(os.path.join(path, f"_batch={b}")), True)
         return name
+
+    def _hadoop_fs(self):
+        """(FileSystem for the index root's scheme, str -> hadoop Path)
+        via the session JVM — the move/delete primitive that behaves
+        the same on file://, HDFS and S3A."""
+        jvm = self.spark._jvm
+        mk = jvm.org.apache.hadoop.fs.Path
+        fs = mk(self.root).getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        return fs, mk
 
     def ingest_batch(
         self,
