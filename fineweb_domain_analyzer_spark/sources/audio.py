@@ -36,7 +36,9 @@ from pyspark.sql.types import (
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """(sample_rate, samples[n_frames, n_channels] int32) for PCM WAV
-    (8-bit unsigned -> centered at -128..127; 16-bit signed LE)."""
+    (8-bit unsigned -> centered at -128..127; 16/24-bit signed LE) and
+    32-bit IEEE-float WAV (format code 3; samples returned as
+    round(f * 32768), the exact inverse of encode_wav's scaling)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos = 12
@@ -60,39 +62,63 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, n_channels, sample_rate, _, block_align, bits = fmt
-    if audio_format != 1:
-        raise ValueError(f"unsupported WAV format code {audio_format} (PCM only)")
-    if bits not in (8, 16):
-        raise ValueError(f"unsupported WAV bit depth {bits}")
+    if audio_format == 1:
+        if bits not in (8, 16, 24):
+            raise ValueError(f"unsupported PCM WAV bit depth {bits}")
+    elif audio_format == 3:
+        if bits != 32:
+            raise ValueError(f"unsupported float WAV bit depth {bits}")
+    else:
+        raise ValueError(
+            f"unsupported WAV format code {audio_format} (PCM or IEEE float)"
+        )
     if n_channels < 1 or block_align != n_channels * (bits // 8):
         raise ValueError("inconsistent WAV channel/block layout")
     n_frames = len(data) // block_align
-    if bits == 8:
-        samples = (
-            np.frombuffer(data, np.uint8, n_frames * n_channels).astype(np.int32)
-            - 128
-        )
-    else:
-        samples = np.frombuffer(data, "<i2", n_frames * n_channels).astype(
-            np.int32
-        )
+    n = n_frames * n_channels
+    if audio_format == 3:
+        samples = np.round(
+            np.frombuffer(data, "<f4", n).astype(np.float64) * 32768.0
+        ).astype(np.int32)
+    elif bits == 8:
+        samples = np.frombuffer(data, np.uint8, n).astype(np.int32) - 128
+    elif bits == 16:
+        samples = np.frombuffer(data, "<i2", n).astype(np.int32)
+    else:  # 24-bit: 3-byte little-endian two's complement
+        b = np.frombuffer(data, np.uint8, n * 3).reshape(n, 3).astype(np.int32)
+        samples = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples = np.where(samples >= 1 << 23, samples - (1 << 24), samples)
     return sample_rate, samples.reshape(n_frames, n_channels)
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
+def encode_wav(
+    samples: np.ndarray, sample_rate: int, bits: int = 16, *, float32: bool = False
+) -> bytes:
     """Inverse of decode_wav: interleave (n_frames, n_channels) int32
-    into a PCM WAV, with a junk LIST chunk before fmt so the decoder's
-    chunk walking is exercised."""
+    into a PCM (8/16/24-bit) or IEEE-float (samples/32768 as float32)
+    WAV, with a junk LIST chunk before fmt so the decoder's chunk
+    walking is exercised. int/32768 is exact in float32 for 16-bit
+    magnitudes, so the float path round-trips bit-exactly too."""
     n_frames, n_channels = samples.shape
-    if bits == 8:
+    if float32:
+        bits = 32
+        body = (samples.astype(np.float64) / 32768.0).astype("<f4").tobytes()
+    elif bits == 8:
         body = (samples + 128).astype(np.uint8).tobytes()
     elif bits == 16:
         body = samples.astype("<i2").tobytes()
+    elif bits == 24:
+        flat = samples.reshape(-1).astype(np.int32) & 0xFFFFFF
+        b = np.empty((flat.size, 3), dtype=np.uint8)
+        b[:, 0] = flat & 0xFF
+        b[:, 1] = (flat >> 8) & 0xFF
+        b[:, 2] = (flat >> 16) & 0xFF
+        body = b.tobytes()
     else:
         raise ValueError(f"unsupported bit depth {bits}")
     block_align = n_channels * (bits // 8)
     fmt = struct.pack(
-        "<HHIIHH", 1, n_channels, sample_rate,
+        "<HHIIHH", 3 if float32 else 1, n_channels, sample_rate,
         sample_rate * block_align, block_align, bits,
     )
     junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd len + pad

@@ -6,8 +6,9 @@ three formats whose pixel layer IS decodable with the standard library:
 
 * **PNG** (RFC 2083 / W3C spec): chunk walk, IDAT concat +
   ``zlib.decompress``, then scanline UN-filtering for all five filter
-  types (None/Sub/Up/Average/Paeth) — 8-bit truecolor (type 2) and
-  truecolor+alpha (type 6), non-interlaced.
+  types (None/Sub/Up/Average/Paeth) — every 8-bit color type:
+  grayscale (0), truecolor (2), palette/PLTE (3), gray+alpha (4),
+  truecolor+alpha (6); non-interlaced.
 * **BMP** (BITMAPINFOHEADER): uncompressed 24-bit, 4-byte row padding,
   bottom-up row order, BGR channel order.
 * **PPM** (netpbm P6): whitespace/comment-tolerant header, maxval 255.
@@ -64,14 +65,20 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # colortype -> samples/px
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit truecolor(+alpha) PNG; returns RGB
-    (alpha, when present, is decoded then dropped)."""
+    """Decode a non-interlaced 8-bit PNG of any color type — grayscale
+    (0), truecolor (2), palette (3, via PLTE), gray+alpha (4),
+    truecolor+alpha (6) — to RGB (gray replicates, alpha drops)."""
     if payload[: len(PNG_SIG)] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = len(PNG_SIG)
     width = height = None
+    colortype = 0
     channels = 0
+    palette = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -83,14 +90,18 @@ def decode_png(payload: bytes) -> np.ndarray:
             width, height, bitdepth, colortype, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if bitdepth != 8 or colortype not in (2, 6):
+            if bitdepth != 8 or colortype not in _PNG_CHANNELS:
                 raise ValueError(
                     f"unsupported PNG (bitdepth={bitdepth}, type={colortype}); "
-                    "only 8-bit truecolor(+alpha)"
+                    "only 8-bit samples"
                 )
             if comp != 0 or filt != 0 or interlace != 0:
                 raise ValueError("unsupported PNG compression/filter/interlace")
-            channels = 3 if colortype == 2 else 4
+            channels = _PNG_CHANNELS[colortype]
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("bad PNG PLTE length")
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -98,6 +109,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length  # len + type + data + crc
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
+    if colortype == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(raw) != height * (stride + 1):
@@ -132,6 +145,14 @@ def decode_png(payload: bytes) -> np.ndarray:
         out[y] = recon.astype(np.uint8)
         prior = recon
     px = out.reshape(height, width, channels)
+    if colortype == 3:
+        idx = px[:, :, 0]
+        if int(idx.max()) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return np.ascontiguousarray(palette[idx])
+    if channels < 3:  # grayscale (+alpha): replicate Y, drop alpha
+        g = px[:, :, 0]
+        return np.ascontiguousarray(np.dstack([g, g, g]))
     return np.ascontiguousarray(px[:, :, :3])
 
 
@@ -374,19 +395,28 @@ def decode_pixels(payload: bytes) -> tuple[str, np.ndarray]:
 # encoders — the test/oracle harness's ground truth
 # ---------------------------------------------------------------------------
 
-def encode_png(px: np.ndarray, alpha: np.ndarray | None = None) -> bytes:
-    """Encode RGB(+optional alpha plane) as PNG, cycling the scanline
-    filter type ``y % 5`` so decode exercises every un-filter branch."""
-    h, w, _ = px.shape
-    channels = 3 if alpha is None else 4
-    if alpha is not None:
-        px = np.dstack([px, alpha])
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _encode_png_samples(
+    samples: np.ndarray, colortype: int, palette: np.ndarray | None = None
+) -> bytes:
+    """Write (h, w, channels) 8-bit samples as a PNG of the given color
+    type, cycling the scanline filter ``y % 5`` so decode exercises
+    every un-filter branch."""
+    h, w, channels = samples.shape
     stride = w * channels
     bpp = channels
     raw = bytearray()
     prior = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        line = px[y].reshape(stride).astype(np.int32)
+        line = samples[y].reshape(stride).astype(np.int32)
         ftype = y % 5
         raw.append(ftype)
         for i in range(stride):
@@ -405,22 +435,34 @@ def encode_png(px: np.ndarray, alpha: np.ndarray | None = None) -> bytes:
                 pred = _paeth(left, up, ul)
             raw.append((int(line[i]) - pred) & 0xFF)
         prior = line
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data))
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if channels == 3 else 6, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    out = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
     return (
-        PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png(px: np.ndarray, alpha: np.ndarray | None = None) -> bytes:
+    """Encode RGB(+optional alpha plane) as a truecolor(+alpha) PNG."""
+    if alpha is not None:
+        return _encode_png_samples(np.dstack([px, alpha]), 6)
+    return _encode_png_samples(px, 2)
+
+
+def encode_png_gray(g: np.ndarray, alpha: np.ndarray | None = None) -> bytes:
+    """Encode a (h, w) grayscale plane as colortype 0 (or 4 w/ alpha)."""
+    if alpha is not None:
+        return _encode_png_samples(np.dstack([g, alpha]), 4)
+    return _encode_png_samples(g[:, :, None], 0)
+
+
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode a (h, w) index grid + (n, 3) palette as colortype 3."""
+    return _encode_png_samples(indices[:, :, None], 3, palette=palette)
 
 
 def encode_bmp(px: np.ndarray) -> bytes:

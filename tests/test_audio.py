@@ -37,6 +37,25 @@ def test_stereo_deinterleave():
     assert np.array_equal(got[:, 1], -np.arange(nf))
 
 
+def test_24bit_pcm_full_range():
+    rng = np.random.RandomState(2)
+    s = rng.randint(-(1 << 23), 1 << 23, size=(200, 2)).astype(np.int32)
+    rate, got = decode_wav(encode_wav(s, 44100, 24))
+    assert rate == 44100 and np.array_equal(got, s)
+    edge = np.array([[-(1 << 23)], [0], [(1 << 23) - 1]], dtype=np.int32)
+    _, got = decode_wav(encode_wav(edge, 8000, 24))
+    assert np.array_equal(got, edge)
+
+
+def test_float32_wav_exact_for_16bit_magnitudes():
+    # s/32768 is exactly representable in float32 for |s| < 2^15, so
+    # the float path round-trips bit-exactly
+    rng = np.random.RandomState(3)
+    s = rng.randint(-32768, 32768, size=(150, 1)).astype(np.int32)
+    rate, got = decode_wav(encode_wav(s, 22050, float32=True))
+    assert rate == 22050 and np.array_equal(got, s)
+
+
 def test_8bit_centering():
     # 8-bit PCM is unsigned on the wire; decode centers it to -128..127
     s = np.array([[-128], [0], [127]], dtype=np.int32)
@@ -56,8 +75,11 @@ def test_junk_chunk_tolerated():
 def test_rejects_non_pcm_and_truncation():
     payload = bytearray(encode_wav(np.ones((10, 2), dtype=np.int32), 8000, 16))
     fmt_at = bytes(payload).index(b"fmt ") + 8
-    struct.pack_into("<H", payload, fmt_at, 3)  # IEEE float format code
+    struct.pack_into("<H", payload, fmt_at, 85)  # unknown format code
     with pytest.raises(ValueError, match="format code"):
+        decode_wav(bytes(payload))
+    struct.pack_into("<H", payload, fmt_at, 3)  # float code w/ 16-bit depth
+    with pytest.raises(ValueError, match="float WAV bit depth"):
         decode_wav(bytes(payload))
     good = encode_wav(np.ones((10, 2), dtype=np.int32), 8000, 16)
     with pytest.raises(ValueError, match="truncated"):

@@ -56,6 +56,32 @@ def test_png_rgba_alpha_dropped():
     assert np.array_equal(decode_png(encode_png(px, alpha)), px)
 
 
+def test_png_gray_and_gray_alpha():
+    from fineweb_domain_analyzer_spark.sources.pixels import encode_png_gray
+
+    g = _grid(h=9)[:, :, 0]
+    alpha = ((np.arange(9).reshape(9, 1) + np.arange(12)) % 256).astype(np.uint8)
+    for payload in (encode_png_gray(g), encode_png_gray(g, alpha)):
+        assert np.array_equal(decode_png(payload), np.dstack([g, g, g]))
+
+
+def test_png_palette():
+    from fineweb_domain_analyzer_spark.sources.pixels import encode_png_palette
+
+    idx = _gif_index_grid(4, 14, 11)
+    pal = gif_palette()
+    assert np.array_equal(decode_png(encode_png_palette(idx, pal)), pal[idx])
+    # out-of-range palette index is rejected, not wrapped
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(encode_png_palette(idx, pal[:10]))
+    # palette PNG with the PLTE chunk stripped is rejected
+    payload = encode_png_palette(idx, pal)
+    at = payload.index(b"PLTE") - 4
+    ln = struct.unpack(">I", payload[at : at + 4])[0]
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(payload[:at] + payload[at + 12 + ln :])
+
+
 def test_bmp_round_trip_row_padding():
     # w=13 -> 39-byte rows padded to 40: exercises the un-pad path
     px = _grid(w=13)
