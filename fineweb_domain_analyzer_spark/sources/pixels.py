@@ -2,7 +2,8 @@
 
 The media path (sources/media.py) parses container headers codec-free
 and gates full decode behind PIL. This module closes the gap for the
-three formats whose pixel layer IS decodable with the standard library:
+formats whose pixel layer IS decodable with the standard library
+(baseline JPEG lives in the sibling ``jpeg_codec.py``):
 
 * **PNG** (RFC 2083 / W3C spec): chunk walk, IDAT concat +
   ``zlib.decompress``, then scanline UN-filtering for all five filter
@@ -17,7 +18,7 @@ three formats whose pixel layer IS decodable with the standard library:
   case, sub-block reassembly — plus global/local color tables,
   extension-block skipping and 4-pass de-interlacing.
 
-Encoders for the same three formats live here too — they are the test
+Encoders for the same formats live here too — they are the test
 harness's ground truth (encode a formula-generated pixel grid, decode
 the bytes, compare sums), and the PNG encoder deliberately cycles the
 filter type per scanline (``y % 5``) so every un-filter branch is
