@@ -157,11 +157,16 @@ def encode_text(
 
 
 def load_merges(path: str | Path = MERGES_PATH) -> list[tuple[str, str]]:
+    """Read a merge table in either this repo's TSV or the Hugging Face
+    ``merges.txt`` convention (space-separated pair per line, optional
+    ``#version`` header) — per line: split on tab when present, else on
+    the single space. Rank is line order in both conventions."""
     out: list[tuple[str, str]] = []
     for line in Path(path).read_text(encoding="utf-8").splitlines():
         if not line or line.startswith("#"):
             continue
-        a, b = line.split("\t")
+        sep = "\t" if "\t" in line else " "
+        a, b = line.split(sep)
         out.append((a, b))
     return out
 
