@@ -62,12 +62,74 @@ def extract_tld_py(domain: str | None) -> str:
     return domain.split(".")[-1]
 
 
+# --- vectorized fast path for the exact UDF ----------------------------------
+#
+# ``urls.map(extract_domain_py)`` costs ~6 µs/row (one urlparse call per
+# row); on the flagship pipeline that per-row loop is the single largest
+# Python cost. The fast path below runs the whole Arrow batch through
+# pyarrow.compute (RE2 + C++ string kernels, ~5× faster) for the rows
+# where a regex netloc split provably agrees with urlparse, and falls
+# back to ``extract_domain_py`` per row only outside that safe subset.
+#
+# Safe subset = URL starts (at byte 0 — urlparse lstrips C0-control/space,
+# so any leading junk disqualifies) with a valid RFC-3986 scheme followed
+# by "://", and the netloc slice ``[^/?#]*`` is printable ASCII without
+# brackets. Outside it live every urlparse quirk the regex can't mirror:
+# \t\r\n stripped ANYWHERE in the url, leading C0/space lstrip, bracketed
+# IPv6 hosts (urlsplit validates and may raise), and non-ASCII netlocs
+# (NFKC check in _checknetloc may raise). Differential test:
+# tests/test_domains.py (hypothesis fuzz, fast path vs extract_domain_py).
+_NETLOC_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?P<netloc>[^/?#]*)"
+# printable ASCII minus '[' (\x5b) and ']' (\x5d)
+_SAFE_NETLOC_RE = r"^[\x20-\x5a\x5c\x5e-\x7e]*$"
+
+
+def extract_domain_vec(urls: pd.Series) -> pd.Series:
+    """Batch-exact domain extraction: pyarrow fast path + urlparse fallback.
+
+    Byte-identical to ``urls.map(extract_domain_py)`` on every input —
+    the fast path only claims rows where the RE2 netloc split is provably
+    equivalent to urlparse's; everything else takes the per-row oracle.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(urls, type=pa.string())
+    netloc = pc.struct_field(pc.extract_regex(arr, _NETLOC_RE), "netloc")
+    safe = pc.fill_null(
+        pc.and_kleene(
+            pc.is_valid(netloc),
+            pc.match_substring_regex(netloc, _SAFE_NETLOC_RE),
+        ),
+        False,
+    )
+    d = pc.utf8_lower(netloc)
+    strip_port = pc.fill_null(
+        pc.and_kleene(
+            pc.match_substring(d, ":"),
+            pc.invert(pc.ends_with(d, pattern=":8080")),
+        ),
+        False,
+    )
+    # split(":")[0] == drop from the FIRST colon to end (RE2 ':.*$' matches
+    # at the leftmost colon; netloc is printable ASCII so '.' spans it all)
+    d = pc.if_else(strip_port, pc.replace_substring_regex(d, r":.*$", ""), d)
+    www = pc.fill_null(pc.starts_with(d, pattern="www."), False)
+    d = pc.if_else(www, pc.utf8_slice_codeunits(d, 4, 2**31 - 1), d)
+    out = pc.if_else(safe, d, pa.nulls(len(arr), pa.string())).to_pandas()
+    unsafe = pc.invert(safe).to_pandas().to_numpy(dtype=bool)
+    if unsafe.any():
+        out = out.copy()
+        out.iloc[unsafe] = urls.iloc[unsafe].map(extract_domain_py)
+    return out.astype(object).where(out.notna(), None)
+
+
 # DataType objects (not DDL strings) so the UDFs can be declared at
 # import time, before any SparkSession exists.
 @pandas_udf(StringType())
 def extract_domain_udf(urls: pd.Series) -> pd.Series:
     """Vectorized exact domain extraction (Arrow batches, no per-row JVM hop)."""
-    return urls.map(extract_domain_py)
+    return extract_domain_vec(urls)
 
 
 @pandas_udf(StringType())

@@ -117,6 +117,74 @@ def test_extract_domain_py_differential(url):
     assert extract_domain_py(url) == expected
 
 
+VEC_NASTIES = [
+    # fast-path shapes
+    "https://www.Example.COM:8080/p",
+    "http://ex.com:80/",
+    "http://h.com:80:8080/z",
+    "http://host.com?q#f",
+    "a+b-c.d://host/x",
+    "http://",
+    "http://host .com/x",  # space inside netloc — ASCII, fast path keeps it
+    "http://host.com ",  # trailing space NOT stripped by urlparse
+    # fallback shapes (each exercises a disqualifier)
+    " http://lead.com/x",  # leading space — urlparse lstrips C0/space
+    "http://ho\tst.com/x",  # \t stripped anywhere by urlparse
+    "ht\ttp://host.com/x",
+    "http://ho\nst.com/x",
+    "http://[::1]:8080/x",  # bracketed IPv6 (urlsplit validates)
+    "http://[invalid/x",  # bracket that makes urlsplit raise
+    "http://пример.рф/x",  # non-ASCII netloc (NFKC check path)
+    "http://host.com\x00/x",
+    "//host.com/x",  # scheme-less netloc — urlparse sees it, regex doesn't
+    "http:/a.com",
+    "not-a-url",
+    "",
+]
+
+
+def test_extract_domain_vec_matches_py_on_nasties():
+    import pandas as pd
+
+    from fineweb_domain_analyzer_spark.functions.domains import (
+        extract_domain_vec,
+    )
+
+    urls = pd.Series(VEC_NASTIES + [None], dtype=object)
+    got = extract_domain_vec(urls)
+    for u, g in zip(urls, got):
+        assert g == extract_domain_py(u), repr(u)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(max_size=60),
+            st.text(
+                alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+                max_size=60,
+            ).map(lambda s: "http://" + s),
+        ),
+        max_size=20,
+    )
+)
+def test_extract_domain_vec_differential(urls):
+    """The batch fast path must be byte-identical to the per-row oracle
+    on arbitrary input — including rows the fast path must hand back to
+    the urlparse fallback."""
+    import pandas as pd
+
+    from fineweb_domain_analyzer_spark.functions.domains import (
+        extract_domain_vec,
+    )
+
+    s = pd.Series(urls, dtype=object)
+    got = extract_domain_vec(s)
+    assert list(got) == [extract_domain_py(u) for u in urls]
+
+
 class TestDomainBlocklist:
     """UT1-style DNS-suffix blocklist (with_domain_blocked)."""
 
