@@ -32,6 +32,10 @@ value-checked oracle row, inside the 50-key window:
   sniff + md5-seeded embedding over text payloads) + q76 REAL pixel
   decode (stdlib PNG/BMP/PPM with an analytic closed-form oracle),
   method-tagged union.
+* ``q12_robots_filter``      = reference-parity F5 labels (q12) +
+  opt-in robots path-rule enforcement (q78, the extension closing the
+  reference's record-but-never-enforce discrepancy), method-tagged
+  union.
 
 The fine-grained originals stay in ``queries.QUERIES`` (the FULL
 registry) for tests, benches and `FULL=1 scripts/check_oracle.py`;
@@ -614,11 +618,44 @@ def _media_features_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q12_robots_filter (reference-parity labels ∪ opt-in path enforcement)
+# ---------------------------------------------------------------------------
+
+def q12_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship robots filter in both modes, method-tagged:
+    ``reference_parity`` is the exact F5 truth table (disallowed_paths
+    recorded, never enforced — fineweb_analyzer.py:436-459);
+    ``enforce_paths`` is the opt-in RFC 9309 prefix-match extension
+    (label_pages(enforce_paths=True), drop_reason
+    'robots_path_disallowed'). Both sides run the same label_pages
+    operator — one broadcast join each, no fact-side shuffle."""
+    def tag(df, m):
+        return df.select(
+            F.lit(m).alias("mode"), "doc_id", "domain", "keep", "drop_reason"
+        )
+
+    return tag(q.QUERIES["q12_robots_filter"](spark, sf_dir), "reference_parity").unionAll(
+        tag(q.QUERIES["q78_robots_path_enforcement"](spark, sf_dir), "enforce_paths")
+    )
+
+
+def _robots_filter_sql() -> str:
+    return (
+        f"SELECT 'reference_parity' AS mode, doc_id, domain, keep, drop_reason "
+        f"FROM ({q.Q12_SQL})\n"
+        f"UNION ALL\n"
+        f"SELECT 'enforce_paths' AS mode, doc_id, domain, keep, drop_reason "
+        f"FROM ({q.Q78_SQL})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # exposed registry: every operator, ≤ 50 keys
 # ---------------------------------------------------------------------------
 
 _MERGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_relational_suite": q01_relational_suite,
+    "q12_robots_filter": q12_robots_filter,
     "q13_quality_surface": q13_quality_surface,
     "q14_langid": q14_langid,
     "q17_doc_hashes": q17_doc_hashes,
@@ -647,6 +684,7 @@ _FOLDED = {
     "q24_ann_brute_force", "q25_ann_lsh", "q32_ann_ivf",
     "q30_embedding_near_dups", "q43_embedding_near_dups_banded",
     "q76_pixel_stats", "q77_audio_stats",
+    "q12_robots_filter", "q78_robots_path_enforcement",
 }
 
 
@@ -662,6 +700,7 @@ def exposed_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def merged_oracle_sql() -> dict[str, str]:
     return {
         "q01_relational_suite": _suite_sql(),
+        "q12_robots_filter": _robots_filter_sql(),
         "q13_quality_surface": _quality_surface_sql(),
         "q14_langid": _langid_merged_sql(),
         "q17_doc_hashes": _doc_hashes_sql(),
@@ -682,9 +721,10 @@ def exposed_oracle_sql() -> dict[str, str]:
     return dict(sorted(out.items()))
 
 
-# two merged keys reuse a fine-grained name; in the FULL registry the
+# some merged keys reuse a fine-grained name; in the FULL registry the
 # original stays checkable under a disambiguated key
 _RENAMED_IN_FULL = {
+    "q12_robots_filter": "q12_robots_filter_reference_parity",
     "q14_langid": "q14_langid_heuristic_only",
     "q30_embedding_near_dups": "q30_embedding_near_dups_single_key",
     "q42_media_features": "q42_media_features_bytes",

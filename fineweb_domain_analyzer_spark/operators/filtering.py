@@ -41,7 +41,13 @@ from fineweb_domain_analyzer_spark.functions.domains import (
 # lineage histogram (metrics.py) has one vocabulary.
 REASON_KEPT = "kept"
 REASON_ROBOTS_DISALLOWED = "robots_disallowed"
+REASON_ROBOTS_PATH_DISALLOWED = "robots_path_disallowed"
 REASON_BAD_URL = "bad_url"
+
+# Path component of a URL: everything after the authority, before ?/#.
+# Kept as a plain regex (identical semantics in Spark and DuckDB) so the
+# oracle can mirror it verbatim; an absent path normalizes to "/".
+_URL_PATH_REGEX = r"^[^:/?#]+://[^/?#]*([^?#]*)"
 
 
 def with_domain(pages: DataFrame, url_col: str = "url", exact: bool = True) -> DataFrame:
@@ -54,20 +60,53 @@ def with_domain(pages: DataFrame, url_col: str = "url", exact: bool = True) -> D
 
 
 def join_policy(
-    pages: DataFrame, policy: DataFrame, broadcast_dim: bool = True
+    pages: DataFrame,
+    policy: DataFrame,
+    broadcast_dim: bool = True,
+    include_paths: bool = False,
 ) -> DataFrame:
-    """Left-join the policy dimension on domain. Only ``crawl_allowed``
-    is consulted downstream (the reference records but never enforces
-    disallowed_paths/crawl_delay — fineweb_analyzer.py:436-459)."""
-    dim = policy.select(
+    """Left-join the policy dimension on domain. By default only
+    ``crawl_allowed`` is consulted downstream (the reference records but
+    never enforces disallowed_paths/crawl_delay —
+    fineweb_analyzer.py:436-459); ``include_paths=True`` also carries
+    ``disallowed_paths`` for the opt-in path-enforcement extension."""
+    cols = [
         F.col("domain").alias("_policy_domain"),
         F.col("crawl_allowed").alias("_policy_crawl_allowed"),
-    )
+    ]
+    if include_paths:
+        cols.append(F.col("disallowed_paths").alias("_policy_disallowed_paths"))
+    dim = policy.select(*cols)
     if broadcast_dim:
         dim = F.broadcast(dim)
     return pages.join(dim, pages["domain"] == dim["_policy_domain"], "left").drop(
         "_policy_domain"
     )
+
+
+def url_path(url: Column) -> Column:
+    """URL path, normalized so the root page is always ``'/'``.
+
+    JVM-side (regexp_extract → whole-stage codegen); deliberately a
+    plain regex rather than ``F.parse_url`` so the DuckDB oracle can
+    apply the exact same expression."""
+    raw = F.regexp_extract(url, _URL_PATH_REGEX, 1)
+    return F.when(raw == "", F.lit("/")).otherwise(raw)
+
+
+def path_disallowed(path: Column, disallowed_paths: Column) -> Column:
+    """RFC 9309 prefix match of ``path`` against a Disallow list.
+
+    Semantics: a rule matches when the path starts with the rule string
+    (``Disallow: /`` blocks everything; an empty rule list blocks
+    nothing — the robots parser already drops empty ``Disallow:`` lines,
+    functions/robots.py:70-75). Wildcards (``*``/``$``, a non-standard
+    Google extension) are NOT interpreted; the reference's parser never
+    emits them specially either (fineweb_analyzer.py:282-290 collects
+    raw Disallow values). Fully JVM-side: ``exists`` + ``startswith``
+    stay inside whole-stage codegen — no Python crossing, no shuffle."""
+    paths = F.coalesce(disallowed_paths, F.array().cast("array<string>"))
+    return F.exists(paths, lambda p: path.startswith(p))
 
 
 def keep_predicate(url: Column, domain: Column, crawl_allowed: Column) -> Column:
@@ -98,18 +137,43 @@ def label_pages(
     url_col: str = "url",
     exact_domain: bool = True,
     broadcast_dim: bool = True,
+    enforce_paths: bool = False,
 ) -> DataFrame:
     """pages → pages + (domain, keep, drop_reason). Single map-side pass:
-    scan → UDF/projection → broadcast join → predicate. No shuffle."""
+    scan → UDF/projection → broadcast join → predicate. No shuffle.
+
+    ``enforce_paths=False`` (default) reproduces the reference bit-for-bit
+    (it records disallowed_paths but never enforces them,
+    fineweb_analyzer.py:436-459 — see SURVEY.md §2.3). ``enforce_paths=True``
+    is the opt-in EXTENSION that additionally drops pages whose URL path
+    prefix-matches a Disallow rule of an otherwise-allowed domain
+    (drop_reason ``robots_path_disallowed``). Precedence: bad_url >
+    robots_disallowed > robots_path_disallowed; the no-url ⇒ keep quirk
+    is preserved. Still a single broadcast-join map stage — the path
+    check is a codegen ``exists``/``startswith`` over the joined array."""
     labeled = with_domain(pages, url_col, exact=exact_domain)
-    labeled = join_policy(labeled, policy, broadcast_dim=broadcast_dim)
+    labeled = join_policy(
+        labeled, policy, broadcast_dim=broadcast_dim, include_paths=enforce_paths
+    )
     url = F.col(url_col)
     dom = F.col("domain")
     allowed = F.col("_policy_crawl_allowed")
+    keep = keep_predicate(url, dom, allowed)
+    reason = drop_reason(url, dom, allowed)
+    drop_cols = ["_policy_crawl_allowed"]
+    if enforce_paths:
+        no_url = url.isNull() | (url == "")
+        blocked = path_disallowed(url_path(url), F.col("_policy_disallowed_paths"))
+        path_dropped = ~no_url & keep & blocked
+        keep = keep & ~path_dropped
+        reason = F.when(path_dropped, F.lit(REASON_ROBOTS_PATH_DISALLOWED)).otherwise(
+            reason
+        )
+        drop_cols.append("_policy_disallowed_paths")
     return (
-        labeled.withColumn("keep", keep_predicate(url, dom, allowed))
-        .withColumn("drop_reason", drop_reason(url, dom, allowed))
-        .drop("_policy_crawl_allowed")
+        labeled.withColumn("keep", keep)
+        .withColumn("drop_reason", reason)
+        .drop(*drop_cols)
     )
 
 

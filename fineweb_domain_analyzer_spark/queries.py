@@ -3644,6 +3644,69 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def policy_paths_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """policy_view + deterministic ``disallowed_paths`` per domain:
+    idx%12==4 → ['/'] (full path block on an allowed domain),
+    idx%4==0 → ['/doc/1','/doc/3'] (prefix rules), else []."""
+    pol = policy_view(spark, sf_dir)
+    idx = F.regexp_extract(F.col("domain"), r"([0-9]+)", 1).cast("int")
+    paths = (
+        F.when(idx % 12 == 4, F.array(F.lit("/")))
+        .when(idx % 4 == 0, F.array(F.lit("/doc/1"), F.lit("/doc/3")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return pol.withColumn("disallowed_paths", paths)
+
+
+def q78_robots_path_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — opt-in robots path-rule enforcement. The reference
+    collects per-domain Disallow paths but never enforces them
+    (fineweb_analyzer.py:436-459; documented discrepancy, SURVEY.md
+    §2.3). ``label_pages(enforce_paths=True)`` closes that gap behind a
+    flag: RFC 9309 prefix match of the URL path against the joined
+    Disallow list, drop_reason='robots_path_disallowed', precedence
+    after the domain-level deny. Plan shape is unchanged — one broadcast
+    join, path check is codegen exists/startswith, zero extra shuffles."""
+    from fineweb_domain_analyzer_spark.operators.filtering import label_pages
+
+    pages = pages_view(spark, sf_dir)
+    policy = policy_paths_view(spark, sf_dir)
+    labeled = label_pages(pages, policy, exact_domain=True, enforce_paths=True)
+    return labeled.select("doc_id", "domain", "keep", "drop_reason")
+
+
+Q78_SQL = f"""
+WITH {PAGES_CTE}, {DOMAINS_CTE}, {POLICY_CTE},
+ppaths AS (
+  SELECT domain, crawl_allowed,
+         CASE WHEN idx % 12 = 4 THEN ['/']
+              WHEN idx % 4 = 0 THEN ['/doc/1', '/doc/3']
+              ELSE [] END AS disallowed_paths
+  FROM (SELECT domain, crawl_allowed,
+               TRY_CAST(regexp_extract(domain, '([0-9]+)', 1) AS INT) AS idx
+        FROM policy)
+),
+lab AS (
+  SELECT d.doc_id, d.domain,
+         coalesce(p.crawl_allowed, TRUE) AS base_keep,
+         len(list_filter(
+               coalesce(p.disallowed_paths, []),
+               pp -> starts_with(
+                 CASE WHEN regexp_extract(d.url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) = ''
+                      THEN '/'
+                      ELSE regexp_extract(d.url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) END,
+                 pp))) > 0 AS path_blocked
+  FROM domains d LEFT JOIN ppaths p ON d.domain = p.domain
+)
+SELECT doc_id, domain,
+       base_keep AND NOT path_blocked AS keep,
+       CASE WHEN NOT base_keep THEN 'robots_disallowed'
+            WHEN path_blocked THEN 'robots_path_disallowed'
+            ELSE 'kept' END AS drop_reason
+FROM lab
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3723,6 +3786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_bpe_tokenize": q75_bpe_tokenize,
     "q76_pixel_stats": q76_pixel_stats,
     "q77_audio_stats": q77_audio_stats,
+    "q78_robots_path_enforcement": q78_robots_path_enforcement,
 }
 
 
@@ -3803,4 +3867,5 @@ def oracle_sql() -> dict[str, str]:
         "q75_bpe_tokenize": Q75_SQL,
         "q76_pixel_stats": Q76_SQL,
         "q77_audio_stats": Q77_SQL,
+        "q78_robots_path_enforcement": Q78_SQL,
     }
