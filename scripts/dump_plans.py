@@ -18,7 +18,7 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 PICKS = {
     "q01_pricing_summary": "column-pruned scan + partial/final hash agg; ONE exchange",
     "q02_revenue_by_nation": "fact-fact SMJ + broadcast dims; AQE re-plans at runtime",
-    "q12_robots_filter": "flagship: Arrow-batched UDF + broadcast left join, ZERO pages-side shuffle",
+    "q12_robots_filter": "flagship (reference-parity ∪ enforce_paths union): each side an Arrow-batched UDF + broadcast left join, ZERO pages-side shuffle — both Exchanges are the tiny policy dim's distinct; path enforcement fuses into the same map stage",
     "q20_lsh_pairs": "minhash map stage -> explode bands -> equi-join on uniform hash key",
     "q23_unigram_perplexity": "two-shuffle LM build + broadcast score join",
     "q36_near_dedup": "minhash map stage -> banded self-join -> Jaccard verify, one composition",
