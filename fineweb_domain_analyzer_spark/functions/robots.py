@@ -123,6 +123,65 @@ def policy_from_robots_content(
     )
 
 
+def recrawl_plan(
+    domain_counts: DataFrame,
+    policy: DataFrame,
+    window_s: float = 3600.0,
+    default_delay: float = 1.0,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Per-domain recrawl budget from the policy's ``crawl_delay`` —
+    the EXTENSION that puts the second recorded-but-never-used policy
+    field to work (the reference parses Crawl-delay,
+    fineweb_analyzer.py:287-290, but no stage consumes it).
+
+    Input: ``domain_counts`` (domain, page_cnt) and the policy dim.
+    Output per domain: effective delay (``crawl_delay`` when > 0, else
+    ``default_delay``), ``max_fetches_per_window = floor(window_s /
+    delay)``, ``windows_needed = ceil(page_cnt / max_fetches)`` (integer
+    arithmetic, cross-engine exact), and ``over_budget``. Domains the
+    policy denies get a zero budget and a NULL window count; domains
+    absent from the policy follow the pipeline's default-allow rule.
+
+    Scale: one broadcast join onto the already-aggregated domain counts
+    — O(domains) rows, all-codegen projections, no extra shuffle.
+    Note floor/ceil are over a float division of the caller's
+    ``window_s``/delay; stick to values exactly representable in binary
+    (the defaults are) when cross-engine hash parity matters."""
+    dim = policy.select(
+        F.col("domain").alias("_pol_domain"),
+        F.col("crawl_allowed").alias("_pol_allowed"),
+        F.col("crawl_delay").alias("_pol_delay"),
+    )
+    if broadcast_dim:
+        dim = F.broadcast(dim)
+    joined = domain_counts.join(
+        dim, domain_counts["domain"] == dim["_pol_domain"], "left"
+    )
+    allowed = F.coalesce(F.col("_pol_allowed"), F.lit(True))
+    delay_eff = F.when(
+        F.col("_pol_delay").isNotNull() & (F.col("_pol_delay") > 0),
+        F.col("_pol_delay"),
+    ).otherwise(F.lit(float(default_delay)))
+    max_f = F.when(
+        allowed, F.floor(F.lit(float(window_s)) / delay_eff).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    cnt = F.col("page_cnt").cast("bigint")
+    windows = F.when(
+        max_f > 0, F.floor((cnt + max_f - F.lit(1)) / max_f).cast("bigint")
+    )  # denied / zero-budget domains: NULL (no finite schedule)
+    over = F.when(max_f > 0, cnt > max_f).otherwise(F.lit(True))
+    return joined.select(
+        F.col("domain"),
+        cnt.alias("page_cnt"),
+        allowed.alias("fetchable"),
+        delay_eff.cast("double").alias("delay_s"),
+        max_f.alias("max_fetches_per_window"),
+        windows.alias("windows_needed"),
+        over.alias("over_budget"),
+    )
+
+
 def _default_fetcher(timeout: float):
     """(url) -> (status_code, text); raises on connection failure.
     Uses requests with the reference's retry strategy when importable

@@ -36,6 +36,8 @@ value-checked oracle row, inside the 50-key window:
   opt-in robots path-rule enforcement (q78, the extension closing the
   reference's record-but-never-enforce discrepancy), method-tagged
   union.
+* ``q38_robots_policy``      = q38 parser/fetch semantics + q79
+  crawl-delay recrawl budgeting, one wide domain-level frame.
 
 The fine-grained originals stay in ``queries.QUERIES`` (the FULL
 registry) for tests, benches and `FULL=1 scripts/check_oracle.py`;
@@ -650,12 +652,41 @@ def _robots_filter_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q38_robots_policy (parser/fetch semantics ∪ crawl-delay recrawl budget)
+# ---------------------------------------------------------------------------
+
+def q38_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots policy dimension, widened with the recrawl budget: the
+    q38 parser/fetch-semantics columns full-outer-joined on domain with
+    q79's crawl-delay budgeting (max fetches per politeness window,
+    windows needed for the domain's page inventory). Full outer because
+    the page-side inventory also contains the ':8080' port-quirk domains
+    the policy never covers."""
+    pol = q.QUERIES["q38_robots_policy"](spark, sf_dir)
+    plan = q.QUERIES["q79_recrawl_plan"](spark, sf_dir)
+    return pol.join(plan, "domain", "full_outer")
+
+
+def _robots_policy_sql() -> str:
+    return (
+        "SELECT coalesce(a.domain, b.domain) AS domain,\n"
+        "       a.robots_exists, a.crawl_allowed, a.crawl_delay,\n"
+        "       a.n_disallowed, a.had_error,\n"
+        "       b.page_cnt, b.fetchable, b.delay_s,\n"
+        "       b.max_fetches_per_window, b.windows_needed, b.over_budget\n"
+        f"FROM ({q.Q38_SQL}) a FULL OUTER JOIN ({q.Q79_SQL}) b\n"
+        "  ON a.domain = b.domain"
+    )
+
+
+# ---------------------------------------------------------------------------
 # exposed registry: every operator, ≤ 50 keys
 # ---------------------------------------------------------------------------
 
 _MERGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_relational_suite": q01_relational_suite,
     "q12_robots_filter": q12_robots_filter,
+    "q38_robots_policy": q38_robots_policy,
     "q13_quality_surface": q13_quality_surface,
     "q14_langid": q14_langid,
     "q17_doc_hashes": q17_doc_hashes,
@@ -685,6 +716,7 @@ _FOLDED = {
     "q30_embedding_near_dups", "q43_embedding_near_dups_banded",
     "q76_pixel_stats", "q77_audio_stats",
     "q12_robots_filter", "q78_robots_path_enforcement",
+    "q38_robots_policy", "q79_recrawl_plan",
 }
 
 
@@ -701,6 +733,7 @@ def merged_oracle_sql() -> dict[str, str]:
     return {
         "q01_relational_suite": _suite_sql(),
         "q12_robots_filter": _robots_filter_sql(),
+        "q38_robots_policy": _robots_policy_sql(),
         "q13_quality_surface": _quality_surface_sql(),
         "q14_langid": _langid_merged_sql(),
         "q17_doc_hashes": _doc_hashes_sql(),
@@ -726,6 +759,7 @@ def exposed_oracle_sql() -> dict[str, str]:
 _RENAMED_IN_FULL = {
     "q12_robots_filter": "q12_robots_filter_reference_parity",
     "q14_langid": "q14_langid_heuristic_only",
+    "q38_robots_policy": "q38_robots_policy_parser_only",
     "q30_embedding_near_dups": "q30_embedding_near_dups_single_key",
     "q42_media_features": "q42_media_features_bytes",
 }

@@ -1200,16 +1200,9 @@ def q37_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("node")
 
 
-def q38_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The robots-parser + fetch-semantics tail of the policy pre-fetch
-    job (S8/§2.3), oracle-checked: deterministic robots bodies per
-    document source, parsed with the exact-reference pandas UDF;
-    the DuckDB oracle re-implements the line-state machine with window
-    functions (last preceding User-agent governs each directive)."""
-    from fineweb_domain_analyzer_spark.functions.robots import (
-        policy_from_robots_content,
-    )
-
+def _synthetic_robots_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic robots bodies per document source — shared input
+    of q38 (parser/fetch semantics) and q79 (recrawl budgeting)."""
     docs = _t(spark, sf_dir, "documents")
     raw_idx = F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int")
     # _i is computed ONCE and reused as an attribute ref — inlining the
@@ -1228,7 +1221,7 @@ def q38_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.when(idx % 10 == 9, F.lit("connection refused")).otherwise(
         F.lit(None).cast("string")
     )
-    robots_df = (
+    return (
         docs.select(F.col("source"), raw_idx.alias("_i"))
         .distinct()
         .select(
@@ -1237,7 +1230,19 @@ def q38_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             err.alias("error"),
         )
     )
-    pol = policy_from_robots_content(robots_df)
+
+
+def q38_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots-parser + fetch-semantics tail of the policy pre-fetch
+    job (S8/§2.3), oracle-checked: deterministic robots bodies per
+    document source, parsed with the exact-reference pandas UDF;
+    the DuckDB oracle re-implements the line-state machine with window
+    functions (last preceding User-agent governs each directive)."""
+    from fineweb_domain_analyzer_spark.functions.robots import (
+        policy_from_robots_content,
+    )
+
+    pol = policy_from_robots_content(_synthetic_robots_df(spark, sf_dir))
     return pol.select(
         "domain",
         "robots_exists",
@@ -3707,6 +3712,58 @@ FROM lab
 """
 
 
+def q79_recrawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — crawl-delay-aware recrawl budgeting. The reference
+    parses Crawl-delay into the policy (fineweb_analyzer.py:287-290) but
+    nothing consumes it; ``recrawl_plan`` turns it into a per-domain
+    fetch schedule (max fetches per politeness window, windows needed to
+    re-crawl the domain's page inventory). One count shuffle for the
+    domain inventory, then a broadcast policy join over O(domains) rows."""
+    from fineweb_domain_analyzer_spark.functions.robots import (
+        policy_from_robots_content,
+        recrawl_plan,
+    )
+
+    pol = policy_from_robots_content(_synthetic_robots_df(spark, sf_dir))
+    counts = (
+        domains_view(spark, sf_dir)
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("page_cnt"))
+    )
+    return recrawl_plan(counts, pol, window_s=3600.0, default_delay=1.0)
+
+
+Q79_SQL = f"""
+WITH {PAGES_CTE}, {DOMAINS_CTE},
+pol AS ({Q38_SQL}),
+cnts AS (
+  SELECT domain, count(*) AS page_cnt FROM domains GROUP BY domain
+),
+eff AS (
+  SELECT c.domain, c.page_cnt,
+         coalesce(p.crawl_allowed, TRUE) AS fetchable,
+         CASE WHEN p.crawl_delay IS NOT NULL AND p.crawl_delay > 0
+              THEN p.crawl_delay ELSE 1.0 END AS delay_s
+  FROM cnts c LEFT JOIN pol p ON c.domain = p.domain
+),
+budget AS (
+  SELECT domain, page_cnt, fetchable, delay_s,
+         CASE WHEN fetchable THEN CAST(floor(3600.0 / delay_s) AS BIGINT)
+              ELSE 0 END AS max_fetches_per_window
+  FROM eff
+)
+SELECT domain, page_cnt, fetchable, delay_s, max_fetches_per_window,
+       CASE WHEN max_fetches_per_window > 0
+            THEN CAST(floor((page_cnt + max_fetches_per_window - 1)
+                            / max_fetches_per_window) AS BIGINT) END
+         AS windows_needed,
+       CASE WHEN max_fetches_per_window > 0
+            THEN page_cnt > max_fetches_per_window
+            ELSE TRUE END AS over_budget
+FROM budget
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3787,6 +3844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_pixel_stats": q76_pixel_stats,
     "q77_audio_stats": q77_audio_stats,
     "q78_robots_path_enforcement": q78_robots_path_enforcement,
+    "q79_recrawl_plan": q79_recrawl_plan,
 }
 
 
@@ -3868,4 +3926,5 @@ def oracle_sql() -> dict[str, str]:
         "q76_pixel_stats": Q76_SQL,
         "q77_audio_stats": Q77_SQL,
         "q78_robots_path_enforcement": Q78_SQL,
+        "q79_recrawl_plan": Q79_SQL,
     }
