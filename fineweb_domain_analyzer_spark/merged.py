@@ -10,8 +10,10 @@ value-checked oracle row, inside the 50-key window:
   common (query, grp, metric, val_d, val_l) shape — values pass through
   un-stringified so the hash check stays exact.
 * ``q13_quality_surface``    = q13 heuristics + q44 Gopher repetition +
-  q57 classifier score + q58 zlib compression ratio, one doc-level
-  frame.  zlib is not SQL-expressible, so its oracle joins the
+  q57 classifier score + q58 zlib compression ratio + q80 TRAINED
+  classifier score (on-cluster logistic GD distilling the Gopher gate,
+  integer-exact ⇒ the oracle replays training as unrolled SQL CTEs),
+  one doc-level frame.  zlib is not SQL-expressible, so its oracle joins the
   committed ``artifacts/zlib_ratio.parquet`` fixture (generated from
   the corpus by scripts/make_zlib_fixture.py with the exact UDF
   semantics) on md5(text) — value-level, no longer rows-only.
@@ -232,6 +234,7 @@ def q13_quality_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     column adders over ONE scan — the whole frame is a single map stage
     (repetition's sorted-runs fold included), no joins, no shuffles."""
     from fineweb_domain_analyzer_spark.operators.quality import (
+        gopher_keep,
         with_compression_ratio,
         with_quality_features,
         with_quality_score,
@@ -239,9 +242,25 @@ def q13_quality_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fineweb_domain_analyzer_spark.operators.textclean import (
         with_ngram_repetition,
     )
+    from fineweb_domain_analyzer_spark.operators.training import (
+        train_quality_classifier,
+    )
 
     docs = q._t(spark, sf_dir, "documents")
-    df = with_quality_score(with_quality_features(docs))
+    feats = with_quality_features(docs)
+    gate = gopher_keep(
+        F.col("word_count"),
+        F.col("mean_word_len"),
+        F.col("symbol_ratio"),
+        F.col("stopword_density"),
+        F.col("max_word_repeat_ratio"),
+    )
+    feats = feats.withColumn("distill_label", F.coalesce(gate, F.lit(False)))
+    # q80: distill the gate into trained logistic weights (integer-exact
+    # GD, operators/training.py), served through the same score plan
+    model = train_quality_classifier(feats, "distill_label")
+    df = with_quality_score(feats)
+    df = with_quality_score(df, weights=model.weights, out_col="trained_score")
     df = with_ngram_repetition(df)
     df = with_compression_ratio(df)
     return df.select(
@@ -256,6 +275,9 @@ def q13_quality_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         (F.col("quality_score") >= 0.5).alias("keep_by_score"),
         "compression_ratio",
+        "distill_label",
+        "trained_score",
+        (F.col("trained_score") >= 0.5).alias("trained_keep"),
     )
 
 
@@ -277,7 +299,8 @@ zr AS (
   SELECT d.doc_id, f.compression_ratio
   FROM documents d
   LEFT JOIN read_parquet('{_ZLIB_FIXTURE}') f ON md5(d.text) = f.text_md5
-)
+),
+{q._q80_training_ctes()}
 SELECT feats.doc_id,
        CAST(feats.word_count AS BIGINT) AS word_count,
        feats.mean_word_len, feats.symbol_ratio, feats.stopword_density,
@@ -285,11 +308,15 @@ SELECT feats.doc_id,
        a2.top2gram_char_frac, a5.dup5gram_char_frac,
        {q._SCORE_SQL} AS quality_score,
        {q._SCORE_SQL} >= 0.5 AS keep_by_score,
-       zr.compression_ratio
+       zr.compression_ratio,
+       CASE WHEN {q._gopher_gate_sql('feats.')} THEN TRUE ELSE FALSE END AS distill_label,
+       {q._q80_score_sql('feats.')} AS trained_score,
+       {q._q80_score_sql('feats.')} >= 0.5 AS trained_keep
 FROM feats
 JOIN a2 ON feats.doc_id = a2.doc_id
 JOIN a5 ON feats.doc_id = a5.doc_id
 JOIN zr ON feats.doc_id = zr.doc_id
+CROSS JOIN twf
 """
 
 
@@ -717,6 +744,7 @@ _FOLDED = {
     "q76_pixel_stats", "q77_audio_stats",
     "q12_robots_filter", "q78_robots_path_enforcement",
     "q38_robots_policy", "q79_recrawl_plan",
+    "q80_trained_quality_score",
 }
 
 

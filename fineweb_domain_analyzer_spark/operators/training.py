@@ -1,0 +1,203 @@
+"""Distributed quality-classifier TRAINING (FineWeb-Edu-style distillation).
+
+The serving side (``operators/quality.py:with_quality_score``) scores
+documents with a logistic model over the heuristic quality features;
+until now the weights were fixed constants ("swap for a trained
+model's").  This module closes the loop: full-batch logistic-regression
+training ON the cluster, distilling a teacher signal (by default the
+Gopher heuristic gate — the same move FineWeb-Edu makes with LLM
+annotations) into weights that plug straight back into
+``with_quality_score`` without touching the serving plan.
+
+Reference anchor: the reference engine (fineweb_analyzer.py) has no
+trained classifier at all — its quality stage is the fixed heuristic
+gate.  This is an extension in the SURVEY §2 "LLM-data-pipeline
+operators" tier, like the dedup/ANN families.
+
+Determinism contract (what makes this oracle-checkable)
+-------------------------------------------------------
+Floating-point summation is not associative, so a naive ``sum(grad)``
+depends on partitioning and would differ between local[8]/local[32]
+runs and between Spark and DuckDB.  Instead every per-row contribution
+is quantized to an integer — ``round(value * QUANTUM)`` — and summed as
+``decimal(38,0)`` (Spark) / ``HUGEINT`` (DuckDB): integer addition IS
+associative, so the aggregated sums are bit-identical under any
+partitioning or plan, and the driver-side weight updates (plain IEEE
+double arithmetic on those exact sums, written with the same
+association order as the SQL oracle) reproduce bit-for-bit on both
+engines.  ``sqrt`` is IEEE-exact-rounded, so the standardization
+moments fold in deterministically too.  The only residual cross-engine
+risk is a 1-ulp ``exp``/``ln`` libm difference landing a quantized
+gradient exactly on a rounding boundary — probability ~1e-10 per
+row-feature, the same accepted risk class as the existing rounded
+score oracles (q13/q57).
+
+Scale design (the 100-TB story)
+-------------------------------
+* The projected training frame is 6 doubles + 1 label per document —
+  a few hundred GB at 10^12 docs — persisted once
+  (MEMORY_AND_DISK) and scanned ``iters + 1`` times.
+* Each pass is ONE aggregation to a single row: Spark computes
+  map-side partial sums per partition (decimal adds), then a single
+  final reduce over #partitions partial rows — no wide shuffle, no
+  driver-side per-row traffic.  The driver holds six doubles.
+* Gradient magnitudes are bounded by ``|err| * |z| * QUANTUM`` ≈ 1e7
+  per row, so a ``long`` would overflow around 1e12 rows — exactly the
+  target scale — hence decimal(38,0)/HUGEINT accumulators (exact to
+  1e38).
+* Feature standardization (computed in the same one-pass moment
+  aggregation) is what makes plain full-batch GD converge in ~16
+  steps despite wildly different feature scales; the learned
+  standardized weights are folded back into raw-feature space at the
+  end, so serving needs no mu/sd columns.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Shared with the SQL-oracle generator (queries._q80_sql) — change them
+# together or parity breaks.
+TRAIN_ITERS = 16
+TRAIN_LR = 2.0
+TRAIN_QUANTUM = 1_000_000
+
+# Feature basis, in with_quality_score's exact weight order; the
+# expressions must stay textually parallel to the oracle's
+# (f1=ln(1+word_count), f2..f5 = the 4dp-rounded ratio features).
+FEATURE_KEYS = [
+    "word_count_log",
+    "mean_word_len",
+    "symbol_ratio",
+    "stopword_density",
+    "max_word_repeat_ratio",
+]
+
+
+def _feature_cols() -> list[Column]:
+    return [
+        F.log1p(F.col("word_count")),
+        F.col("mean_word_len"),
+        F.col("symbol_ratio"),
+        F.col("stopword_density"),
+        F.col("max_word_repeat_ratio"),
+    ]
+
+
+@dataclass(frozen=True)
+class TrainedQualityModel:
+    """Result of ``train_quality_classifier``.
+
+    ``weights`` is folded into RAW feature space and keyed exactly like
+    ``quality.QUALITY_LOGIT_WEIGHTS`` — pass it straight to
+    ``with_quality_score(df, weights=model.weights)``.
+    """
+
+    weights: dict[str, float]
+    std_weights: list[float] = field(repr=False)  # [bias, w1..w5] standardized
+    mu: list[float] = field(repr=False)
+    sd: list[float] = field(repr=False)
+    n: int = 0
+    iters: int = TRAIN_ITERS
+    lr: float = TRAIN_LR
+    quantum: int = TRAIN_QUANTUM
+
+
+def _qsum(col: Column, quantum: float) -> Column:
+    """Integer-exact accumulator: round(col * quantum) summed as
+    decimal(38,0).  Associative ⇒ partitioning-independent."""
+    return F.sum(F.round(col * F.lit(quantum), 0).cast("decimal(38,0)"))
+
+
+def train_quality_classifier(
+    feats: DataFrame,
+    label_col: str,
+    iters: int = TRAIN_ITERS,
+    lr: float = TRAIN_LR,
+    quantum: int = TRAIN_QUANTUM,
+) -> TrainedQualityModel:
+    """Full-batch logistic GD over the ``with_quality_features``
+    columns, distilling the boolean ``label_col`` (teacher signal).
+
+    ``feats`` must carry word_count / mean_word_len / symbol_ratio /
+    stopword_density / max_word_repeat_ratio (from
+    ``with_quality_features``) plus the boolean/numeric label.
+
+    Runs ``iters + 1`` single-row aggregations over a persisted
+    6-doubles-per-row projection (see module docstring for the scale
+    and determinism analysis).  Returns folded raw-space weights
+    compatible with ``with_quality_score``.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    qf = float(quantum)
+    y = F.when(F.col(label_col).cast("boolean"), F.lit(1.0)).otherwise(F.lit(0.0))
+    k = len(FEATURE_KEYS)
+    proj = feats.select(
+        y.alias("_y"),
+        *[c.alias(f"_f{j}") for j, c in enumerate(_feature_cols(), start=1)],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # one pass: n + first/second moments of every feature
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for j in range(1, k + 1):
+            fj = F.col(f"_f{j}")
+            aggs.append(_qsum(fj, qf).alias(f"s1{j}"))
+            aggs.append(_qsum(fj * fj, qf).alias(f"s2{j}"))
+        row = proj.agg(*aggs).collect()[0]
+        n = int(row["n"])
+        if n == 0:
+            raise ValueError("train_quality_classifier: empty input")
+        mu: list[float] = []
+        sd: list[float] = []
+        for j in range(1, k + 1):
+            m = float(row[f"s1{j}"]) / qf / n
+            var = float(row[f"s2{j}"]) / qf / n - m * m
+            s = math.sqrt(max(var, 0.0))
+            mu.append(m)
+            sd.append(1.0 if s < 1e-12 else s)
+
+        zcols = [
+            (F.col(f"_f{j}") - F.lit(mu[j - 1])) / F.lit(sd[j - 1])
+            for j in range(1, k + 1)
+        ]
+        w = [0.0] * (k + 1)  # [bias, w1..w5] in standardized space
+        for _ in range(iters):
+            z = F.lit(w[0])
+            for j in range(1, k + 1):
+                z = z + F.lit(w[j]) * zcols[j - 1]
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = p - F.col("_y")
+            gaggs = [_qsum(err, qf).alias("g0")]
+            for j in range(1, k + 1):
+                gaggs.append(_qsum(err * zcols[j - 1], qf).alias(f"g{j}"))
+            grow = proj.agg(*gaggs).collect()[0]
+            for j in range(k + 1):
+                w[j] = w[j] - lr * (float(grow[f"g{j}"]) / qf / n)
+    finally:
+        proj.unpersist()
+
+    # fold standardization into raw-feature space:
+    #   score = sigmoid(b + Σ wj * (fj - mu)/sd)
+    #         = sigmoid((b - Σ wj*mu/sd) + Σ (wj/sd) * fj)
+    bias = w[0]
+    for j in range(1, k + 1):
+        bias = bias - w[j] * mu[j - 1] / sd[j - 1]
+    folded = {"bias": bias}
+    for j, key in enumerate(FEATURE_KEYS, start=1):
+        folded[key] = w[j] / sd[j - 1]
+    return TrainedQualityModel(
+        weights=folded,
+        std_weights=w,
+        mu=mu,
+        sd=sd,
+        n=n,
+        iters=iters,
+        lr=lr,
+        quantum=quantum,
+    )

@@ -3764,6 +3764,173 @@ FROM budget
 """
 
 
+def q80_trained_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — FineWeb-Edu-style classifier TRAINING on-cluster:
+    distill the Gopher heuristic gate into logistic weights
+    (full-batch GD, integer-exact gradient aggregation — bit-stable
+    under any partitioning, see operators/training.py), then serve the
+    trained weights through the UNCHANGED with_quality_score plan.
+    The oracle replays the identical training loop as unrolled SQL
+    CTEs — weights match bit-for-bit, so the scored output is
+    value-checked end to end. The reference has no trained classifier
+    (its quality stage is the fixed gate); SURVEY §2 LLM-pipeline tier."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        gopher_keep,
+        with_quality_features,
+        with_quality_score,
+    )
+    from fineweb_domain_analyzer_spark.operators.training import (
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = with_quality_features(docs)
+    gate = gopher_keep(
+        F.col("word_count"),
+        F.col("mean_word_len"),
+        F.col("symbol_ratio"),
+        F.col("stopword_density"),
+        F.col("max_word_repeat_ratio"),
+    )
+    feats = feats.withColumn("distill_label", F.coalesce(gate, F.lit(False)))
+    model = train_quality_classifier(feats, "distill_label")
+    scored = with_quality_score(feats, weights=model.weights, out_col="trained_score")
+    return scored.select(
+        "doc_id",
+        "distill_label",
+        "trained_score",
+        (F.col("trained_score") >= 0.5).alias("trained_keep"),
+    )
+
+
+def _gopher_gate_sql(p: str = "") -> str:
+    """DuckDB predicate mirroring operators/quality.py:gopher_keep
+    defaults (the q80 distillation teacher)."""
+    return (
+        f"({p}word_count BETWEEN 50 AND 100000"
+        f" AND {p}mean_word_len BETWEEN 2.0 AND 12.0"
+        f" AND {p}symbol_ratio <= 0.2"
+        f" AND {p}stopword_density >= 0.0"
+        f" AND {p}max_word_repeat_ratio <= 0.35)"
+    )
+
+
+def _q80_score_sql(p: str = "") -> str:
+    """round(sigmoid(wf·x), 4) over raw feats columns (prefix ``p``),
+    textually parallel to with_quality_score's expression tree."""
+    return (
+        f"round(1.0 / (1.0 + exp(-(twf.bias"
+        f" + twf.v1 * ln(1 + {p}word_count)"
+        f" + twf.v2 * {p}mean_word_len"
+        f" + twf.v3 * {p}symbol_ratio"
+        f" + twf.v4 * {p}stopword_density"
+        f" + twf.v5 * {p}max_word_repeat_ratio))), 4)"
+    )
+
+
+def _q80_training_ctes() -> str:
+    """The unrolled training loop as a CTE chain (assumes ``feats`` is
+    already in scope): x → m (integer-exact moments) → s
+    (standardization) → xs → w0 … w{iters} → wf (weights folded back to
+    raw-feature space).  Every arithmetic expression is written with
+    the exact association order of the Python driver loop in
+    operators/training.py:train_quality_classifier, so the resulting
+    doubles are bit-identical (integer sums are associative; IEEE ops
+    on equal inputs in equal order are deterministic)."""
+    from fineweb_domain_analyzer_spark.operators.training import (
+        TRAIN_ITERS,
+        TRAIN_LR,
+        TRAIN_QUANTUM,
+    )
+
+    k = 5
+    q = f"{float(TRAIN_QUANTUM):.1f}"
+    lr = repr(float(TRAIN_LR))
+
+    def qsum(expr: str, alias: str) -> str:
+        return f"SUM(CAST(round(({expr}) * {q}) AS HUGEINT)) AS {alias}"
+
+    ctes: list[str] = []
+    ctes.append(
+        f"""tx AS MATERIALIZED (
+  SELECT doc_id,
+         ln(1 + word_count) AS f1, mean_word_len AS f2, symbol_ratio AS f3,
+         stopword_density AS f4, max_word_repeat_ratio AS f5,
+         CASE WHEN {_gopher_gate_sql()} THEN 1.0 ELSE 0.0 END AS y
+  FROM feats
+)"""
+    )
+    moments = ",\n         ".join(
+        [qsum(f"f{j}", f"s1{j}") + ",\n         " + qsum(f"f{j} * f{j}", f"s2{j}")
+         for j in range(1, k + 1)]
+    )
+    ctes.append(f"tm AS MATERIALIZED (\n  SELECT count(*) AS n,\n         {moments}\n  FROM tx\n)")
+    mus = ",\n         ".join(
+        f"CAST(s1{j} AS DOUBLE) / {q} / n AS mu{j},\n         "
+        f"CAST(s2{j} AS DOUBLE) / {q} / n AS m2{j}"
+        for j in range(1, k + 1)
+    )
+    ctes.append(f"ts0 AS MATERIALIZED (\n  SELECT n,\n         {mus}\n  FROM tm\n)")
+    sds = ",\n         ".join(
+        f"mu{j},\n         "
+        f"CASE WHEN sqrt(greatest(m2{j} - mu{j} * mu{j}, 0.0)) < 1e-12 THEN 1.0"
+        f" ELSE sqrt(greatest(m2{j} - mu{j} * mu{j}, 0.0)) END AS sd{j}"
+        for j in range(1, k + 1)
+    )
+    ctes.append(f"ts AS MATERIALIZED (\n  SELECT n,\n         {sds}\n  FROM ts0\n)")
+    zs = ",\n         ".join(
+        f"(tx.f{j} - ts.mu{j}) / ts.sd{j} AS z{j}" for j in range(1, k + 1)
+    )
+    ctes.append(f"txs AS MATERIALIZED (\n  SELECT tx.doc_id,\n         {zs},\n         tx.y\n  FROM tx, ts\n)")
+    w0 = ", ".join(["0.0 AS b"] + [f"0.0 AS w{j}" for j in range(1, k + 1)])
+    ctes.append(f"tw0 AS MATERIALIZED (SELECT {w0})")
+    zdot = " + ".join(f"w.w{j} * txs.z{j}" for j in range(1, k + 1))
+    for t in range(1, TRAIN_ITERS + 1):
+        gsel = ",\n         ".join(
+            [qsum("p - y", "g0")]
+            + [qsum(f"(p - y) * z{j}", f"g{j}") for j in range(1, k + 1)]
+        )
+        ctes.append(
+            f"""tg{t} AS MATERIALIZED (
+  SELECT {gsel}
+  FROM (SELECT txs.y, {', '.join(f'txs.z{j}' for j in range(1, k + 1))},
+               1.0 / (1.0 + exp(-(w.b + {zdot}))) AS p
+        FROM txs, tw{t - 1} w)
+)"""
+        )
+        upd = ",\n         ".join(
+            [f"w.b - {lr} * (CAST(g.g0 AS DOUBLE) / {q} / tm.n) AS b"]
+            + [
+                f"w.w{j} - {lr} * (CAST(g.g{j} AS DOUBLE) / {q} / tm.n) AS w{j}"
+                for j in range(1, k + 1)
+            ]
+        )
+        ctes.append(f"tw{t} AS MATERIALIZED (\n  SELECT {upd}\n  FROM tw{t - 1} w, tg{t} g, tm\n)")
+    fold_bias = "w.b " + " ".join(
+        f"- w.w{j} * ts.mu{j} / ts.sd{j}" for j in range(1, k + 1)
+    )
+    fold_vs = ",\n         ".join(
+        f"w.w{j} / ts.sd{j} AS v{j}" for j in range(1, k + 1)
+    )
+    ctes.append(
+        f"twf AS MATERIALIZED (\n  SELECT {fold_bias} AS bias,\n         {fold_vs}\n"
+        f"  FROM tw{TRAIN_ITERS} w, ts\n)"
+    )
+    return ",\n".join(ctes)
+
+
+def _q80_sql() -> str:
+    return f"""
+WITH {_feats_cte()},
+{_q80_training_ctes()}
+SELECT f.doc_id,
+       CASE WHEN {_gopher_gate_sql('f.')} THEN TRUE ELSE FALSE END AS distill_label,
+       {_q80_score_sql('f.')} AS trained_score,
+       {_q80_score_sql('f.')} >= 0.5 AS trained_keep
+FROM feats f, twf
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3845,6 +4012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_audio_stats": q77_audio_stats,
     "q78_robots_path_enforcement": q78_robots_path_enforcement,
     "q79_recrawl_plan": q79_recrawl_plan,
+    "q80_trained_quality_score": q80_trained_quality_score,
 }
 
 
@@ -3927,4 +4095,5 @@ def oracle_sql() -> dict[str, str]:
         "q77_audio_stats": Q77_SQL,
         "q78_robots_path_enforcement": Q78_SQL,
         "q79_recrawl_plan": Q79_SQL,
+        "q80_trained_quality_score": _q80_sql(),
     }

@@ -1,0 +1,94 @@
+"""Trainer tests: partitioning-determinism (the integer-exact gradient
+contract), actual learning (distillation accuracy), serving plug-in
+compatibility, and guard rails."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.operators.quality import (
+    gopher_keep,
+    with_quality_features,
+    with_quality_score,
+)
+from fineweb_domain_analyzer_spark.operators.training import (
+    TrainedQualityModel,
+    train_quality_classifier,
+)
+
+
+def _labeled_feats(spark, sf_dir):
+    docs = spark.read.parquet(str(sf_dir / "documents.parquet"))
+    feats = with_quality_features(docs)
+    gate = gopher_keep(
+        F.col("word_count"),
+        F.col("mean_word_len"),
+        F.col("symbol_ratio"),
+        F.col("stopword_density"),
+        F.col("max_word_repeat_ratio"),
+    )
+    return feats.withColumn("distill_label", F.coalesce(gate, F.lit(False)))
+
+
+def test_partitioning_determinism(spark, sf_dir):
+    """Integer quantization + decimal sums ⇒ bit-identical weights no
+    matter how the input is partitioned (the local stand-in for
+    N-vs-4N executor determinism)."""
+    feats = _labeled_feats(spark, sf_dir)
+    m3 = train_quality_classifier(
+        feats.repartition(3), "distill_label", iters=4
+    )
+    m13 = train_quality_classifier(
+        feats.repartition(13), "distill_label", iters=4
+    )
+    assert m3.weights == m13.weights  # exact float equality, not approx
+    assert m3.mu == m13.mu and m3.sd == m13.sd and m3.n == m13.n
+
+
+def test_distillation_learns_the_gate(spark, sf_dir):
+    feats = _labeled_feats(spark, sf_dir).cache()
+    model = train_quality_classifier(feats, "distill_label")
+    assert isinstance(model, TrainedQualityModel)
+    assert model.n == feats.count()
+    scored = with_quality_score(feats, weights=model.weights, out_col="p")
+    agg = scored.agg(
+        F.avg(((F.col("p") >= 0.5) == F.col("distill_label")).cast("double")).alias("acc"),
+        F.avg(F.col("distill_label").cast("double")).alias("base"),
+        F.min("p").alias("lo"),
+        F.max("p").alias("hi"),
+    ).collect()[0]
+    feats.unpersist()
+    # must beat the majority-class baseline by a clear margin and
+    # actually separate the classes
+    majority = max(agg["base"], 1.0 - agg["base"])
+    assert agg["acc"] > 0.9, agg
+    assert agg["acc"] > majority + 0.2, agg
+    assert 0.0 <= agg["lo"] <= agg["hi"] <= 1.0
+
+
+def test_guard_rails(spark, sf_dir):
+    feats = _labeled_feats(spark, sf_dir)
+    with pytest.raises(ValueError, match="iters"):
+        train_quality_classifier(feats, "distill_label", iters=0)
+    with pytest.raises(ValueError, match="empty"):
+        train_quality_classifier(
+            feats.filter(F.lit(False)), "distill_label", iters=1
+        )
+
+
+def test_q80_query_contract(spark, sf_dir):
+    from fineweb_domain_analyzer_spark.queries import q80_trained_quality_score
+
+    out = q80_trained_quality_score(spark, str(sf_dir))
+    assert out.columns == [
+        "doc_id",
+        "distill_label",
+        "trained_score",
+        "trained_keep",
+    ]
+    bad = out.filter(
+        (F.col("trained_keep") != (F.col("trained_score") >= 0.5))
+        | F.col("trained_score").isNull()
+    ).count()
+    assert bad == 0
