@@ -192,11 +192,19 @@ _FILTER_METRICS = [
      ["total_processed", "filtered_kept", "excluded_count"]),
     ("q29", "q29_drop_reason_histogram", q.Q29_SQL,
      ["drop_reason"], [], ["cnt"]),
+    # q81: held-out eval of the q80 trained classifier — md5-bucket
+    # 80/20 split, exact binned AUC + confusion metrics, all
+    # integer-derived (operators/training.py). The oracle replays
+    # split + training + eval entirely in SQL.
+    ("q81", "q81_classifier_eval", q._q81_sql(),
+     [], ["auc", "accuracy", "precision", "recall", "f1"],
+     ["n", "n_pos", "n_neg", "tp", "fp", "fn", "tn"]),
 ]
 
 
 def q28_filter_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 global filter stats + the drop-reason histogram in one frame."""
+    """A3 global filter stats + drop-reason histogram + q81 held-out
+    classifier eval (AUC/confusion), one summary frame."""
     return _folded_union(spark, sf_dir, _FILTER_METRICS)
 
 
@@ -745,6 +753,7 @@ _FOLDED = {
     "q12_robots_filter", "q78_robots_path_enforcement",
     "q38_robots_policy", "q79_recrawl_plan",
     "q80_trained_quality_score",
+    "q81_classifier_eval",
 }
 
 

@@ -59,6 +59,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 # Shared with the SQL-oracle generator (queries._q80_sql) — change them
@@ -200,4 +201,91 @@ def train_quality_classifier(
         iters=iters,
         lr=lr,
         quantum=quantum,
+    )
+
+
+def binary_classification_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact, deterministic evaluation of a [0,1] score against a
+    boolean label: one-row frame with AUC (ties count ½), confusion
+    counts at ``threshold``, accuracy / precision / recall / F1.
+    Rows with a null score are excluded.
+
+    Scale design: scores from ``with_quality_score`` are rounded to
+    4 dp, so the score domain is BOUNDED (≤ 10 001 distinct values).
+    The plan is therefore: ONE groupBy(score) shuffle collapsing the
+    corpus to per-score (pos, neg) counts, then a single-partition
+    ordered window over that ≤10 001-row bin frame (bounded by the
+    score resolution, NOT by corpus size — safe at any scale), then a
+    1-row aggregate.  The AUC numerator
+    Σ pos_b·(2·cum_neg_below + neg_b) reaches ~2·P·N ≈ 2e24 at the
+    1e12-doc target, so it accumulates as decimal(38,0) (bigint would
+    overflow); every metric is a single division of exact integers ⇒
+    bit-identical across engines and partitionings, and
+    SQL-oracle-checkable.  Degenerate denominators (no positives, no
+    predicted positives, …) yield NULL rather than NaN on both
+    engines.
+    """
+    s = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).alias("_s"),
+        F.when(F.col(label_col).cast("boolean"), F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    bins = s.groupBy("_s").agg(
+        F.sum("_y").alias("pos"),
+        F.sum(F.lit(1) - F.col("_y")).alias("neg"),
+    )
+    # bounded ≤10001-row frame: the partition-less ordered window is
+    # deliberate and safe (see docstring)
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    binc = bins.withColumn(
+        "cumneg", F.coalesce(F.sum("neg").over(w), F.lit(0).cast("bigint"))
+    )
+    thr = F.lit(float(threshold))
+
+    def csum(col: Column) -> Column:
+        return F.coalesce(F.sum(col), F.lit(0).cast("bigint"))
+
+    agg = binc.agg(
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("cumneg") + F.col("neg"))
+        ).alias("num"),
+        csum(F.col("pos")).alias("n_pos"),
+        csum(F.col("neg")).alias("n_neg"),
+        csum(F.when(F.col("_s") >= thr, F.col("pos")).otherwise(F.lit(0))).alias("tp"),
+        csum(F.when(F.col("_s") >= thr, F.col("neg")).otherwise(F.lit(0))).alias("fp"),
+        csum(F.when(F.col("_s") < thr, F.col("pos")).otherwise(F.lit(0))).alias("fn"),
+        csum(F.when(F.col("_s") < thr, F.col("neg")).otherwise(F.lit(0))).alias("tn"),
+    )
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(None).cast("double"))
+
+    n = F.col("n_pos") + F.col("n_neg")
+    return agg.select(
+        n.alias("n"),
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("num").cast("double")
+            / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+        ).otherwise(F.lit(None).cast("double")).alias("auc"),
+        ratio(F.col("tp") + F.col("tn"), n).alias("accuracy"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+        ratio(
+            F.lit(2) * F.col("tp"),
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
+        ).alias("f1"),
     )

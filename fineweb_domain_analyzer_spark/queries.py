@@ -3828,12 +3828,13 @@ def _q80_score_sql(p: str = "") -> str:
     )
 
 
-def _q80_training_ctes() -> str:
-    """The unrolled training loop as a CTE chain (assumes ``feats`` is
-    already in scope): x → m (integer-exact moments) → s
-    (standardization) → xs → w0 … w{iters} → wf (weights folded back to
-    raw-feature space).  Every arithmetic expression is written with
-    the exact association order of the Python driver loop in
+def _q80_training_ctes(src: str = "feats") -> str:
+    """The unrolled training loop as a CTE chain (assumes ``src`` — a
+    relation with the feats columns — is already in scope): tx → tm
+    (integer-exact moments) → ts (standardization) → txs → tw0 …
+    tw{iters} → twf (weights folded back to raw-feature space).  Every
+    arithmetic expression is written with the exact association order
+    of the Python driver loop in
     operators/training.py:train_quality_classifier, so the resulting
     doubles are bit-identical (integer sums are associative; IEEE ops
     on equal inputs in equal order are deterministic)."""
@@ -3857,7 +3858,7 @@ def _q80_training_ctes() -> str:
          ln(1 + word_count) AS f1, mean_word_len AS f2, symbol_ratio AS f3,
          stopword_density AS f4, max_word_repeat_ratio AS f5,
          CASE WHEN {_gopher_gate_sql()} THEN 1.0 ELSE 0.0 END AS y
-  FROM feats
+  FROM {src}
 )"""
     )
     moments = ",\n         ".join(
@@ -3928,6 +3929,107 @@ SELECT f.doc_id,
        {_q80_score_sql('f.')} AS trained_score,
        {_q80_score_sql('f.')} >= 0.5 AS trained_keep
 FROM feats f, twf
+"""
+
+
+def q81_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — held-out evaluation of the q80 trained classifier:
+    deterministic md5-bucket 80/20 split (same recipe as q49 — stable
+    across runs, engines, cluster sizes), train on the 80, score the
+    held-out 20, and compute exact binned AUC + confusion metrics
+    (operators/training.py:binary_classification_metrics — one
+    groupBy(score) shuffle, bounded ≤10k-bin window, decimal
+    accumulators). Fully integer-derived ⇒ every metric value is
+    bit-reproducible and the oracle replays split+train+eval in SQL."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        gopher_keep,
+        with_quality_features,
+        with_quality_score,
+    )
+    from fineweb_domain_analyzer_spark.operators.training import (
+        binary_classification_metrics,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = with_quality_features(docs)
+    gate = gopher_keep(
+        F.col("word_count"),
+        F.col("mean_word_len"),
+        F.col("symbol_ratio"),
+        F.col("stopword_density"),
+        F.col("max_word_repeat_ratio"),
+    )
+    feats = feats.withColumn("distill_label", F.coalesce(gate, F.lit(False)))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    feats = feats.withColumn("_bucket", bucket)
+    model = train_quality_classifier(
+        feats.filter(F.col("_bucket") < 80), "distill_label"
+    )
+    heldout = feats.filter(F.col("_bucket") >= 80)
+    scored = with_quality_score(
+        heldout, weights=model.weights, out_col="trained_score"
+    )
+    return binary_classification_metrics(scored, "trained_score", "distill_label")
+
+
+def _q81_sql() -> str:
+    score = _q80_score_sql("f.")
+    return f"""
+WITH {_feats_cte()},
+featsb AS MATERIALIZED (
+  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+              AS _bucket
+  FROM feats
+),
+feats_train AS MATERIALIZED (SELECT * FROM featsb WHERE _bucket < 80),
+{_q80_training_ctes('feats_train')},
+ev AS MATERIALIZED (
+  SELECT {score} AS _s,
+         CASE WHEN {_gopher_gate_sql('f.')} THEN 1 ELSE 0 END AS _y
+  FROM featsb f, twf
+  WHERE f._bucket >= 80 AND {score} IS NOT NULL
+),
+bins AS MATERIALIZED (
+  SELECT _s, SUM(_y) AS pos, SUM(1 - _y) AS neg FROM ev GROUP BY _s
+),
+binc AS MATERIALIZED (
+  SELECT _s, pos, neg,
+         COALESCE(SUM(neg) OVER (ORDER BY _s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cumneg
+  FROM bins
+),
+mm AS MATERIALIZED (
+  SELECT SUM(CAST(pos AS HUGEINT) * (2 * cumneg + neg)) AS num,
+         CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS n_pos,
+         CAST(COALESCE(SUM(neg), 0) AS BIGINT) AS n_neg,
+         CAST(COALESCE(SUM(CASE WHEN _s >= 0.5 THEN pos ELSE 0 END), 0) AS BIGINT) AS tp,
+         CAST(COALESCE(SUM(CASE WHEN _s >= 0.5 THEN neg ELSE 0 END), 0) AS BIGINT) AS fp,
+         CAST(COALESCE(SUM(CASE WHEN _s < 0.5 THEN pos ELSE 0 END), 0) AS BIGINT) AS fn,
+         CAST(COALESCE(SUM(CASE WHEN _s < 0.5 THEN neg ELSE 0 END), 0) AS BIGINT) AS tn
+  FROM binc
+)
+SELECT n_pos + n_neg AS n, n_pos, n_neg, tp, fp, fn, tn,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(num AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END
+         AS auc,
+       CASE WHEN n_pos + n_neg > 0
+            THEN CAST(tp + tn AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE) END
+         AS accuracy,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END
+         AS f1
+FROM mm
 """
 
 
@@ -4013,6 +4115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_robots_path_enforcement": q78_robots_path_enforcement,
     "q79_recrawl_plan": q79_recrawl_plan,
     "q80_trained_quality_score": q80_trained_quality_score,
+    "q81_classifier_eval": q81_classifier_eval,
 }
 
 
@@ -4096,4 +4199,5 @@ def oracle_sql() -> dict[str, str]:
         "q78_robots_path_enforcement": Q78_SQL,
         "q79_recrawl_plan": Q79_SQL,
         "q80_trained_quality_score": _q80_sql(),
+        "q81_classifier_eval": _q81_sql(),
     }

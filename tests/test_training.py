@@ -77,6 +77,67 @@ def test_guard_rails(spark, sf_dir):
         )
 
 
+def test_binary_metrics_hand_computed(spark):
+    from fineweb_domain_analyzer_spark.operators.training import (
+        binary_classification_metrics,
+    )
+
+    # scores: 0.9 (pos), 0.8 (neg), 0.6 tie (1 pos + 1 neg), 0.3 (neg),
+    # 0.1 (pos), plus a null-score row that must be excluded.
+    rows = [
+        (0.9, True),
+        (0.8, False),
+        (0.6, True),
+        (0.6, False),
+        (0.3, False),
+        (0.1, True),
+        (None, True),
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    m = binary_classification_metrics(df, "score", "label").collect()[0]
+    # P=3, N=3. Pair wins for positives (vs each of 3 negs):
+    # 0.9 beats all 3 -> 3; 0.6 beats {0.3}, ties {0.6} -> 1.5;
+    # 0.1 beats none -> 0. AUC = 4.5 / 9 = 0.5
+    assert m["n"] == 6 and m["n_pos"] == 3 and m["n_neg"] == 3
+    assert m["auc"] == 4.5 / 9.0
+    # threshold 0.5: predicted pos = {0.9,0.8,0.6,0.6} -> tp=2, fp=2;
+    # predicted neg = {0.3,0.1} -> fn=1, tn=1
+    assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (2, 2, 1, 1)
+    assert m["accuracy"] == 3.0 / 6.0
+    assert m["precision"] == 2.0 / 4.0
+    assert m["recall"] == 2.0 / 3.0
+    assert m["f1"] == 4.0 / 7.0
+
+
+def test_binary_metrics_degenerate(spark):
+    from fineweb_domain_analyzer_spark.operators.training import (
+        binary_classification_metrics,
+    )
+
+    # single-class input: AUC undefined (NULL), recall defined
+    df = spark.createDataFrame(
+        [(0.9, True), (0.2, True)], "score double, label boolean"
+    )
+    m = binary_classification_metrics(df, "score", "label").collect()[0]
+    assert m["auc"] is None and m["recall"] == 0.5 and m["tn"] == 0
+    # empty input: counts 0, ratios NULL
+    e = binary_classification_metrics(
+        df.filter("score > 1"), "score", "label"
+    ).collect()[0]
+    assert e["n"] == 0 and e["tp"] == 0
+    assert e["auc"] is None and e["accuracy"] is None
+
+
+def test_q81_heldout_eval(spark, sf_dir):
+    from fineweb_domain_analyzer_spark.queries import q81_classifier_eval
+
+    m = q81_classifier_eval(spark, str(sf_dir)).collect()[0]
+    # the split must be a real partition of the corpus
+    assert m["n"] > 0 and m["n"] < 500
+    # distillation generalizes: held-out AUC well above chance
+    assert m["auc"] is not None and m["auc"] > 0.8, dict(m.asDict())
+
+
 def test_q80_query_contract(spark, sf_dir):
     from fineweb_domain_analyzer_spark.queries import q80_trained_quality_score
 
