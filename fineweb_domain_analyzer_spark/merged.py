@@ -199,6 +199,11 @@ _FILTER_METRICS = [
     ("q81", "q81_classifier_eval", q._q81_sql(),
      [], ["auc", "accuracy", "precision", "recall", "f1"],
      ["n", "n_pos", "n_neg", "tp", "fp", "fn", "tn"]),
+    # q82: the same eval grouped per language (bounded bins per group —
+    # no whole-language document sort anywhere)
+    ("q82", "q82_classifier_eval_by_lang", q._q82_sql(),
+     ["lang"], ["auc", "accuracy", "precision", "recall", "f1"],
+     ["n", "n_pos", "n_neg", "tp", "fp", "fn", "tn"]),
 ]
 
 
@@ -242,33 +247,20 @@ def q13_quality_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     column adders over ONE scan — the whole frame is a single map stage
     (repetition's sorted-runs fold included), no joins, no shuffles."""
     from fineweb_domain_analyzer_spark.operators.quality import (
-        gopher_keep,
         with_compression_ratio,
-        with_quality_features,
         with_quality_score,
     )
     from fineweb_domain_analyzer_spark.operators.textclean import (
         with_ngram_repetition,
     )
-    from fineweb_domain_analyzer_spark.operators.training import (
-        train_quality_classifier,
-    )
 
-    docs = q._t(spark, sf_dir, "documents")
-    feats = with_quality_features(docs)
-    gate = gopher_keep(
-        F.col("word_count"),
-        F.col("mean_word_len"),
-        F.col("symbol_ratio"),
-        F.col("stopword_density"),
-        F.col("max_word_repeat_ratio"),
-    )
-    feats = feats.withColumn("distill_label", F.coalesce(gate, F.lit(False)))
+    feats = q._gate_labeled_feats(spark, sf_dir).drop("_bucket")
     # q80: distill the gate into trained logistic weights (integer-exact
-    # GD, operators/training.py), served through the same score plan
-    model = train_quality_classifier(feats, "distill_label")
+    # GD, operators/training.py; memoized per sf_dir), served through
+    # the same score plan
+    weights = q._trained_weights(spark, sf_dir, "full")
     df = with_quality_score(feats)
-    df = with_quality_score(df, weights=model.weights, out_col="trained_score")
+    df = with_quality_score(df, weights=weights, out_col="trained_score")
     df = with_ngram_repetition(df)
     df = with_compression_ratio(df)
     return df.select(
@@ -753,7 +745,7 @@ _FOLDED = {
     "q12_robots_filter", "q78_robots_path_enforcement",
     "q38_robots_policy", "q79_recrawl_plan",
     "q80_trained_quality_score",
-    "q81_classifier_eval",
+    "q81_classifier_eval", "q82_classifier_eval_by_lang",
 }
 
 

@@ -209,19 +209,23 @@ def binary_classification_metrics(
     score_col: str,
     label_col: str,
     threshold: float = 0.5,
+    by_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact, deterministic evaluation of a [0,1] score against a
-    boolean label: one-row frame with AUC (ties count ½), confusion
-    counts at ``threshold``, accuracy / precision / recall / F1.
-    Rows with a null score are excluded.
+    boolean label: AUC (ties count ½), confusion counts at
+    ``threshold``, accuracy / precision / recall / F1 — one row
+    globally, or one row per group when ``by_cols`` is given
+    (per-language eval, per-source eval, …).  Rows with a null score
+    are excluded; a null group key forms its own group.
 
     Scale design: scores from ``with_quality_score`` are rounded to
-    4 dp, so the score domain is BOUNDED (≤ 10 001 distinct values).
-    The plan is therefore: ONE groupBy(score) shuffle collapsing the
-    corpus to per-score (pos, neg) counts, then a single-partition
-    ordered window over that ≤10 001-row bin frame (bounded by the
-    score resolution, NOT by corpus size — safe at any scale), then a
-    1-row aggregate.  The AUC numerator
+    4 dp, so the score domain is BOUNDED (≤ 10 001 distinct values per
+    group).  The plan is therefore: ONE groupBy(group, score) shuffle
+    collapsing the corpus to per-score (pos, neg) counts, then an
+    ordered window over that bounded bin frame (each window partition
+    ≤ 10 001 rows by the score resolution, NOT by corpus size — safe
+    at any scale; the global case is a single bounded partition), then
+    a per-group aggregate.  The AUC numerator
     Σ pos_b·(2·cum_neg_below + neg_b) reaches ~2·P·N ≈ 2e24 at the
     1e12-doc target, so it accumulates as decimal(38,0) (bigint would
     overflow); every metric is a single division of exact integers ⇒
@@ -230,17 +234,23 @@ def binary_classification_metrics(
     predicted positives, …) yield NULL rather than NaN on both
     engines.
     """
+    by = list(by_cols or [])
     s = df.filter(F.col(score_col).isNotNull()).select(
+        *by,
         F.col(score_col).alias("_s"),
         F.when(F.col(label_col).cast("boolean"), F.lit(1)).otherwise(F.lit(0)).alias("_y"),
     )
-    bins = s.groupBy("_s").agg(
+    bins = s.groupBy(*by, "_s").agg(
         F.sum("_y").alias("pos"),
         F.sum(F.lit(1) - F.col("_y")).alias("neg"),
     )
-    # bounded ≤10001-row frame: the partition-less ordered window is
-    # deliberate and safe (see docstring)
-    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    # bounded ≤10001-row window partitions: deliberate and safe (see
+    # docstring); with no by_cols this is one bounded partition
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     binc = bins.withColumn(
         "cumneg", F.coalesce(F.sum("neg").over(w), F.lit(0).cast("bigint"))
     )
@@ -249,7 +259,7 @@ def binary_classification_metrics(
     def csum(col: Column) -> Column:
         return F.coalesce(F.sum(col), F.lit(0).cast("bigint"))
 
-    agg = binc.agg(
+    agg = binc.groupBy(*by).agg(
         F.sum(
             F.col("pos").cast("decimal(38,0)")
             * (F.lit(2) * F.col("cumneg") + F.col("neg"))
@@ -269,6 +279,7 @@ def binary_classification_metrics(
 
     n = F.col("n_pos") + F.col("n_neg")
     return agg.select(
+        *by,
         n.alias("n"),
         "n_pos",
         "n_neg",

@@ -3764,23 +3764,12 @@ FROM budget
 """
 
 
-def q80_trained_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXTENSION — FineWeb-Edu-style classifier TRAINING on-cluster:
-    distill the Gopher heuristic gate into logistic weights
-    (full-batch GD, integer-exact gradient aggregation — bit-stable
-    under any partitioning, see operators/training.py), then serve the
-    trained weights through the UNCHANGED with_quality_score plan.
-    The oracle replays the identical training loop as unrolled SQL
-    CTEs — weights match bit-for-bit, so the scored output is
-    value-checked end to end. The reference has no trained classifier
-    (its quality stage is the fixed gate); SURVEY §2 LLM-pipeline tier."""
+def _gate_labeled_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → quality features + ``distill_label`` (the Gopher
+    gate, null-safe) + ``_bucket`` (the q49 md5 split bucket)."""
     from fineweb_domain_analyzer_spark.operators.quality import (
         gopher_keep,
         with_quality_features,
-        with_quality_score,
-    )
-    from fineweb_domain_analyzer_spark.operators.training import (
-        train_quality_classifier,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -3792,9 +3781,58 @@ def q80_trained_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stopword_density"),
         F.col("max_word_repeat_ratio"),
     )
-    feats = feats.withColumn("distill_label", F.coalesce(gate, F.lit(False)))
-    model = train_quality_classifier(feats, "distill_label")
-    scored = with_quality_score(feats, weights=model.weights, out_col="trained_score")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return feats.withColumn(
+        "distill_label", F.coalesce(gate, F.lit(False))
+    ).withColumn("_bucket", bucket)
+
+
+# trained weights memo: training is deterministic (integer-exact, see
+# operators/training.py) and the testdata corpora are immutable, so a
+# (sf_dir, subset) key fully determines the weights; clear() if a
+# corpus under sf_dir is ever rewritten mid-process.
+_TRAIN_CACHE: dict[tuple[str, str], dict[str, float]] = {}
+
+
+def _trained_weights(
+    spark: SparkSession, sf_dir: str, subset: str
+) -> dict[str, float]:
+    """subset = 'full' (q80/q13-surface) or 'train80' (q81/q82)."""
+    key = (str(sf_dir), subset)
+    if key not in _TRAIN_CACHE:
+        from fineweb_domain_analyzer_spark.operators.training import (
+            train_quality_classifier,
+        )
+
+        feats = _gate_labeled_feats(spark, sf_dir)
+        if subset == "train80":
+            feats = feats.filter(F.col("_bucket") < 80)
+        model = train_quality_classifier(feats, "distill_label")
+        _TRAIN_CACHE[key] = model.weights
+    return _TRAIN_CACHE[key]
+
+
+def q80_trained_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — FineWeb-Edu-style classifier TRAINING on-cluster:
+    distill the Gopher heuristic gate into logistic weights
+    (full-batch GD, integer-exact gradient aggregation — bit-stable
+    under any partitioning, see operators/training.py), then serve the
+    trained weights through the UNCHANGED with_quality_score plan.
+    The oracle replays the identical training loop as unrolled SQL
+    CTEs — weights match bit-for-bit, so the scored output is
+    value-checked end to end. The reference has no trained classifier
+    (its quality stage is the fixed gate); SURVEY §2 LLM-pipeline tier."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        with_quality_score,
+    )
+
+    feats = _gate_labeled_feats(spark, sf_dir)
+    weights = _trained_weights(spark, sf_dir, "full")
+    scored = with_quality_score(feats, weights=weights, out_col="trained_score")
     return scored.select(
         "doc_id",
         "distill_label",
@@ -3942,39 +3980,66 @@ def q81_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulators). Fully integer-derived ⇒ every metric value is
     bit-reproducible and the oracle replays split+train+eval in SQL."""
     from fineweb_domain_analyzer_spark.operators.quality import (
-        gopher_keep,
-        with_quality_features,
         with_quality_score,
     )
     from fineweb_domain_analyzer_spark.operators.training import (
         binary_classification_metrics,
-        train_quality_classifier,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    feats = with_quality_features(docs)
-    gate = gopher_keep(
-        F.col("word_count"),
-        F.col("mean_word_len"),
-        F.col("symbol_ratio"),
-        F.col("stopword_density"),
-        F.col("max_word_repeat_ratio"),
-    )
-    feats = feats.withColumn("distill_label", F.coalesce(gate, F.lit(False)))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
-        .cast("bigint")
-        % 100
-    )
-    feats = feats.withColumn("_bucket", bucket)
-    model = train_quality_classifier(
-        feats.filter(F.col("_bucket") < 80), "distill_label"
-    )
+    feats = _gate_labeled_feats(spark, sf_dir)
+    weights = _trained_weights(spark, sf_dir, "train80")
     heldout = feats.filter(F.col("_bucket") >= 80)
     scored = with_quality_score(
-        heldout, weights=model.weights, out_col="trained_score"
+        heldout, weights=weights, out_col="trained_score"
     )
     return binary_classification_metrics(scored, "trained_score", "distill_label")
+
+
+def _metrics_tail_sql(group: list[str]) -> str:
+    """bins → binc → mm CTEs + final SELECT, mirroring
+    operators/training.py:binary_classification_metrics over an ``ev``
+    relation with columns (group…, _s, _y).  Window partitions are
+    bounded by the 4dp score resolution, never by corpus size."""
+    g = ", ".join(group)
+    gp = f"{g}, " if group else ""
+    part = f"PARTITION BY {g} " if group else ""
+    grp = f" GROUP BY {g}" if group else ""
+    return f"""bins AS MATERIALIZED (
+  SELECT {gp}_s, SUM(_y) AS pos, SUM(1 - _y) AS neg FROM ev GROUP BY {gp}_s
+),
+binc AS MATERIALIZED (
+  SELECT {gp}_s, pos, neg,
+         COALESCE(SUM(neg) OVER ({part}ORDER BY _s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cumneg
+  FROM bins
+),
+mm AS MATERIALIZED (
+  SELECT {gp}SUM(CAST(pos AS HUGEINT) * (2 * cumneg + neg)) AS num,
+         CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS n_pos,
+         CAST(COALESCE(SUM(neg), 0) AS BIGINT) AS n_neg,
+         CAST(COALESCE(SUM(CASE WHEN _s >= 0.5 THEN pos ELSE 0 END), 0) AS BIGINT) AS tp,
+         CAST(COALESCE(SUM(CASE WHEN _s >= 0.5 THEN neg ELSE 0 END), 0) AS BIGINT) AS fp,
+         CAST(COALESCE(SUM(CASE WHEN _s < 0.5 THEN pos ELSE 0 END), 0) AS BIGINT) AS fn,
+         CAST(COALESCE(SUM(CASE WHEN _s < 0.5 THEN neg ELSE 0 END), 0) AS BIGINT) AS tn
+  FROM binc{grp}
+)
+SELECT {gp}n_pos + n_neg AS n, n_pos, n_neg, tp, fp, fn, tn,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(num AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END
+         AS auc,
+       CASE WHEN n_pos + n_neg > 0
+            THEN CAST(tp + tn AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE) END
+         AS accuracy,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END
+         AS f1
+FROM mm"""
 
 
 def _q81_sql() -> str:
@@ -3994,42 +4059,57 @@ ev AS MATERIALIZED (
   FROM featsb f, twf
   WHERE f._bucket >= 80 AND {score} IS NOT NULL
 ),
-bins AS MATERIALIZED (
-  SELECT _s, SUM(_y) AS pos, SUM(1 - _y) AS neg FROM ev GROUP BY _s
+{_metrics_tail_sql([])}
+"""
+
+
+def q82_classifier_eval_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — per-language held-out eval of the q80 classifier
+    (FineWeb2 concern: a quality model trained on the pooled corpus
+    behaves differently across languages). Same deterministic 80/20
+    md5-bucket split and globally-trained model as q81; metrics are
+    grouped by ``lang`` via the same bounded-bin machinery (window
+    partitions ≤10k rows per language by score resolution — no
+    whole-language sort of documents anywhere)."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        with_quality_score,
+    )
+    from fineweb_domain_analyzer_spark.operators.training import (
+        binary_classification_metrics,
+    )
+
+    feats = _gate_labeled_feats(spark, sf_dir)
+    weights = _trained_weights(spark, sf_dir, "train80")
+    heldout = feats.filter(F.col("_bucket") >= 80)
+    scored = with_quality_score(
+        heldout, weights=weights, out_col="trained_score"
+    )
+    return binary_classification_metrics(
+        scored, "trained_score", "distill_label", by_cols=["lang"]
+    )
+
+
+def _q82_sql() -> str:
+    score = _q80_score_sql("f.")
+    return f"""
+WITH {_feats_cte()},
+featsb AS MATERIALIZED (
+  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+              AS _bucket
+  FROM feats
 ),
-binc AS MATERIALIZED (
-  SELECT _s, pos, neg,
-         COALESCE(SUM(neg) OVER (ORDER BY _s
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS cumneg
-  FROM bins
+feats_train AS MATERIALIZED (SELECT * FROM featsb WHERE _bucket < 80),
+{_q80_training_ctes('feats_train')},
+ev AS MATERIALIZED (
+  SELECT d.lang,
+         {score} AS _s,
+         CASE WHEN {_gopher_gate_sql('f.')} THEN 1 ELSE 0 END AS _y
+  FROM featsb f
+  JOIN documents d ON f.doc_id = d.doc_id
+  CROSS JOIN twf
+  WHERE f._bucket >= 80 AND {score} IS NOT NULL
 ),
-mm AS MATERIALIZED (
-  SELECT SUM(CAST(pos AS HUGEINT) * (2 * cumneg + neg)) AS num,
-         CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS n_pos,
-         CAST(COALESCE(SUM(neg), 0) AS BIGINT) AS n_neg,
-         CAST(COALESCE(SUM(CASE WHEN _s >= 0.5 THEN pos ELSE 0 END), 0) AS BIGINT) AS tp,
-         CAST(COALESCE(SUM(CASE WHEN _s >= 0.5 THEN neg ELSE 0 END), 0) AS BIGINT) AS fp,
-         CAST(COALESCE(SUM(CASE WHEN _s < 0.5 THEN pos ELSE 0 END), 0) AS BIGINT) AS fn,
-         CAST(COALESCE(SUM(CASE WHEN _s < 0.5 THEN neg ELSE 0 END), 0) AS BIGINT) AS tn
-  FROM binc
-)
-SELECT n_pos + n_neg AS n, n_pos, n_neg, tp, fp, fn, tn,
-       CASE WHEN n_pos > 0 AND n_neg > 0
-            THEN CAST(num AS DOUBLE)
-                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END
-         AS auc,
-       CASE WHEN n_pos + n_neg > 0
-            THEN CAST(tp + tn AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE) END
-         AS accuracy,
-       CASE WHEN tp + fp > 0
-            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
-       CASE WHEN tp + fn > 0
-            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
-       CASE WHEN 2 * tp + fp + fn > 0
-            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END
-         AS f1
-FROM mm
+{_metrics_tail_sql(['lang'])}
 """
 
 
@@ -4116,6 +4196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_recrawl_plan": q79_recrawl_plan,
     "q80_trained_quality_score": q80_trained_quality_score,
     "q81_classifier_eval": q81_classifier_eval,
+    "q82_classifier_eval_by_lang": q82_classifier_eval_by_lang,
 }
 
 
@@ -4200,4 +4281,5 @@ def oracle_sql() -> dict[str, str]:
         "q79_recrawl_plan": Q79_SQL,
         "q80_trained_quality_score": _q80_sql(),
         "q81_classifier_eval": _q81_sql(),
+        "q82_classifier_eval_by_lang": _q82_sql(),
     }
