@@ -107,6 +107,10 @@ class TrainedQualityModel:
     iters: int = TRAIN_ITERS
     lr: float = TRAIN_LR
     quantum: int = TRAIN_QUANTUM
+    # mean logloss at the START of each iteration (before that step's
+    # update), present when track_loss=True; quantized-integer-summed,
+    # so the trajectory is partitioning-independent like the weights
+    loss_by_iter: tuple[float, ...] = ()
 
 
 def _qsum(col: Column, quantum: float) -> Column:
@@ -121,6 +125,7 @@ def train_quality_classifier(
     iters: int = TRAIN_ITERS,
     lr: float = TRAIN_LR,
     quantum: int = TRAIN_QUANTUM,
+    track_loss: bool = False,
 ) -> TrainedQualityModel:
     """Full-batch logistic GD over the ``with_quality_features``
     columns, distilling the boolean ``label_col`` (teacher signal).
@@ -133,6 +138,11 @@ def train_quality_classifier(
     6-doubles-per-row projection (see module docstring for the scale
     and determinism analysis).  Returns folded raw-space weights
     compatible with ``with_quality_score``.
+
+    ``track_loss=True`` piggybacks a quantized mean-logloss column on
+    each gradient pass (no extra job): ``loss_by_iter[t]`` is the loss
+    at the weights iteration ``t`` started from — a deterministic
+    convergence trace for monitoring/early-stopping.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -168,6 +178,7 @@ def train_quality_classifier(
             for j in range(1, k + 1)
         ]
         w = [0.0] * (k + 1)  # [bias, w1..w5] in standardized space
+        losses: list[float] = []
         for _ in range(iters):
             z = F.lit(w[0])
             for j in range(1, k + 1):
@@ -177,7 +188,18 @@ def train_quality_classifier(
             gaggs = [_qsum(err, qf).alias("g0")]
             for j in range(1, k + 1):
                 gaggs.append(_qsum(err * zcols[j - 1], qf).alias(f"g{j}"))
+            if track_loss:
+                # eps-clamped so a saturated sigmoid (p = 0.0 or 1.0 in
+                # double) can't send ln to -inf
+                loss = -(
+                    F.col("_y") * F.log(F.greatest(p, F.lit(1e-12)))
+                    + (F.lit(1.0) - F.col("_y"))
+                    * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-12)))
+                )
+                gaggs.append(_qsum(loss, qf).alias("loss"))
             grow = proj.agg(*gaggs).collect()[0]
+            if track_loss:
+                losses.append(float(grow["loss"]) / qf / n)
             for j in range(k + 1):
                 w[j] = w[j] - lr * (float(grow[f"g{j}"]) / qf / n)
     finally:
@@ -201,6 +223,7 @@ def train_quality_classifier(
         iters=iters,
         lr=lr,
         quantum=quantum,
+        loss_by_iter=tuple(losses),
     )
 
 

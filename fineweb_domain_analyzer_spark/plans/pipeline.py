@@ -44,6 +44,7 @@ from fineweb_domain_analyzer_spark.operators.quality import (
 
 REASON_LANGUAGE = "language_filtered"
 REASON_QUALITY = "quality_filtered"
+REASON_CLASSIFIER = "classifier_filtered"
 
 
 @dataclass
@@ -55,6 +56,17 @@ class PipelineConfig:
     max_repeat_ratio: float = 0.9
     exact_domain: bool = True
     scrub: bool = True
+    # opt-in trained-classifier gate (FineWeb-Edu-style serving): a
+    # with_quality_score-compatible weights dict — e.g.
+    # operators/training.py:train_quality_classifier(...).weights —
+    # adds a quality_score column and drops docs scoring below
+    # min_quality_score AFTER the heuristic gates (precedence:
+    # robots > language > quality > classifier). None (default) keeps
+    # the reference-parity plan byte-identical. Pure codegen
+    # expressions, so the gate also works unchanged under Structured
+    # Streaming (streaming/pipeline.py reuses this plan).
+    quality_weights: dict | None = None
+    min_quality_score: float = 0.5
     extra: dict = field(default_factory=dict)
 
 
@@ -112,8 +124,18 @@ def quality_filter_pipeline(
         F.when(F.col("_robots_reason") != REASON_KEPT, F.col("_robots_reason"))
         .when(~lang_keep, F.lit(REASON_LANGUAGE))
         .when(~q_keep, F.lit(REASON_QUALITY))
-        .otherwise(F.lit(REASON_KEPT))
     )
+    if cfg.quality_weights is not None:
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            with_quality_score,
+        )
+
+        labeled = with_quality_score(labeled, weights=cfg.quality_weights)
+        clf_keep = F.col("quality_score") >= F.lit(float(cfg.min_quality_score))
+        # null score (null text) is NOT classifier-dropped, mirroring
+        # the heuristic gates' permissive null semantics
+        reason = reason.when(~clf_keep, F.lit(REASON_CLASSIFIER))
+    reason = reason.otherwise(F.lit(REASON_KEPT))
     out = (
         labeled.withColumn("drop_reason", reason)
         .withColumn("keep", F.col("drop_reason") == REASON_KEPT)

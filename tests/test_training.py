@@ -138,6 +138,69 @@ def test_q81_heldout_eval(spark, sf_dir):
     assert m["auc"] is not None and m["auc"] > 0.8, dict(m.asDict())
 
 
+def test_loss_trajectory_decreases(spark, sf_dir):
+    feats = _labeled_feats(spark, sf_dir)
+    m = train_quality_classifier(
+        feats, "distill_label", iters=6, track_loss=True
+    )
+    assert len(m.loss_by_iter) == 6
+    # full-batch GD on a convex loss with a sane lr: monotone descent
+    assert all(
+        b < a for a, b in zip(m.loss_by_iter, m.loss_by_iter[1:])
+    ), m.loss_by_iter
+    # trajectory is partitioning-independent like the weights
+    m2 = train_quality_classifier(
+        feats.repartition(7), "distill_label", iters=6, track_loss=True
+    )
+    assert m2.loss_by_iter == m.loss_by_iter
+
+
+def test_pipeline_classifier_gate(spark, sf_dir):
+    from fineweb_domain_analyzer_spark.plans.pipeline import (
+        REASON_CLASSIFIER,
+        PipelineConfig,
+        quality_filter_pipeline,
+    )
+    from fineweb_domain_analyzer_spark.queries import pages_view, policy_view
+
+    pages = pages_view(spark, str(sf_dir))
+    policy = policy_view(spark, str(sf_dir))
+    base = quality_filter_pipeline(
+        pages, policy, PipelineConfig(scrub=False)
+    ).select("doc_id", "keep", "drop_reason")
+    feats = _labeled_feats(spark, sf_dir)
+    model = train_quality_classifier(feats, "distill_label")
+    gated = quality_filter_pipeline(
+        pages,
+        policy,
+        PipelineConfig(scrub=False, quality_weights=model.weights),
+    ).select("doc_id", "keep", "drop_reason", "quality_score")
+
+    j = base.alias("b").join(gated.alias("g"), "doc_id").cache()
+    # the classifier gate only ever RE-LABELS docs the base plan kept —
+    # precedence robots > language > quality > classifier is preserved
+    assert (
+        j.filter(
+            (F.col("b.drop_reason") != "kept")
+            & (F.col("b.drop_reason") != F.col("g.drop_reason"))
+        ).count()
+        == 0
+    )
+    newly = j.filter(F.col("g.drop_reason") == REASON_CLASSIFIER)
+    assert newly.count() > 0  # the gate actually fires on this corpus
+    assert newly.filter(F.col("b.drop_reason") != "kept").count() == 0
+    assert newly.filter(F.col("g.quality_score") >= 0.5).count() == 0
+    # every doc the gated plan keeps scores at/above the threshold
+    assert (
+        j.filter(
+            (F.col("g.drop_reason") == "kept")
+            & (F.col("g.quality_score") < 0.5)
+        ).count()
+        == 0
+    )
+    j.unpersist()
+
+
 def test_q80_query_contract(spark, sf_dir):
     from fineweb_domain_analyzer_spark.queries import q80_trained_quality_score
 
