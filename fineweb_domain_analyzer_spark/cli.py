@@ -337,6 +337,60 @@ def filter_content(spark, args, robots_results: dict | None = None, jsonl_path=N
     return filtered_file, excluded_file, stats
 
 
+def train_classifier(spark, args) -> dict:
+    """Train the FineWeb-Edu-style quality classifier on --input
+    (parquet dir/file with a ``text`` column, or JSONL pages) and save
+    the weights artifact to --train-classifier's path. The distilled
+    teacher is the Gopher heuristic gate; training is the integer-exact
+    distributed GD of operators/training.py (weights bit-identical at
+    any parallelism). Serve with --classifier-weights or
+    PipelineConfig(quality_weights=load_weights(path))."""
+    from pyspark.sql import functions as F
+
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        gopher_keep,
+        with_quality_features,
+    )
+    from fineweb_domain_analyzer_spark.operators.training import (
+        save_weights,
+        train_quality_classifier,
+    )
+
+    path = Path(args.input)
+    if path.suffix == ".parquet" or (
+        path.is_dir() and any(path.glob("*.parquet"))
+    ):
+        df = spark.read.parquet(str(path))
+    else:
+        from fineweb_domain_analyzer_spark.sources.jsonl import (
+            read_jsonl_with_raw,
+        )
+
+        df = read_jsonl_with_raw(spark, str(path))
+    if "text" not in df.columns:
+        raise SystemExit(f"--train-classifier input {path} has no 'text' column")
+    feats = with_quality_features(df)
+    gate = gopher_keep(
+        F.col("word_count"),
+        F.col("mean_word_len"),
+        F.col("symbol_ratio"),
+        F.col("stopword_density"),
+        F.col("max_word_repeat_ratio"),
+    )
+    feats = feats.withColumn("_distill", F.coalesce(gate, F.lit(False)))
+    model = train_quality_classifier(feats, "_distill", track_loss=True)
+    save_weights(model, args.train_classifier)
+    summary = {
+        "weights_path": args.train_classifier,
+        "n": model.n,
+        "iters": model.iters,
+        "loss_first": model.loss_by_iter[0],
+        "loss_last": model.loss_by_iter[-1],
+    }
+    print(json.dumps(summary))
+    return summary
+
+
 def stream_ingest(spark, args) -> dict:
     """Incremental ingest verb: drain new parquet page files from
     --input through the quality-filter pipeline into --output/pages,
@@ -357,12 +411,24 @@ def stream_ingest(spark, args) -> dict:
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     checkpoint = args.checkpoint or str(out_dir / "_stream_checkpoint")
+    cfg = None
+    if args.classifier_weights:
+        from fineweb_domain_analyzer_spark.operators.training import (
+            load_weights,
+        )
+        from fineweb_domain_analyzer_spark.plans.pipeline import PipelineConfig
+
+        cfg = PipelineConfig(
+            quality_weights=load_weights(args.classifier_weights),
+            min_quality_score=args.min_quality_score,
+        )
     summary = run_incremental(
         spark,
         args.input,
         str(out_dir / "pages"),
         checkpoint,
         policy,
+        cfg=cfg,
         dedup=args.stream_dedup,
     )
     print(json.dumps(summary))
@@ -424,6 +490,25 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --stream-ingest: watermark-bounded exact URL dedup "
         "across micro-batches",
     )
+    p.add_argument(
+        "--train-classifier",
+        metavar="OUT_JSON",
+        help="train the quality classifier on --input (parquet with a "
+        "text column, or JSONL pages) and save the weights artifact; "
+        "distills the Gopher gate via integer-exact distributed GD",
+    )
+    p.add_argument(
+        "--classifier-weights",
+        help="with --stream-ingest: serve a trained classifier gate "
+        "(weights JSON from --train-classifier); docs scoring below "
+        "--min-quality-score drop as classifier_filtered",
+    )
+    p.add_argument(
+        "--min-quality-score",
+        type=float,
+        default=0.5,
+        help="classifier keep threshold for --classifier-weights (default 0.5)",
+    )
     p.add_argument("--run-ts", help="inject run timestamp (YYYYmmdd_HHMMSS) for determinism")
     p.add_argument("--run-iso", help="inject ISO timestamp for determinism")
     p.add_argument("--master", default=None)
@@ -434,7 +519,7 @@ def main(argv: list[str] | None = None) -> int:
     p = build_parser()
     args = p.parse_args(argv)
 
-    if (args.all_steps or args.warc_to_json or args.extract_domains or args.filter_content or args.stream_ingest) and not args.input:
+    if (args.all_steps or args.warc_to_json or args.extract_domains or args.filter_content or args.stream_ingest or args.train_classifier) and not args.input:
         p.error("these operations require --input")
     if args.check_robots and not (args.domains or args.all_steps):
         p.error("--check-robots requires --domains")
@@ -448,6 +533,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.check_robots
         or args.filter_content
         or args.stream_ingest
+        or args.train_classifier
     )
     if not has_action:
         p.print_help()
@@ -475,6 +561,8 @@ def main(argv: list[str] | None = None) -> int:
             filter_content(spark, args)
         elif args.stream_ingest:
             stream_ingest(spark, args)
+        elif args.train_classifier:
+            train_classifier(spark, args)
     finally:
         if created:
             spark.stop()

@@ -227,6 +227,60 @@ def train_quality_classifier(
     )
 
 
+WEIGHTS_FORMAT = "fineweb-quality-logit-v1"
+
+
+def save_weights(model: TrainedQualityModel, path: str) -> None:
+    """Persist trained weights as a small JSON artifact (repr-precision
+    floats round-trip doubles exactly), ready for
+    ``PipelineConfig(quality_weights=load_weights(path))`` or the CLI's
+    ``--classifier-weights``.  Driver-side O(1) — the model is six
+    floats; corpus-scale state never leaves the executors."""
+    import json
+
+    doc = {
+        "format": WEIGHTS_FORMAT,
+        "weights": model.weights,
+        "meta": {
+            "n": model.n,
+            "iters": model.iters,
+            "lr": model.lr,
+            "quantum": model.quantum,
+            "mu": list(model.mu),
+            "sd": list(model.sd),
+            "std_weights": list(model.std_weights),
+            "loss_by_iter": list(model.loss_by_iter),
+        },
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+        f.write("\n")
+
+
+def load_weights(path: str) -> dict[str, float]:
+    """Load and validate a ``save_weights`` artifact; returns the
+    with_quality_score-compatible weights dict.  Loud failure on a
+    wrong format marker or missing/extra weight keys — never silently
+    serves a malformed model."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if not isinstance(doc, dict) or doc.get("format") != WEIGHTS_FORMAT:
+        raise ValueError(
+            f"{path}: not a {WEIGHTS_FORMAT} artifact "
+            f"(format={doc.get('format') if isinstance(doc, dict) else type(doc).__name__!r})"
+        )
+    weights = doc.get("weights")
+    expected = {"bias", *FEATURE_KEYS}
+    if not isinstance(weights, dict) or set(weights) != expected:
+        got = sorted(weights) if isinstance(weights, dict) else weights
+        raise ValueError(
+            f"{path}: weight keys {got} != expected {sorted(expected)}"
+        )
+    return {k: float(v) for k, v in weights.items()}
+
+
 def binary_classification_metrics(
     df: DataFrame,
     score_col: str,

@@ -201,6 +201,71 @@ def test_pipeline_classifier_gate(spark, sf_dir):
     j.unpersist()
 
 
+def test_weights_save_load_roundtrip(spark, sf_dir, tmp_path):
+    import json
+
+    from fineweb_domain_analyzer_spark.operators.training import (
+        load_weights,
+        save_weights,
+    )
+
+    feats = _labeled_feats(spark, sf_dir)
+    model = train_quality_classifier(feats, "distill_label", iters=2)
+    p = str(tmp_path / "w.json")
+    save_weights(model, p)
+    loaded = load_weights(p)
+    assert loaded == model.weights  # repr-precision JSON round-trips doubles
+    # loud failures on malformed artifacts
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"format": "something-else", "weights": {}}))
+    with pytest.raises(ValueError, match="not a fineweb-quality-logit"):
+        load_weights(str(bad))
+    doc = json.loads(open(p).read())
+    del doc["weights"]["bias"]
+    bad.write_text(json.dumps(doc))
+    with pytest.raises(ValueError, match="weight keys"):
+        load_weights(str(bad))
+
+
+def test_cli_train_classifier(spark, sf_dir, tmp_path):
+    import json
+
+    from fineweb_domain_analyzer_spark.cli import main
+
+    out = str(tmp_path / "weights.json")
+    rc = main(
+        [
+            "--train-classifier",
+            out,
+            "--input",
+            str(sf_dir / "documents.parquet"),
+            "--master",
+            "local[4]",
+        ]
+    )
+    assert rc == 0
+    from fineweb_domain_analyzer_spark.operators.training import load_weights
+
+    w = load_weights(out)
+    doc = json.loads(open(out).read())
+    assert doc["meta"]["n"] == 500
+    losses = doc["meta"]["loss_by_iter"]
+    assert losses[-1] < losses[0]
+    # the CLI-trained artifact serves through the pipeline gate
+    from fineweb_domain_analyzer_spark.plans.pipeline import (
+        PipelineConfig,
+        quality_filter_pipeline,
+    )
+    from fineweb_domain_analyzer_spark.queries import pages_view, policy_view
+
+    out_df = quality_filter_pipeline(
+        pages_view(spark, str(sf_dir)),
+        policy_view(spark, str(sf_dir)),
+        PipelineConfig(scrub=False, quality_weights=w),
+    )
+    assert out_df.filter("drop_reason = 'classifier_filtered'").count() > 0
+
+
 def test_q80_query_contract(spark, sf_dir):
     from fineweb_domain_analyzer_spark.queries import q80_trained_quality_score
 
