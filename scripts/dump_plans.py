@@ -48,6 +48,7 @@ PICKS = {
     "q76_pixel_stats": "stdlib pixel decode: mapInPandas over the binary column, ZERO exchanges — per-asset sums are map-side integers",
     "q77_audio_stats": "stdlib WAV/PCM decode: mapInPandas over the binary column, ZERO exchanges — exact sample sums map-side",
     "q80_trained_quality_score": "on-cluster classifier training: iters+1 single-row aggregations (map-side partial decimal sums, integer-exact ⇒ partitioning-independent weights) run eagerly; the SERVING plan shown here is the unchanged with_quality_score map stage — ZERO exchanges, trained weights are literals",
+    "q81_classifier_eval": "held-out eval: 4dp score quantization bounds the bin domain, so the whole AUC/confusion computation is ONE groupBy(score) shuffle to ≤10k (pos,neg) rows + windows over that bounded frame — never a per-document sort",
 }
 
 
