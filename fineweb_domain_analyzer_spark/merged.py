@@ -204,12 +204,22 @@ _FILTER_METRICS = [
     ("q82", "q82_classifier_eval_by_lang", q._q82_sql(),
      ["lang"], ["auc", "accuracy", "precision", "recall", "f1"],
      ["n", "n_pos", "n_neg", "tp", "fp", "fn", "tn"]),
+    # q83/q84: calibration of the trained classifier on the same
+    # held-out split — per-bin reliability table (conf/acc/gap) and the
+    # scalar ECE/MCE/Brier summary, all integer-exact over the 4dp
+    # score domain (operators/training.py:reliability_bins /
+    # calibration_metrics).
+    ("q83", "q83_classifier_calibration", q._q83_sql(),
+     ["bin"], ["conf", "acc", "gap"], ["n", "n_pos"]),
+    ("q84", "q84_calibration_summary", q._q84_sql(),
+     [], ["ece", "mce", "brier"], ["n"]),
 ]
 
 
 def q28_filter_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 global filter stats + drop-reason histogram + q81 held-out
-    classifier eval (AUC/confusion), one summary frame."""
+    """A3 global filter stats + drop-reason histogram + q81/q82
+    held-out classifier eval (AUC/confusion) + q83/q84 calibration
+    (reliability bins, ECE/MCE/Brier), one summary frame."""
     return _folded_union(spark, sf_dir, _FILTER_METRICS)
 
 
@@ -746,6 +756,7 @@ _FOLDED = {
     "q38_robots_policy", "q79_recrawl_plan",
     "q80_trained_quality_score",
     "q81_classifier_eval", "q82_classifier_eval_by_lang",
+    "q83_classifier_calibration", "q84_calibration_summary",
 }
 
 

@@ -377,3 +377,146 @@ def binary_classification_metrics(
             F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
         ).alias("f1"),
     )
+
+
+def _score_int_bins(
+    df: DataFrame, score_col: str, label_col: str, by: list[str]
+) -> DataFrame:
+    """The ONE corpus-wide shuffle shared by the calibration metrics:
+    collapse (group…, 4dp score) to (pos, neg) counts, with the score
+    carried as the exact integer ``_si = round(score * 10000)`` so every
+    downstream statistic is integer arithmetic.  Output is bounded at
+    ≤ 10 001 rows per group regardless of corpus size."""
+    s = df.filter(F.col(score_col).isNotNull()).select(
+        *by,
+        F.round(F.col(score_col) * 10000, 0).cast("bigint").alias("_si"),
+        F.when(F.col(label_col).cast("boolean"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_y"),
+    )
+    return s.groupBy(*by, "_si").agg(
+        F.sum("_y").alias("pos"),
+        F.sum(F.lit(1) - F.col("_y")).alias("neg"),
+    )
+
+
+def _calib_bin(n_bins: int) -> Column:
+    # pure integer bin assignment (si * n_bins div 10000, capped) —
+    # floor(score * n_bins) expressed without float edge ambiguity, so
+    # Spark and the SQL oracle can never disagree at a bin boundary
+    return F.least(
+        F.expr(f"_si * {int(n_bins)} div 10000"), F.lit(int(n_bins) - 1)
+    ).alias("bin")
+
+
+def reliability_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    by_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reliability table for a [0,1] score vs a boolean label: per
+    equal-width score bin, the doc count, positive count, mean
+    predicted score (``conf``), empirical positive rate (``acc``) and
+    the calibration gap ``acc - conf``.  This is the table behind a
+    reliability diagram — the operating evidence for choosing the
+    serving threshold of the q80 trained classifier.
+
+    Determinism/scale: scores are 4dp, so after the one
+    groupBy(group, score) corpus shuffle everything is exact integer
+    math over ≤ 10 001 rows per group.  ``conf`` needs Σ(count·si),
+    which reaches 10⁴·10¹² = 10¹⁶ per score row and ~10¹⁷ per bin at
+    the 10¹²-doc target — summed as decimal(38,0) for headroom (the
+    same bigint-overflow argument as the AUC numerator).  The doubles
+    in the output are single divisions of exact integers, written with
+    the same association order as the SQL oracle ⇒ bit-identical."""
+    by = list(by_cols or [])
+    sb = _score_int_bins(df, score_col, label_col, by)
+    binned = sb.groupBy(*by, _calib_bin(n_bins)).agg(
+        F.sum(F.col("pos") + F.col("neg")).alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(
+            ((F.col("pos") + F.col("neg")) * F.col("_si")).cast("decimal(38,0)")
+        ).alias("_ssum"),
+    )
+    conf = F.col("_ssum").cast("double") / (
+        F.lit(10000.0) * F.col("n").cast("double")
+    )
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return binned.select(
+        *by,
+        "bin",
+        "n",
+        "n_pos",
+        conf.alias("conf"),
+        acc.alias("acc"),
+        (acc - conf).alias("gap"),
+    )
+
+
+def calibration_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    by_cols: list[str] | None = None,
+) -> DataFrame:
+    """Scalar calibration summary of a [0,1] score vs a boolean label:
+    expected calibration error (ECE, bin-weighted |acc − conf|),
+    maximum calibration error (MCE) over the same ``n_bins`` equal-width
+    bins, and the Brier score — one row globally or per ``by_cols``
+    group.
+
+    Exactness: with 4dp scores every numerator is an integer —
+    ECE = Σ_b |10⁴·n_pos_b − Σsi_b| / (10⁴·N), and the Brier numerator
+    Σ pos·(si−10⁴)² + neg·si² is exact per SCORE bin (so it reuses the
+    same single corpus shuffle, not a second pass).  Per-row Brier
+    contributions reach 10⁸, i.e. ~10²⁰ summed at the 10¹²-doc target —
+    decimal(38,0) accumulators, doubles only in the final division.
+    MCE is a max of per-bin exact ratios (order-independent).  All
+    three mirror bit-for-bit in the DuckDB oracle (queries._q84_sql)."""
+    by = list(by_cols or [])
+    sb = _score_int_bins(df, score_col, label_col, by)
+    dec = "decimal(38,0)"
+    binned = sb.groupBy(*by, _calib_bin(n_bins)).agg(
+        F.sum(F.col("pos") + F.col("neg")).alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(
+            ((F.col("pos") + F.col("neg")) * F.col("_si")).cast(dec)
+        ).alias("_ssum"),
+        F.sum(
+            F.col("pos").cast(dec)
+            * ((F.col("_si") - 10000) * (F.col("_si") - 10000))
+            + F.col("neg").cast(dec) * (F.col("_si") * F.col("_si"))
+        ).alias("_bnum"),
+    )
+    gap_num = F.abs(
+        F.col("n_pos").cast(dec) * F.lit(10000) - F.col("_ssum")
+    )
+    per_bin = binned.select(
+        *by,
+        "n",
+        gap_num.alias("_gnum"),
+        (
+            gap_num.cast("double")
+            / (F.lit(10000.0) * F.col("n").cast("double"))
+        ).alias("_bin_gap"),
+        "_bnum",
+    )
+    agg = per_bin.groupBy(*by).agg(
+        F.sum("n").alias("n"),
+        F.sum("_gnum").alias("_gsum"),
+        F.max("_bin_gap").alias("mce"),
+        F.sum("_bnum").alias("_bsum"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        *by,
+        "n",
+        (F.col("_gsum").cast("double") / (F.lit(10000.0) * nd)).alias("ece"),
+        "mce",
+        (F.col("_bsum").cast("double") / (F.lit(100000000.0) * nd)).alias(
+            "brier"
+        ),
+    )

@@ -4113,6 +4113,115 @@ ev AS MATERIALIZED (
 """
 
 
+def _heldout_scored(spark: SparkSession, sf_dir: str):
+    """Shared by q83/q84: the q81 held-out 20% scored by the
+    globally-trained q80 model (weights memoized per sf_dir)."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        with_quality_score,
+    )
+
+    feats = _gate_labeled_feats(spark, sf_dir)
+    weights = _trained_weights(spark, sf_dir, "train80")
+    heldout = feats.filter(F.col("_bucket") >= 80)
+    return with_quality_score(heldout, weights=weights, out_col="trained_score")
+
+
+def q83_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — reliability table of the q80 trained classifier on
+    the q81 held-out split: per equal-width score bin, doc count,
+    positive count, mean predicted score (conf), empirical positive
+    rate (acc) and the gap acc−conf.  This is the reliability-diagram
+    table behind choosing the serving threshold
+    (PipelineConfig.min_quality_score).  One corpus shuffle to ≤10k
+    4dp-score bins, then pure integer math
+    (operators/training.py:reliability_bins)."""
+    from fineweb_domain_analyzer_spark.operators.training import (
+        reliability_bins,
+    )
+
+    return reliability_bins(
+        _heldout_scored(spark, sf_dir), "trained_score", "distill_label"
+    )
+
+
+def q84_calibration_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — scalar calibration summary (ECE / MCE / Brier) of
+    the q80 trained classifier on the held-out split.  All numerators
+    are exact integers over the 4dp score domain, accumulated as
+    decimal(38,0) (Brier's per-row term reaches 1e8 ⇒ ~1e20 summed at
+    the 1e12-doc target); doubles appear only in the final divisions,
+    written with the same association order as the oracle
+    (operators/training.py:calibration_metrics)."""
+    from fineweb_domain_analyzer_spark.operators.training import (
+        calibration_metrics,
+    )
+
+    return calibration_metrics(
+        _heldout_scored(spark, sf_dir), "trained_score", "distill_label"
+    )
+
+
+def _calib_ctes() -> str:
+    """ev (held-out scored docs) → integer score bins → calibration
+    bins, mirroring operators/training.py:_score_int_bins/_calib_bin:
+    si = round(score·10⁴) exactly; bin = si·10 // 10⁴ capped at 9 —
+    pure integer bin assignment, no float edge ambiguity."""
+    score = _q80_score_sql("f.")
+    return f"""
+WITH {_feats_cte()},
+featsb AS MATERIALIZED (
+  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+              AS _bucket
+  FROM feats
+),
+feats_train AS MATERIALIZED (SELECT * FROM featsb WHERE _bucket < 80),
+{_q80_training_ctes('feats_train')},
+ev AS MATERIALIZED (
+  SELECT {score} AS _s,
+         CASE WHEN {_gopher_gate_sql('f.')} THEN 1 ELSE 0 END AS _y
+  FROM featsb f, twf
+  WHERE f._bucket >= 80 AND {score} IS NOT NULL
+),
+sib AS MATERIALIZED (
+  SELECT CAST(round(_s * 10000, 0) AS BIGINT) AS si,
+         SUM(_y) AS pos, SUM(1 - _y) AS neg
+  FROM ev GROUP BY 1
+),
+cb AS MATERIALIZED (
+  SELECT LEAST(si * 10 // 10000, 9) AS bin,
+         CAST(SUM(pos + neg) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         SUM(CAST(pos + neg AS HUGEINT) * si) AS ssum,
+         SUM(CAST(pos AS HUGEINT) * (si - 10000) * (si - 10000)
+             + CAST(neg AS HUGEINT) * si * si) AS bnum
+  FROM sib GROUP BY 1
+)"""
+
+
+def _q83_sql() -> str:
+    return f"""{_calib_ctes()}
+SELECT bin, n, n_pos,
+       CAST(ssum AS DOUBLE) / (10000.0 * CAST(n AS DOUBLE)) AS conf,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+         - CAST(ssum AS DOUBLE) / (10000.0 * CAST(n AS DOUBLE)) AS gap
+FROM cb
+"""
+
+
+def _q84_sql() -> str:
+    return f"""{_calib_ctes()}
+SELECT CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(ABS(CAST(n_pos AS HUGEINT) * 10000 - ssum)) AS DOUBLE)
+         / (10000.0 * CAST(SUM(n) AS DOUBLE)) AS ece,
+       MAX(CAST(ABS(CAST(n_pos AS HUGEINT) * 10000 - ssum) AS DOUBLE)
+           / (10000.0 * CAST(n AS DOUBLE))) AS mce,
+       CAST(SUM(bnum) AS DOUBLE)
+         / (100000000.0 * CAST(SUM(n) AS DOUBLE)) AS brier
+FROM cb
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4197,6 +4306,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_trained_quality_score": q80_trained_quality_score,
     "q81_classifier_eval": q81_classifier_eval,
     "q82_classifier_eval_by_lang": q82_classifier_eval_by_lang,
+    "q83_classifier_calibration": q83_classifier_calibration,
+    "q84_calibration_summary": q84_calibration_summary,
 }
 
 
@@ -4282,4 +4393,6 @@ def oracle_sql() -> dict[str, str]:
         "q80_trained_quality_score": _q80_sql(),
         "q81_classifier_eval": _q81_sql(),
         "q82_classifier_eval_by_lang": _q82_sql(),
+        "q83_classifier_calibration": _q83_sql(),
+        "q84_calibration_summary": _q84_sql(),
     }

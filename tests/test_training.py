@@ -281,3 +281,78 @@ def test_q80_query_contract(spark, sf_dir):
         | F.col("trained_score").isNull()
     ).count()
     assert bad == 0
+
+
+def test_calibration_hand_computed(spark):
+    """Hand-checkable calibration: scores {0.1, 0.25, 0.8} with known
+    labels — per-bin conf/acc/gap, ECE, MCE and Brier computed by hand.
+
+    rows: (0.1, F) x3, (0.1, T) x1, (0.25, T) x1, (0.8, T) x2, (0.8, F) x2
+    bins (10 equal-width): bin1 = {0.1}, bin2 = {0.25}, bin8 = {0.8}
+      bin1: n=4 n_pos=1 conf=0.1  acc=0.25 gap=+0.15
+      bin2: n=1 n_pos=1 conf=0.25 acc=1.0  gap=+0.75
+      bin8: n=4 n_pos=2 conf=0.8  acc=0.5  gap=-0.30
+    ECE  = (4*0.15 + 1*0.75 + 4*0.30)/9 = 2.55/9
+    MCE  = 0.75
+    Brier= (3*0.01 + 1*0.81 + 1*0.5625 + 2*0.04 + 2*0.64)/9 = 2.7625/9
+    """
+    from fineweb_domain_analyzer_spark.operators.training import (
+        calibration_metrics,
+        reliability_bins,
+    )
+
+    rows = (
+        [(0.1, False)] * 3
+        + [(0.1, True), (0.25, True)]
+        + [(0.8, True)] * 2
+        + [(0.8, False)] * 2
+    )
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    rb = {r["bin"]: r for r in reliability_bins(df, "s", "y").collect()}
+    assert set(rb) == {1, 2, 8}
+    assert (rb[1]["n"], rb[1]["n_pos"]) == (4, 1)
+    assert rb[1]["conf"] == pytest.approx(0.1) and rb[1]["acc"] == 0.25
+    assert rb[1]["gap"] == pytest.approx(0.15)
+    assert (rb[2]["n"], rb[2]["n_pos"]) == (1, 1)
+    assert rb[2]["gap"] == pytest.approx(0.75)
+    assert (rb[8]["n"], rb[8]["n_pos"]) == (4, 2)
+    assert rb[8]["gap"] == pytest.approx(-0.30)
+
+    m = calibration_metrics(df, "s", "y").collect()[0]
+    assert m["n"] == 9
+    assert m["ece"] == pytest.approx(2.55 / 9)
+    assert m["mce"] == pytest.approx(0.75)
+    assert m["brier"] == pytest.approx(2.7625 / 9)
+
+
+def test_calibration_edges(spark):
+    """Edge semantics: score 1.0 lands in the top bin (capped), null
+    scores are excluded, null labels count as negative, a perfectly
+    calibrated constant predictor has ECE = MCE = 0, and groups split
+    via by_cols."""
+    from fineweb_domain_analyzer_spark.operators.training import (
+        calibration_metrics,
+        reliability_bins,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, True), ("a", 1.0, None), ("a", None, True)]
+        + [("b", 0.5, True), ("b", 0.5, False)],
+        "g string, s double, y boolean",
+    )
+    rb = {
+        (r["g"], r["bin"]): r
+        for r in reliability_bins(df, "s", "y", by_cols=["g"]).collect()
+    }
+    # null score excluded; 1.0 capped into bin 9; null label => negative
+    assert set(rb) == {("a", 9), ("b", 5)}
+    assert (rb[("a", 9)]["n"], rb[("a", 9)]["n_pos"]) == (2, 1)
+    m = {
+        r["g"]: r
+        for r in calibration_metrics(df, "s", "y", by_cols=["g"]).collect()
+    }
+    # group b: conf == acc == 0.5 exactly -> zero calibration error,
+    # Brier = 0.25
+    assert m["b"]["ece"] == 0.0 and m["b"]["mce"] == 0.0
+    assert m["b"]["brier"] == pytest.approx(0.25)
+    assert m["a"]["n"] == 2
