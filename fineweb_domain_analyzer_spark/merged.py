@@ -147,8 +147,15 @@ def _folded_union(
 
 
 def _folded_union_sql(suite: list) -> str:
-    blocks = []
-    for tag, _full, sql, keys, dm, lm in suite:
+    """Each member's SQL is evaluated ONCE as a materialized CTE and
+    every metric block unpivots from that CTE — without this, a member
+    with M metric columns would re-run its full query M times (the
+    classifier members replay the whole unrolled training loop per
+    metric, which made the q28 oracle ~5× slower than it needs to be)."""
+    ctes, blocks = [], []
+    for i, (tag, _full, sql, keys, dm, lm) in enumerate(suite):
+        name = f"_fold_{tag}_{i}"
+        ctes.append(f"{name} AS MATERIALIZED (\n{sql}\n)")
         grp = (
             " || '|' || ".join(f"CAST({k} AS VARCHAR)" for k in keys)
             if keys
@@ -158,15 +165,20 @@ def _folded_union_sql(suite: list) -> str:
             blocks.append(
                 f"SELECT '{tag}' AS query, {grp} AS grp, '{m}' AS metric,\n"
                 f"       CAST({m} AS DOUBLE) AS val_d, CAST(NULL AS BIGINT) AS val_l\n"
-                f"FROM ({sql})"
+                f"FROM {name}"
             )
         for m in lm:
             blocks.append(
                 f"SELECT '{tag}' AS query, {grp} AS grp, '{m}' AS metric,\n"
                 f"       CAST(NULL AS DOUBLE) AS val_d, CAST({m} AS BIGINT) AS val_l\n"
-                f"FROM ({sql})"
+                f"FROM {name}"
             )
-    return "\nUNION ALL\n".join(blocks)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(blocks)
+    )
 
 
 def q01_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,13 +225,26 @@ _FILTER_METRICS = [
      ["bin"], ["conf", "acc", "gap"], ["n", "n_pos"]),
     ("q84", "q84_calibration_summary", q._q84_sql(),
      [], ["ece", "mce", "brier"], ["n"]),
+    # q85/q86: operating-characteristic sweep over every distinct 4dp
+    # threshold (keep iff score >= t) + the argmax-F1 serving
+    # threshold — the evidence behind PipelineConfig.min_quality_score
+    # (operators/training.py:threshold_sweep/best_operating_point).
+    # t_si (integer 1e-4 units) is the key so no double round-trips
+    # through the grp string.
+    ("q85", "q85_threshold_sweep", q._q85_sql(),
+     ["t_si"], ["threshold", "precision", "recall", "f1", "accuracy"],
+     ["tp", "fp", "fn", "tn"]),
+    ("q86", "q86_operating_point", q._q86_sql(),
+     ["t_si"], ["threshold", "precision", "recall", "f1", "accuracy"],
+     ["tp", "fp", "fn", "tn"]),
 ]
 
 
 def q28_filter_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 global filter stats + drop-reason histogram + q81/q82
     held-out classifier eval (AUC/confusion) + q83/q84 calibration
-    (reliability bins, ECE/MCE/Brier), one summary frame."""
+    (reliability bins, ECE/MCE/Brier) + q85/q86 threshold sweep and
+    argmax-F1 operating point, one summary frame."""
     return _folded_union(spark, sf_dir, _FILTER_METRICS)
 
 
@@ -757,6 +782,7 @@ _FOLDED = {
     "q80_trained_quality_score",
     "q81_classifier_eval", "q82_classifier_eval_by_lang",
     "q83_classifier_calibration", "q84_calibration_summary",
+    "q85_threshold_sweep", "q86_operating_point",
 }
 
 

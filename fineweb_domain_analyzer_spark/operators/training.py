@@ -520,3 +520,98 @@ def calibration_metrics(
             "brier"
         ),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by_cols: list[str] | None = None,
+) -> DataFrame:
+    """PR/ROC sweep of a [0,1] score vs a boolean label: one row per
+    DISTINCT 4dp score value ``t``, with the confusion counts and
+    precision/recall/F1/accuracy of the rule ``keep iff score >= t``.
+    This is the full operating-characteristic table behind choosing the
+    serving threshold (``PipelineConfig.min_quality_score``) for the
+    q80 trained classifier.
+
+    Scale/determinism: reuses the ONE groupBy(group, 4dp score) corpus
+    shuffle (`_score_int_bins`), after which the cumulative confusion
+    counts are a window over ≤ 10 001 rows per group — bounded by the
+    score RESOLUTION, never by corpus size (same argument as the q81
+    AUC window).  Counts stay exact bigints (tp ≤ 10¹² ≪ 2⁶³); the
+    ratio columns are single divisions of those exact integers written
+    with the same association order as the SQL oracle ⇒ bit-identical.
+    ``t_si = round(t·10⁴)`` is emitted as the integer join/sort key so
+    no float ever has to round-trip through a string.
+
+    Null scores are excluded; null labels count as negative (matching
+    `binary_classification_metrics`).  ``recall`` is null when the
+    group has no positives (0/0), mirrored as NULL in SQL.
+    """
+    by = list(by_cols or [])
+    sb = _score_int_bins(df, score_col, label_col, by)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_si").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*by)
+    cum = sb.select(
+        *by,
+        F.col("_si").alias("t_si"),
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp"),
+        F.sum("pos").over(wall).alias("_p"),
+        F.sum("neg").over(wall).alias("_n"),
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    fn = (F.col("_p") - tp).alias("fn")
+    tn = (F.col("_n") - fp).alias("tn")
+    d = lambda c: c.cast("double")  # noqa: E731
+    return cum.select(
+        *by,
+        "t_si",
+        (d(F.col("t_si")) / F.lit(10000.0)).alias("threshold"),
+        "tp",
+        "fp",
+        fn,
+        tn,
+        (d(tp) / d(tp + fp)).alias("precision"),
+        F.when(F.col("_p") > 0, d(tp) / d(F.col("_p"))).alias("recall"),
+        (
+            F.lit(2.0) * d(tp) / d(F.lit(2) * tp + fp + F.col("_p") - tp)
+        ).alias("f1"),
+        ((d(tp) + d(F.col("_n") - fp)) / d(F.col("_p") + F.col("_n"))).alias(
+            "accuracy"
+        ),
+    )
+
+
+def best_operating_point(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by_cols: list[str] | None = None,
+) -> DataFrame:
+    """The argmax-F1 row of `threshold_sweep` — the recommended serving
+    threshold per group.  Deterministic tie-break: among equal-F1
+    thresholds take the HIGHEST (strictest gate that achieves the best
+    F1 — fewer kept docs for the same quality trade-off).
+
+    The ranking window runs over the sweep's ≤ 10 001 bounded rows per
+    group, so the top-1 pick is as scale-safe as the sweep itself.
+    F1 values being compared are bit-identical deterministic doubles
+    (exact-integer divisions), so the tie-break is reproducible across
+    partitionings and engines.
+    """
+    by = list(by_cols or [])
+    sweep = threshold_sweep(df, score_col, label_col, by)
+    rank = Window.partitionBy(*by).orderBy(
+        F.col("f1").desc(), F.col("t_si").desc()
+    )
+    return (
+        sweep.withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -4161,11 +4161,11 @@ def q84_calibration_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _calib_ctes() -> str:
-    """ev (held-out scored docs) → integer score bins → calibration
-    bins, mirroring operators/training.py:_score_int_bins/_calib_bin:
-    si = round(score·10⁴) exactly; bin = si·10 // 10⁴ capped at 9 —
-    pure integer bin assignment, no float edge ambiguity."""
+def _sib_ctes() -> str:
+    """ev (held-out scored docs) → per-distinct-4dp-score (pos, neg)
+    counts, mirroring operators/training.py:_score_int_bins:
+    si = round(score·10⁴) exactly.  Shared by the calibration (q83/q84)
+    and threshold-sweep (q85/q86) oracles."""
     score = _q80_score_sql("f.")
     return f"""
 WITH {_feats_cte()},
@@ -4186,7 +4186,14 @@ sib AS MATERIALIZED (
   SELECT CAST(round(_s * 10000, 0) AS BIGINT) AS si,
          SUM(_y) AS pos, SUM(1 - _y) AS neg
   FROM ev GROUP BY 1
-),
+)"""
+
+
+def _calib_ctes() -> str:
+    """`_sib_ctes` + the calibration bins: bin = si·10 // 10⁴ capped
+    at 9 — pure integer bin assignment, no float edge ambiguity
+    (mirrors operators/training.py:_calib_bin)."""
+    return f"""{_sib_ctes()},
 cb AS MATERIALIZED (
   SELECT LEAST(si * 10 // 10000, 9) AS bin,
          CAST(SUM(pos + neg) AS BIGINT) AS n,
@@ -4219,6 +4226,78 @@ SELECT CAST(SUM(n) AS BIGINT) AS n,
        CAST(SUM(bnum) AS DOUBLE)
          / (100000000.0 * CAST(SUM(n) AS DOUBLE)) AS brier
 FROM cb
+"""
+
+
+def q85_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — full operating-characteristic sweep of the q80
+    trained classifier on the q81 held-out split: one row per distinct
+    4dp score value ``t`` with the confusion counts and
+    precision/recall/F1/accuracy of ``keep iff score >= t``.  The PR
+    curve behind choosing ``PipelineConfig.min_quality_score``.  One
+    corpus shuffle to the ≤10k-row score domain, then a bounded window
+    (operators/training.py:threshold_sweep)."""
+    from fineweb_domain_analyzer_spark.operators.training import (
+        threshold_sweep,
+    )
+
+    return threshold_sweep(
+        _heldout_scored(spark, sf_dir), "trained_score", "distill_label"
+    )
+
+
+def q86_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — the argmax-F1 row of the q85 sweep: the recommended
+    serving threshold (tie-break: highest threshold at equal F1 — the
+    strictest gate with the best trade-off).  Deterministic because
+    the F1 doubles are exact-integer divisions
+    (operators/training.py:best_operating_point)."""
+    from fineweb_domain_analyzer_spark.operators.training import (
+        best_operating_point,
+    )
+
+    return best_operating_point(
+        _heldout_scored(spark, sf_dir), "trained_score", "distill_label"
+    )
+
+
+def _sweep_sql() -> str:
+    """The q85 sweep as SQL: descending-score cumulative (tp, fp) over
+    the sib score bins — the window runs over ≤10 001 rows (score
+    resolution), never corpus rows.  Every double is a single division
+    of exact integers with the same association order as the Spark
+    side."""
+    return f"""{_sib_ctes()},
+sweep AS MATERIALIZED (
+  SELECT si AS t_si,
+         SUM(pos) OVER w AS ctp, SUM(neg) OVER w AS cfp,
+         SUM(pos) OVER () AS p, SUM(neg) OVER () AS nn
+  FROM sib
+  WINDOW w AS (ORDER BY si DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t_si,
+       CAST(t_si AS DOUBLE) / 10000.0 AS threshold,
+       CAST(ctp AS BIGINT) AS tp, CAST(cfp AS BIGINT) AS fp,
+       CAST(p - ctp AS BIGINT) AS fn, CAST(nn - cfp AS BIGINT) AS tn,
+       CAST(ctp AS DOUBLE) / CAST(ctp + cfp AS DOUBLE) AS precision,
+       CASE WHEN p > 0 THEN CAST(ctp AS DOUBLE) / CAST(p AS DOUBLE) END
+         AS recall,
+       2.0 * CAST(ctp AS DOUBLE)
+         / CAST(2 * ctp + cfp + (p - ctp) AS DOUBLE) AS f1,
+       (CAST(ctp AS DOUBLE) + CAST(nn - cfp AS DOUBLE))
+         / CAST(p + nn AS DOUBLE) AS accuracy
+FROM sweep"""
+
+
+def _q85_sql() -> str:
+    return _sweep_sql() + "\n"
+
+
+def _q86_sql() -> str:
+    return f"""SELECT * FROM ({_sweep_sql()}
+)
+QUALIFY ROW_NUMBER() OVER (ORDER BY f1 DESC, t_si DESC) = 1
 """
 
 
@@ -4308,6 +4387,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_classifier_eval_by_lang": q82_classifier_eval_by_lang,
     "q83_classifier_calibration": q83_classifier_calibration,
     "q84_calibration_summary": q84_calibration_summary,
+    "q85_threshold_sweep": q85_threshold_sweep,
+    "q86_operating_point": q86_operating_point,
 }
 
 
@@ -4395,4 +4476,6 @@ def oracle_sql() -> dict[str, str]:
         "q82_classifier_eval_by_lang": _q82_sql(),
         "q83_classifier_calibration": _q83_sql(),
         "q84_calibration_summary": _q84_sql(),
+        "q85_threshold_sweep": _q85_sql(),
+        "q86_operating_point": _q86_sql(),
     }

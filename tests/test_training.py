@@ -356,3 +356,79 @@ def test_calibration_edges(spark):
     assert m["b"]["ece"] == 0.0 and m["b"]["mce"] == 0.0
     assert m["b"]["brier"] == pytest.approx(0.25)
     assert m["a"]["n"] == 2
+
+
+def test_threshold_sweep_hand_computed(spark):
+    """Sweep over scores {0.2, 0.5, 0.9}: cumulative confusion counts
+    and ratios at each distinct threshold, checked by hand.
+
+    rows: (0.9,T)x2 (0.9,F)x1 (0.5,T)x1 (0.5,F)x2 (0.2,F)x3   P=3 N=6
+      t=0.9: tp=2 fp=1 fn=1 tn=5  prec=2/3 rec=2/3 f1=2/3 acc=7/9
+      t=0.5: tp=3 fp=3 fn=0 tn=3  prec=1/2 rec=1   f1=6/9=2/3 acc=6/9
+      t=0.2: tp=3 fp=6 fn=0 tn=0  prec=1/3 rec=1   f1=1/2 acc=3/9
+    best F1 ties at 2/3 between t=0.9 and t=0.5 -> tie-break picks the
+    HIGHER threshold 0.9.
+    """
+    from fineweb_domain_analyzer_spark.operators.training import (
+        best_operating_point,
+        threshold_sweep,
+    )
+
+    rows = (
+        [(0.9, True)] * 2
+        + [(0.9, False), (0.5, True)]
+        + [(0.5, False)] * 2
+        + [(0.2, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    sw = {r["t_si"]: r for r in threshold_sweep(df, "s", "y").collect()}
+    assert set(sw) == {9000, 5000, 2000}
+    r9 = sw[9000]
+    assert (r9["tp"], r9["fp"], r9["fn"], r9["tn"]) == (2, 1, 1, 5)
+    assert r9["precision"] == pytest.approx(2 / 3)
+    assert r9["recall"] == pytest.approx(2 / 3)
+    assert r9["f1"] == pytest.approx(2 / 3)
+    assert r9["accuracy"] == pytest.approx(7 / 9)
+    assert r9["threshold"] == pytest.approx(0.9)
+    r5 = sw[5000]
+    assert (r5["tp"], r5["fp"], r5["fn"], r5["tn"]) == (3, 3, 0, 3)
+    assert r5["recall"] == 1.0 and r5["f1"] == pytest.approx(2 / 3)
+    r2 = sw[2000]
+    assert (r2["tp"], r2["fp"], r2["fn"], r2["tn"]) == (3, 6, 0, 0)
+    assert r2["precision"] == pytest.approx(1 / 3)
+
+    best = best_operating_point(df, "s", "y").collect()
+    assert len(best) == 1 and best[0]["t_si"] == 9000  # tie -> stricter
+
+
+def test_threshold_sweep_edges(spark):
+    """Null score excluded, null label negative, all-negative group has
+    NULL recall, by_cols split, and the argmax is per-group."""
+    from fineweb_domain_analyzer_spark.operators.training import (
+        best_operating_point,
+        threshold_sweep,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0.8, True), ("a", 0.3, None), ("a", None, True)]
+        + [("b", 0.6, False), ("b", 0.1, False)],
+        "g string, s double, y boolean",
+    )
+    sw = {
+        (r["g"], r["t_si"]): r
+        for r in threshold_sweep(df, "s", "y", by_cols=["g"]).collect()
+    }
+    # group a: rows (0.8,T) and (0.3,neg); null score dropped
+    assert set(sw) == {("a", 8000), ("a", 3000), ("b", 6000), ("b", 1000)}
+    assert (sw[("a", 8000)]["tp"], sw[("a", 8000)]["fp"]) == (1, 0)
+    assert sw[("a", 8000)]["precision"] == 1.0
+    assert (sw[("a", 3000)]["tp"], sw[("a", 3000)]["fp"]) == (1, 1)
+    # group b has no positives -> recall NULL at every threshold
+    assert sw[("b", 6000)]["recall"] is None
+    assert sw[("b", 1000)]["recall"] is None
+    best = {
+        r["g"]: r
+        for r in best_operating_point(df, "s", "y", by_cols=["g"]).collect()
+    }
+    assert best["a"]["t_si"] == 8000 and best["a"]["f1"] == 1.0
+    assert set(best) == {"a", "b"}
