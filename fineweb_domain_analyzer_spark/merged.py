@@ -260,11 +260,22 @@ def _filter_metrics_sql() -> str:
 _CORPUS_PROFILES = [
     ("q34", "q34_vocab_topk", q.Q34_SQL, ["token"], [], ["cnt"]),
     ("q35", "q35_length_histogram", q.Q35_SQL, ["bucket"], ["share"], ["cnt"]),
+    # q87–q89: dump-over-dump drift monitoring (operators/drift.py) —
+    # per-language and per-quality-decile share deltas with per-category
+    # Jensen-Shannon terms, plus the quantized-exact scalar JS per
+    # dimension.
+    ("q87", "q87_language_drift", q._q87_sql(),
+     ["category"], ["p0", "p1", "js_term"], ["n0", "n1"]),
+    ("q88", "q88_quality_drift", q._q88_sql(),
+     ["category"], ["p0", "p1", "js_term"], ["n0", "n1"]),
+    ("q89", "q89_drift_summary", q._q89_sql(),
+     ["dimension"], ["js"], ["n0", "n1"]),
 ]
 
 
 def q34_corpus_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocab top-k + length histogram folded into one profile frame."""
+    """Vocab top-k + length histogram + dump-drift monitoring
+    (q87/q88/q89) folded into one profile frame."""
     return _folded_union(spark, sf_dir, _CORPUS_PROFILES)
 
 
@@ -783,6 +794,7 @@ _FOLDED = {
     "q81_classifier_eval", "q82_classifier_eval_by_lang",
     "q83_classifier_calibration", "q84_calibration_summary",
     "q85_threshold_sweep", "q86_operating_point",
+    "q87_language_drift", "q88_quality_drift", "q89_drift_summary",
 }
 
 

@@ -4301,6 +4301,140 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY f1 DESC, t_si DESC) = 1
 """
 
 
+def _drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic binary dump split + quality-decile
+    category (q57 fixed-weight score → si·10 div 10⁴ capped at 9) —
+    the shared input of the drift queries."""
+    from fineweb_domain_analyzer_spark.operators.drift import with_dump
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        with_quality_features,
+        with_quality_score,
+    )
+
+    docs = with_dump(_t(spark, sf_dir, "documents"))
+    scored = with_quality_score(with_quality_features(docs))
+    si = F.round(F.col("quality_score") * 10000, 0).cast("bigint")
+    return scored.withColumn("_si", si).withColumn(
+        "q_decile",
+        F.least(F.expr("_si * 10 div 10000"), F.lit(9)).cast("string"),
+    )
+
+
+def q87_language_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — dump-over-dump language-mix drift: per language,
+    counts and shares in each (md5-split) dump half plus the category's
+    Jensen-Shannon term.  The monitoring table a per-dump pipeline
+    checks before reusing last dump's filter thresholds.  One
+    category-keyed shuffle (operators/drift.py:distribution_drift)."""
+    from fineweb_domain_analyzer_spark.operators.drift import (
+        distribution_drift,
+    )
+
+    return distribution_drift(_drift_docs(spark, sf_dir), "lang")
+
+
+def q88_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — dump-over-dump quality-mix drift over the q57 score
+    deciles: same drift table with category = score decile, catching a
+    quality shift the language mix can't see."""
+    from fineweb_domain_analyzer_spark.operators.drift import (
+        distribution_drift,
+    )
+
+    return distribution_drift(_drift_docs(spark, sf_dir), "q_decile")
+
+
+def q89_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — scalar Jensen-Shannon divergence per monitored
+    dimension (language mix, quality-decile mix), one row each.
+    Per-category terms quantized to 1e-9 and summed exactly, so the
+    scalar is partition-order-independent
+    (operators/drift.py:js_divergence)."""
+    from fineweb_domain_analyzer_spark.operators.drift import js_divergence
+
+    docs = _drift_docs(spark, sf_dir)
+    out = None
+    for dim, col in (("lang", "lang"), ("q_decile", "q_decile")):
+        one = js_divergence(docs, col).select(
+            F.lit(dim).alias("dimension"), "n0", "n1", "js"
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+def _drift_ctes(cat_sql: str, src: str = "documents", pre: str = "") -> str:
+    """cnt → tot → shares CTE chain mirroring
+    operators/drift.py:distribution_drift: exact-integer counts, then
+    staged share/m/term computation with the same association order as
+    the Spark withColumn chain.  ``pre`` injects upstream CTEs (the
+    feats chain for the quality-decile category), ``src`` is the frame
+    the category expression reads."""
+    return f"""
+WITH {pre}base AS MATERIALIZED (
+  SELECT COALESCE(CAST({cat_sql} AS VARCHAR), '∅') AS category,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                   % 100 < 50
+              THEN 1 ELSE 0 END AS is0
+  FROM {src}
+),
+cnt AS MATERIALIZED (
+  SELECT category,
+         CAST(SUM(is0) AS BIGINT) AS n0,
+         CAST(SUM(1 - is0) AS BIGINT) AS n1
+  FROM base GROUP BY 1
+),
+tot AS (SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM cnt),
+shares AS (
+  SELECT category, n0, n1,
+         CAST(n0 AS DOUBLE) / CAST(t0 AS DOUBLE) AS p0,
+         CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS p1
+  FROM cnt, tot
+),
+terms AS (
+  SELECT category, n0, n1, p0, p1,
+         CASE WHEN p0 > 0
+              THEN 0.5 * p0 * ln(p0 / ((p0 + p1) / 2.0)) ELSE 0.0 END
+         + CASE WHEN p1 > 0
+                THEN 0.5 * p1 * ln(p1 / ((p0 + p1) / 2.0)) ELSE 0.0 END
+           AS js_term
+  FROM shares
+)"""
+
+
+_DECILE_CAT_SQL = (
+    f"CAST(LEAST(CAST(round(({_SCORE_SQL}) * 10000, 0) AS BIGINT) * 10"
+    f" // 10000, 9) AS VARCHAR)"
+)
+
+
+def _q87_sql() -> str:
+    return f"""{_drift_ctes("lang")}
+SELECT category, n0, n1, p0, p1, js_term FROM terms
+"""
+
+
+def _q88_sql() -> str:
+    return f"""{_drift_ctes(_DECILE_CAT_SQL, "feats", _feats_cte() + ",")}
+SELECT category, n0, n1, p0, p1, js_term FROM terms
+"""
+
+
+def _q89_sql() -> str:
+    blocks = []
+    for dim, cat, src, pre in (
+        ("lang", "lang", "documents", ""),
+        ("q_decile", _DECILE_CAT_SQL, "feats", _feats_cte() + ","),
+    ):
+        blocks.append(f"""
+SELECT '{dim}' AS dimension,
+       CAST(SUM(n0) AS BIGINT) AS n0, CAST(SUM(n1) AS BIGINT) AS n1,
+       CAST(SUM(CAST(round(js_term * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9
+         AS js
+FROM ({_drift_ctes(cat, src, pre)}
+SELECT * FROM terms)""")
+    return "\nUNION ALL\n".join(blocks) + "\n"
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4389,6 +4523,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_calibration_summary": q84_calibration_summary,
     "q85_threshold_sweep": q85_threshold_sweep,
     "q86_operating_point": q86_operating_point,
+    "q87_language_drift": q87_language_drift,
+    "q88_quality_drift": q88_quality_drift,
+    "q89_drift_summary": q89_drift_summary,
 }
 
 
@@ -4478,4 +4615,7 @@ def oracle_sql() -> dict[str, str]:
         "q84_calibration_summary": _q84_sql(),
         "q85_threshold_sweep": _q85_sql(),
         "q86_operating_point": _q86_sql(),
+        "q87_language_drift": _q87_sql(),
+        "q88_quality_drift": _q88_sql(),
+        "q89_drift_summary": _q89_sql(),
     }
