@@ -270,6 +270,14 @@ _CORPUS_PROFILES = [
      ["category"], ["p0", "p1", "js_term"], ["n0", "n1"]),
     ("q89", "q89_drift_summary", q._q89_sql(),
      ["dimension"], ["js"], ["n0", "n1"]),
+    # q90/q91: target-mixture sampling plan + applied outcome
+    # (operators/mixing.py) — balanced language shares, integer-exact
+    # rates/epochs/achieved-shares, no floats anywhere.
+    ("q90", "q90_mixture_plan", q._q90_sql(),
+     ["grp"], [],
+     ["n_available", "target_bp", "rate_e4", "epochs", "rem_e4"]),
+    ("q91", "q91_mixture_summary", q._q91_sql(),
+     ["grp"], [], ["n_available", "n_sampled", "achieved_bp"]),
 ]
 
 
@@ -795,6 +803,7 @@ _FOLDED = {
     "q83_classifier_calibration", "q84_calibration_summary",
     "q85_threshold_sweep", "q86_operating_point",
     "q87_language_drift", "q88_quality_drift", "q89_drift_summary",
+    "q90_mixture_plan", "q91_mixture_summary",
 }
 
 

@@ -4419,6 +4419,95 @@ SELECT category, n0, n1, p0, p1, js_term FROM terms
 """
 
 
+def q90_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — target-mixture sampling plan: balanced language
+    shares (10000 div n_langs bp each) under a budget equal to the
+    corpus size, so over-represented languages downsample and
+    under-represented ones upsample across epochs.  One group-keyed
+    count shuffle; rates are exact integer divisions
+    (operators/mixing.py:mixture_plan)."""
+    from fineweb_domain_analyzer_spark.operators.mixing import mixture_plan
+
+    return mixture_plan(_t(spark, sf_dir, "documents"), "lang")
+
+
+def q91_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — outcome of the q90 plan applied to the corpus: per
+    language, available vs sampled doc counts (epochs + md5-Bernoulli
+    remainder — exact integers, deterministic per doc) and the achieved
+    share of the sampled corpus in basis points
+    (operators/mixing.py:assign_copies/mixture_summary)."""
+    from fineweb_domain_analyzer_spark.operators.mixing import (
+        assign_copies,
+        mixture_plan,
+        mixture_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = mixture_plan(docs, "lang")
+    return mixture_summary(assign_copies(docs, plan, "lang"), "lang")
+
+
+def _mix_plan_ctes() -> str:
+    """counts → plan mirror of operators/mixing.py:mixture_plan
+    (balanced shares, budget = corpus size, pure integer divisions)."""
+    return """
+WITH mcounts AS MATERIALIZED (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '∅') AS grp,
+         COUNT(*) AS n_available
+  FROM documents GROUP BY 1
+),
+mtot AS (
+  SELECT grp, n_available,
+         SUM(n_available) OVER () AS total,
+         COUNT(*) OVER () AS n_groups
+  FROM mcounts
+),
+mplan AS MATERIALIZED (
+  SELECT grp,
+         CAST(n_available AS BIGINT) AS n_available,
+         CAST(10000 // n_groups AS BIGINT) AS target_bp,
+         CAST(((10000 // n_groups) * total) // n_available AS BIGINT)
+           AS rate_e4
+  FROM mtot
+)"""
+
+
+def _q90_sql() -> str:
+    return f"""{_mix_plan_ctes()}
+SELECT grp, n_available, target_bp, rate_e4,
+       CAST(rate_e4 // 10000 AS BIGINT) AS epochs,
+       CAST(rate_e4 % 10000 AS BIGINT) AS rem_e4
+FROM mplan
+"""
+
+
+def _q91_sql() -> str:
+    return f"""{_mix_plan_ctes()},
+mdocs AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '∅') AS grp,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000
+           AS b
+  FROM documents
+),
+mcopies AS (
+  SELECT d.grp,
+         (p.rate_e4 // 10000)
+         + CASE WHEN d.b < p.rate_e4 % 10000 THEN 1 ELSE 0 END AS copies
+  FROM mdocs d JOIN mplan p ON d.grp = p.grp
+),
+msum AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_available,
+         CAST(SUM(copies) AS BIGINT) AS n_sampled
+  FROM mcopies GROUP BY 1
+)
+SELECT grp, n_available, n_sampled,
+       CAST((n_sampled * 10000) // SUM(n_sampled) OVER () AS BIGINT)
+         AS achieved_bp
+FROM msum
+"""
+
+
 def _q89_sql() -> str:
     blocks = []
     for dim, cat, src, pre in (
@@ -4526,6 +4615,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_language_drift": q87_language_drift,
     "q88_quality_drift": q88_quality_drift,
     "q89_drift_summary": q89_drift_summary,
+    "q90_mixture_plan": q90_mixture_plan,
+    "q91_mixture_summary": q91_mixture_summary,
 }
 
 
@@ -4618,4 +4709,6 @@ def oracle_sql() -> dict[str, str]:
         "q87_language_drift": _q87_sql(),
         "q88_quality_drift": _q88_sql(),
         "q89_drift_summary": _q89_sql(),
+        "q90_mixture_plan": _q90_sql(),
+        "q91_mixture_summary": _q91_sql(),
     }
