@@ -49,6 +49,10 @@ PICKS = {
     "q77_audio_stats": "stdlib WAV/PCM decode: mapInPandas over the binary column, ZERO exchanges — exact sample sums map-side",
     "q80_trained_quality_score": "on-cluster classifier training: iters+1 single-row aggregations (map-side partial decimal sums, integer-exact ⇒ partitioning-independent weights) run eagerly; the SERVING plan shown here is the unchanged with_quality_score map stage — ZERO exchanges, trained weights are literals",
     "q81_classifier_eval": "held-out eval: 4dp score quantization bounds the bin domain, so the whole AUC/confusion computation is ONE groupBy(score) shuffle to ≤10k (pos,neg) rows + windows over that bounded frame — never a per-document sort",
+    "q85_threshold_sweep": "PR/ROC sweep: the SAME one groupBy(score) shuffle; cumulative (tp,fp) is a descending window over the ≤10k bounded score rows — the full operating-characteristic table without a corpus sort",
+    "q87_language_drift": "dump drift: ONE category-keyed shuffle with map-side combine; dump totals via a bounded window over the aggregated category rows — the corpus is scanned ONCE (no totals re-scan)",
+    "q90_mixture_plan": "mixture plan: ONE group-keyed count shuffle; rates/epochs are integer expressions over the O(groups) plan rows",
+    "q91_mixture_summary": "mixture applied: the O(groups) plan BROADCAST back onto the corpus (map-side copies), one group-keyed outcome agg",
 }
 
 
