@@ -527,7 +527,8 @@ def q23_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three LM-perplexity scorers in one doc-level frame: corpus
     unigram LM, corpus bigram LM (both distributed LM build + broadcast
     score join) and the committed ARPA artifact through the KenLM-
-    semantics Arrow UDF (map-only)."""
+    semantics Arrow UDF (map-only) — plus the q92 CCNet head/middle/
+    tail per-language tercile split derived from the unigram score."""
     from fineweb_domain_analyzer_spark.operators.quality import (
         bigram_perplexity,
         perplexity_udf_for,
@@ -543,10 +544,17 @@ def q23_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = unigram_perplexity(docs)
     bi = bigram_perplexity(docs)
+    cc = q.q92_ccnet_split(spark, sf_dir).select(
+        "doc_id", "lang", "tercile", "split"
+    )
     return (
         base.join(uni, "doc_id", "left")
         .join(bi, "doc_id", "left")
-        .select("doc_id", "perplexity", "bigram_perplexity", "arpa_ppl")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id", "perplexity", "bigram_perplexity", "arpa_ppl",
+            "lang", "tercile", "split",
+        )
     )
 
 
@@ -554,11 +562,14 @@ def _perplexity_sql() -> str:
     return f"""
 WITH u AS (SELECT * FROM ({q.Q23_SQL})),
      b AS (SELECT * FROM ({q.Q39_SQL})),
-     a AS (SELECT * FROM ({q._q63_sql()}))
-SELECT a.doc_id, u.perplexity, b.bigram_perplexity, a.arpa_ppl
+     a AS (SELECT * FROM ({q._q63_sql()})),
+     c AS (SELECT * FROM ({q._q92_sql()}))
+SELECT a.doc_id, u.perplexity, b.bigram_perplexity, a.arpa_ppl,
+       c.lang, c.tercile, c.split
 FROM a
 LEFT JOIN u ON a.doc_id = u.doc_id
 LEFT JOIN b ON a.doc_id = b.doc_id
+LEFT JOIN c ON a.doc_id = c.doc_id
 """
 
 
@@ -804,6 +815,7 @@ _FOLDED = {
     "q85_threshold_sweep", "q86_operating_point",
     "q87_language_drift", "q88_quality_drift", "q89_drift_summary",
     "q90_mixture_plan", "q91_mixture_summary",
+    "q92_ccnet_split",
 }
 
 

@@ -4508,6 +4508,60 @@ FROM msum
 """
 
 
+def q92_ccnet_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — CCNet-style head/middle/tail corpus split: per
+    language, EXACT perplexity terciles against the corpus-trained
+    unigram LM (lowest-perplexity third = 'head', the slice CCNet
+    keeps for LM training; 'tail' is the noisiest).  Composition of
+    two existing scale-safe kernels: unigram_perplexity (two shuffles,
+    broadcast LM join) and exact_ntile_by_group's banded default (no
+    whole-language single-reducer sort; ties broken by doc_id for a
+    total order)."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        exact_ntile_by_group,
+        unigram_perplexity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang").join(
+        unigram_perplexity(docs), "doc_id"
+    )
+    t = exact_ntile_by_group(
+        d, 3, "perplexity", "lang", "doc_id", out_col="tercile"
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "perplexity",
+        F.col("tercile").cast("bigint").alias("tercile"),
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("split"),
+    )
+
+
+def _q92_sql() -> str:
+    return f"""
+WITH u AS ({Q23_SQL}),
+j AS (
+  SELECT d.doc_id, d.lang, u.perplexity
+  FROM documents d JOIN u ON d.doc_id = u.doc_id
+)
+SELECT doc_id, lang, perplexity, tercile,
+       CASE WHEN tercile = 1 THEN 'head'
+            WHEN tercile = 2 THEN 'middle'
+            ELSE 'tail' END AS split
+FROM (
+  SELECT doc_id, lang, perplexity,
+         CAST(ntile(3) OVER (PARTITION BY lang
+                             ORDER BY perplexity, doc_id) AS BIGINT)
+           AS tercile
+  FROM j
+)
+"""
+
+
 def _q89_sql() -> str:
     blocks = []
     for dim, cat, src, pre in (
@@ -4617,6 +4671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_drift_summary": q89_drift_summary,
     "q90_mixture_plan": q90_mixture_plan,
     "q91_mixture_summary": q91_mixture_summary,
+    "q92_ccnet_split": q92_ccnet_split,
 }
 
 
@@ -4711,4 +4766,5 @@ def oracle_sql() -> dict[str, str]:
         "q89_drift_summary": _q89_sql(),
         "q90_mixture_plan": _q90_sql(),
         "q91_mixture_summary": _q91_sql(),
+        "q92_ccnet_split": _q92_sql(),
     }

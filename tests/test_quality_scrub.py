@@ -733,3 +733,28 @@ class TestExactNtileByGroup:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert re.search(r"windowspecdefinition\(lang#\d+, word_count#", exact_plan)
+
+
+def test_ccnet_split_semantics(spark, sf_dir):
+    """q92 contract: per language the terciles are balanced by the
+    ntile rule (first n%3 buckets get one extra), head has the LOWEST
+    perplexity (most-fluent slice), and every doc with tokens gets
+    exactly one label."""
+    from fineweb_domain_analyzer_spark.queries import q92_ccnet_split
+
+    out = q92_ccnet_split(spark, str(sf_dir)).collect()
+    assert out and all(r["split"] in ("head", "middle", "tail") for r in out)
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        n = len(rows)
+        sizes = {1: 0, 2: 0, 3: 0}
+        for r in rows:
+            sizes[r["tercile"]] += 1
+        q_, rem = divmod(n, 3)
+        expect = [q_ + (1 if i < rem else 0) for i in range(3)]
+        assert [sizes[1], sizes[2], sizes[3]] == expect, lang
+        head_max = max(r["perplexity"] for r in rows if r["tercile"] == 1)
+        tail_min = min(r["perplexity"] for r in rows if r["tercile"] == 3)
+        assert head_max <= tail_min, lang
