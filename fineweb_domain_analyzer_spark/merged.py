@@ -278,6 +278,11 @@ _CORPUS_PROFILES = [
      ["n_available", "target_bp", "rate_e4", "epochs", "rem_e4"]),
     ("q91", "q91_mixture_summary", q._q91_sql(),
      ["grp"], [], ["n_available", "n_sampled", "achieved_bp"]),
+    # q93: context-window chunking (operators/chunking.py) — map-only
+    # sliding token windows; chunk_hash rides as a key so the fold's
+    # value check covers the window CONTENT, not just counts.
+    ("q93", "q93_token_chunks", q._q93_sql(),
+     ["doc_id", "chunk_id", "chunk_hash"], [], ["chunk_tokens"]),
 ]
 
 
@@ -815,7 +820,7 @@ _FOLDED = {
     "q85_threshold_sweep", "q86_operating_point",
     "q87_language_drift", "q88_quality_drift", "q89_drift_summary",
     "q90_mixture_plan", "q91_mixture_summary",
-    "q92_ccnet_split",
+    "q92_ccnet_split", "q93_token_chunks",
 }
 
 

@@ -4562,6 +4562,36 @@ FROM (
 """
 
 
+def q93_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — context-window chunking: every document exploded
+    into overlapping 64-token windows at stride 48 (GPT-style sliding
+    window between curation and q69 packing).  Pure map stage, ZERO
+    shuffles, no UDFs (operators/chunking.py:chunk_documents)."""
+    from fineweb_domain_analyzer_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def _q93_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, {TOKS_SQL} AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // 48 AS BIGINT) AS chunk_id,
+       CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_hash
+FROM s
+"""
+
+
 def _q89_sql() -> str:
     blocks = []
     for dim, cat, src, pre in (
@@ -4672,6 +4702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_mixture_plan": q90_mixture_plan,
     "q91_mixture_summary": q91_mixture_summary,
     "q92_ccnet_split": q92_ccnet_split,
+    "q93_token_chunks": q93_token_chunks,
 }
 
 
@@ -4767,4 +4798,5 @@ def oracle_sql() -> dict[str, str]:
         "q90_mixture_plan": _q90_sql(),
         "q91_mixture_summary": _q91_sql(),
         "q92_ccnet_split": _q92_sql(),
+        "q93_token_chunks": _q93_sql(),
     }
