@@ -39,8 +39,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["with_dump", "distribution_drift", "js_divergence"]
+__all__ = [
+    "with_dump",
+    "distribution_drift",
+    "js_divergence",
+    "drift_vs_baseline",
+    "js_vs_baseline",
+]
 
 
 def with_dump(
@@ -73,8 +80,6 @@ def distribution_drift(
     totals via a bounded window over the aggregated category rows (no
     second corpus scan).  Output is O(|categories|) rows.
     """
-    from pyspark.sql.window import Window
-
     cat = F.coalesce(F.col(category_col).cast("string"), F.lit("∅"))
     is0 = (F.col(dump_col) == 0).cast("bigint")
     cnt = df.select(cat.alias("category"), is0.alias("_is0")).groupBy(
@@ -83,13 +88,19 @@ def distribution_drift(
         F.sum("_is0").alias("n0"),
         F.sum(F.lit(1) - F.col("_is0")).alias("n1"),
     )
-    # dump totals from the ALREADY-AGGREGATED category rows, via an
-    # unpartitioned window over ≤ |categories| rows — a second
-    # aggregation over the input (or a re-derived totals frame) would
-    # rescan and re-shuffle the whole corpus, doubling the scan at
-    # scale.  The single-partition window is bounded by the category
-    # cardinality, never the corpus.
-    wall = Window.partitionBy()
+    return _terms_from_counts(cnt, [])
+
+
+def _terms_from_counts(cnt: DataFrame, by: list[str]) -> DataFrame:
+    """Shared tail of the drift family: given already-aggregated
+    (by…, category, n0, n1) rows, attach side totals and the JS term.
+
+    Totals come from a window over the ALREADY-AGGREGATED category
+    rows — a second aggregation over the input (or a re-derived totals
+    frame) would rescan and re-shuffle the whole corpus, doubling the
+    scan at scale.  The window is bounded by the category cardinality
+    per group, never the corpus."""
+    wall = Window.partitionBy(*by) if by else Window.partitionBy()
     j = cnt.withColumn("_t0", F.sum("n0").over(wall)).withColumn(
         "_t1", F.sum("n1").over(wall)
     )
@@ -103,7 +114,7 @@ def distribution_drift(
         F.lit(0.0)
     )
     return (
-        j.select("category", "n0", "n1", p0.alias("p0"), p1.alias("p1"))
+        j.select(*by, "category", "n0", "n1", p0.alias("p0"), p1.alias("p1"))
         .withColumn("_m", m)
         .withColumn("js_term", term)
         .drop("_m")
@@ -127,4 +138,88 @@ def js_divergence(
     )
     return agg.select(
         "n0", "n1", (F.col("_q").cast("double") / F.lit(1e9)).alias("js")
+    )
+
+
+def drift_vs_baseline(
+    counts: DataFrame,
+    baseline: DataFrame,
+    category_col: str = "category",
+    count_col: str = "n",
+    baseline_count_col: str = "n",
+    by_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-category drift of ALREADY-AGGREGATED counts against a fixed
+    baseline distribution — the form the streaming monitor uses
+    (``counts`` = one row per (window…, category) from
+    ``streaming/monitor.py:streaming_category_counts``; ``baseline`` =
+    the reference corpus' category counts) and the batch form for
+    "new dump vs reference corpus".
+
+    Output matches `distribution_drift` (baseline is side 0, the
+    monitored counts side 1), one table per ``by_cols`` group.  Every
+    baseline category appears in every group (share-0 monitored side),
+    and monitored categories missing from the baseline get baseline
+    share 0 — both via a grid + full-outer join over the BOUNDED count
+    frames (the corpus-scale work already happened upstream in the
+    aggregation that produced ``counts``)."""
+    by = list(by_cols or [])
+    cat_b = F.coalesce(F.col(category_col).cast("string"), F.lit("∅"))
+    base = baseline.select(
+        cat_b.alias("category"),
+        F.col(baseline_count_col).cast("bigint").alias("n0"),
+    ).groupBy("category").agg(F.sum("n0").alias("n0"))
+    mon = counts.select(
+        *by,
+        cat_b.alias("category"),
+        F.col(count_col).cast("bigint").alias("n1"),
+    ).groupBy(*by, "category").agg(F.sum("n1").alias("n1"))
+    if by:
+        grid = mon.select(*by).distinct().crossJoin(F.broadcast(base))
+    else:
+        grid = base
+    # the grid shares lineage (attribute ids) with mon, so a plain
+    # column-name self-join is ambiguous — RENAME the grid's key
+    # columns (projection aliases mint fresh attribute ids) and join on
+    # explicit renamed-vs-original conditions
+    keys = [*by, "category"]
+    g = grid.select(
+        *[F.col(c).alias(f"_g_{c}") for c in keys], F.col("n0")
+    )
+    cond = [F.col(f"_g_{c}").eqNullSafe(F.col(c)) for c in keys]
+    cnt = g.join(mon, cond, "full").select(
+        *[
+            F.coalesce(F.col(f"_g_{c}"), F.col(c)).alias(c)
+            for c in keys
+        ],
+        F.coalesce(F.col("n0"), F.lit(0)).alias("n0"),
+        F.coalesce(F.col("n1"), F.lit(0)).alias("n1"),
+    )
+    return _terms_from_counts(cnt, by)
+
+
+def js_vs_baseline(
+    counts: DataFrame,
+    baseline: DataFrame,
+    category_col: str = "category",
+    count_col: str = "n",
+    baseline_count_col: str = "n",
+    by_cols: list[str] | None = None,
+) -> DataFrame:
+    """Scalar Jensen-Shannon divergence vs the baseline, one row per
+    ``by_cols`` group (e.g. per event-time window) — the alerting
+    number for the streaming monitor.  Same 1e-9 term quantization +
+    exact integer sum as `js_divergence`."""
+    by = list(by_cols or [])
+    terms = drift_vs_baseline(
+        counts, baseline, category_col, count_col, baseline_count_col, by
+    )
+    qterm = F.round(F.col("js_term") * 1e9, 0).cast("bigint")
+    agg = terms.groupBy(*by).agg(
+        F.sum("n0").alias("n0"),
+        F.sum("n1").alias("n1"),
+        F.sum(qterm).alias("_q"),
+    )
+    return agg.select(
+        *by, "n0", "n1", (F.col("_q").cast("double") / F.lit(1e9)).alias("js")
     )
