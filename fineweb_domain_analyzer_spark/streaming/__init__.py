@@ -22,6 +22,10 @@ transforms, plans/pipeline.py) onto ``spark.readStream``:
 * A custom stateful operator (``stateful.streaming_domain_stats``):
   running per-domain stats via ``applyInPandasWithState``, state
   resuming across AvailableNow runs from the checkpoint.
+* A corpus-drift monitor (``monitor.streaming_category_counts``):
+  watermark-bounded windowed category histograms, scored per finalized
+  window against a fixed baseline with the batch drift family's
+  JS machinery (operators/drift.py:js_vs_baseline).
 
 Correctness story: streaming output must equal the batch pipeline on
 the same input (tests/test_streaming.py asserts label equivalence
@@ -35,6 +39,10 @@ from fineweb_domain_analyzer_spark.streaming.pipeline import (  # noqa: F401
     run_incremental,
     streaming_drop_reason_counts,
     streaming_quality_filter,
+)
+from fineweb_domain_analyzer_spark.streaming.monitor import (  # noqa: F401
+    category_window_counts,
+    streaming_category_counts,
 )
 from fineweb_domain_analyzer_spark.streaming.stateful import (  # noqa: F401
     streaming_domain_stats,
