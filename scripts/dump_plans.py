@@ -53,6 +53,8 @@ PICKS = {
     "q87_language_drift": "dump drift: ONE category-keyed shuffle with map-side combine; dump totals via a bounded window over the aggregated category rows — the corpus is scanned ONCE (no totals re-scan)",
     "q90_mixture_plan": "mixture plan: ONE group-keyed count shuffle; rates/epochs are integer expressions over the O(groups) plan rows",
     "q91_mixture_summary": "mixture applied: the O(groups) plan BROADCAST back onto the corpus (map-side copies), one group-keyed outcome agg",
+    "q92_ccnet_split": "CCNet head/middle/tail: perplexity kernel (two LM shuffles, broadcast score join) + banded exact terciles — every window keyed by (lang, _band), no whole-language single-reducer sort",
+    "q93_token_chunks": "context-window chunking: tokenize + sliding 64/48 windows as pure codegen sequence/transform expressions, ZERO exchanges, no UDFs",
 }
 
 
