@@ -40,6 +40,9 @@ value-checked oracle row, inside the 50-key window:
   union.
 * ``q38_robots_policy``      = q38 parser/fetch semantics + q79
   crawl-delay recrawl budgeting, one wide domain-level frame.
+* ``q51_paragraph_dedup``    = q51 corpus-wide CCNet paragraph strip +
+  q94 domain-scoped ratio boilerplate strip (RefinedWeb-style per-site
+  clean), method-tagged union.
 
 The fine-grained originals stay in ``queries.QUERIES`` (the FULL
 registry) for tests, benches and `FULL=1 scripts/check_oracle.py`;
@@ -777,6 +780,50 @@ def _robots_policy_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q51_paragraph_dedup (corpus-wide CCNet strip ∪ domain-scoped ratio strip)
+# ---------------------------------------------------------------------------
+
+def q51_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph boilerplate removal in both scopes, method-tagged:
+    ``ccnet_corpus`` is the corpus-wide ≥3-distinct-docs strip
+    (operators/textclean.py:paragraph_dedup); ``domain_ratio`` is the
+    RefinedWeb-style per-site clean (domain_boilerplate_removal:
+    boilerplate only within its own domain, exact-integer ≥50%-of-
+    domain-docs ratio test, so small sites' repeated headers are
+    caught and cross-site phrase collisions never delete anything).
+    Same deterministic 3-token chunking on both sides."""
+    def tag(df, m, with_source):
+        return df.select(
+            F.lit(m).alias("method"),
+            "doc_id",
+            (F.col("source") if with_source else F.lit(None).cast("string")).alias(
+                "source"
+            ),
+            "n_paras",
+            "n_removed",
+            "cleaned_text",
+        )
+
+    return tag(
+        q.QUERIES["q51_paragraph_dedup"](spark, sf_dir), "ccnet_corpus", False
+    ).unionAll(
+        tag(q.QUERIES["q94_domain_boilerplate"](spark, sf_dir), "domain_ratio", True)
+    )
+
+
+def _paragraph_dedup_sql() -> str:
+    return (
+        "SELECT 'ccnet_corpus' AS method, doc_id, CAST(NULL AS VARCHAR) AS source, "
+        "n_paras, n_removed, cleaned_text "
+        f"FROM ({q.Q51_SQL})\n"
+        "UNION ALL\n"
+        "SELECT 'domain_ratio' AS method, doc_id, source, "
+        "n_paras, n_removed, cleaned_text "
+        f"FROM ({q.Q94_SQL})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # exposed registry: every operator, ≤ 50 keys
 # ---------------------------------------------------------------------------
 
@@ -794,6 +841,7 @@ _MERGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_ann": q24_ann,
     "q30_embedding_near_dups": q30_embedding_near_dups,
     "q42_media_features": q42_media_features,
+    "q51_paragraph_dedup": q51_paragraph_dedup,
 }
 
 _FOLDED = {
@@ -821,6 +869,7 @@ _FOLDED = {
     "q87_language_drift", "q88_quality_drift", "q89_drift_summary",
     "q90_mixture_plan", "q91_mixture_summary",
     "q92_ccnet_split", "q93_token_chunks",
+    "q51_paragraph_dedup", "q94_domain_boilerplate",
 }
 
 
@@ -848,6 +897,7 @@ def merged_oracle_sql() -> dict[str, str]:
         "q24_ann": _ann_sql(),
         "q30_embedding_near_dups": _embedding_near_dups_sql(),
         "q42_media_features": _media_features_sql(),
+        "q51_paragraph_dedup": _paragraph_dedup_sql(),
     }
 
 
@@ -866,6 +916,7 @@ _RENAMED_IN_FULL = {
     "q38_robots_policy": "q38_robots_policy_parser_only",
     "q30_embedding_near_dups": "q30_embedding_near_dups_single_key",
     "q42_media_features": "q42_media_features_bytes",
+    "q51_paragraph_dedup": "q51_paragraph_dedup_corpus",
 }
 
 

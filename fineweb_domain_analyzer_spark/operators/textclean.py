@@ -304,6 +304,83 @@ def paragraph_dedup(
     )
 
 
+def domain_boilerplate_removal(
+    df: DataFrame,
+    paras_col: str,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    min_ratio_bp: int = 5000,
+    min_doc_freq: int = 2,
+    joiner: str = "\n",
+) -> DataFrame:
+    """DOMAIN-scoped boilerplate strip (RefinedWeb / trafilatura-style
+    per-site clean): a paragraph is boilerplate only WITHIN its own
+    domain, when it appears in ≥ ``min_doc_freq`` distinct documents of
+    that domain AND in at least ``min_ratio_bp`` basis points of the
+    domain's documents (ratio test in exact integer arithmetic:
+    ``doc_freq * 10000 >= min_ratio_bp * domain_docs`` — no float, so
+    the decision is bit-identical under any partitioning and in the
+    SQL oracle). The same nav bar on site A never deletes an innocent
+    identical line on site B — the key difference vs the corpus-wide
+    ``paragraph_dedup`` above, which a small site's legal disclaimer
+    can never trip but a 2-page site's header should.
+
+    Returns ``(id, domain, n_paras, n_removed, cleaned_text)`` with
+    survivors reassembled in original order.
+
+    Scale shape: the frequency key is (domain, paragraph-content) —
+    content-salted by construction, so a Zipf head domain spreads over
+    as many reducers as it has distinct paragraphs; domain_docs is a
+    tiny O(domains) aggregate joined onto the O(distinct paragraphs)
+    frequency frame (NOT onto the exploded occurrences); reassembly is
+    the same struct-sort groupBy as ``paragraph_dedup`` — no global
+    sort, no driver state.
+    """
+    ddocs = df.groupBy(domain_col).agg(
+        F.countDistinct(id_col).alias("_domain_docs")
+    )
+    p = df.select(
+        F.col(domain_col),
+        F.col(id_col),
+        F.posexplode_outer(F.col(paras_col)).alias("idx", "para"),
+    )
+    freq = p.groupBy(domain_col, "para").agg(
+        F.countDistinct(id_col).alias("doc_freq")
+    )
+    boiler_flags = freq.join(ddocs, domain_col).select(
+        domain_col,
+        "para",
+        (
+            (F.col("doc_freq") >= min_doc_freq)
+            & (
+                F.col("doc_freq") * F.lit(10000)
+                >= F.lit(min_ratio_bp) * F.col("_domain_docs")
+            )
+        ).alias("_boiler"),
+    )
+    j = p.join(boiler_flags, [domain_col, "para"], "left")
+    boiler = F.coalesce(F.col("_boiler"), F.lit(False))
+    kept_struct = F.when(
+        F.col("para").isNotNull() & ~boiler,
+        F.struct(F.col("idx"), F.col("para")),
+    )
+    return (
+        j.groupBy(domain_col, id_col)
+        .agg(
+            F.count(F.col("para")).alias("n_paras"),
+            F.coalesce(
+                F.sum(boiler.cast("long")), F.lit(0).cast("long")
+            ).alias("n_removed"),
+            F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+        )
+        .withColumn(
+            "cleaned_text",
+            F.array_join(F.transform(F.col("_kept"), lambda s: s["para"]), joiner),
+        )
+        .drop("_kept")
+    )
+
+
 def dedup_paragraphs_in_doc(
     text: Column, sep: str = "\n"
 ) -> Column:

@@ -4592,6 +4592,82 @@ FROM s
 """
 
 
+def q94_domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — DOMAIN-scoped boilerplate strip (RefinedWeb /
+    trafilatura-style per-site clean): a paragraph is removed only
+    within its own domain (``source``), when ≥2 distinct documents of
+    that domain contain it AND it covers ≥50% (5000 bp, exact integer
+    ratio test) of the domain's documents.  Complements q51's
+    corpus-wide CCNet dedup: a tiny site's repeated header trips the
+    ratio test here long before it could reach a corpus-wide absolute
+    doc-freq, and a phrase shared ACROSS sites is never treated as
+    boilerplate.  Same deterministic 3-token chunking as q51 (the
+    synthetic corpus has no newlines).
+    operators/textclean.py:domain_boilerplate_removal."""
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+    from fineweb_domain_analyzer_spark.operators.textclean import (
+        domain_boilerplate_removal,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", "source", ws_tokens(F.lower(F.col("text"))).alias("_tk")
+    )
+    n_chunks = F.ceil(F.size(F.col("_tk")) / F.lit(3.0)).cast("int")
+    seq = F.when(
+        F.size(F.col("_tk")) > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    paras = F.transform(
+        seq,
+        lambda i: F.array_join(F.slice(F.col("_tk"), i * 3 + 1, 3), " "),
+    )
+    chunked = staged.select("doc_id", "source", paras.alias("paras"))
+    out = domain_boilerplate_removal(
+        chunked, "paras", domain_col="source", min_ratio_bp=5000, min_doc_freq=2
+    )
+    return out.select(
+        "doc_id", "source", "n_paras", "n_removed", "cleaned_text"
+    )
+
+
+Q94_SQL = """
+WITH tk AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+  FROM documents
+),
+p0 AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT)),
+                i -> {'idx': i,
+                      'para': array_to_string(w[(i*3+1):(i*3+3)], ' ')})) AS s
+  FROM tk
+),
+p AS (SELECT doc_id, source, CAST(s.idx AS INT) AS idx, s.para AS para
+      FROM p0),
+ddocs AS (SELECT source, count(DISTINCT doc_id) AS domain_docs
+          FROM p GROUP BY 1),
+freq AS (SELECT source, para, count(DISTINCT doc_id) AS doc_freq
+         FROM p GROUP BY 1, 2),
+flags AS (
+  SELECT f.source, f.para,
+         (f.doc_freq >= 2 AND f.doc_freq * 10000 >= 5000 * d.domain_docs)
+           AS boiler
+  FROM freq f JOIN ddocs d USING (source)
+),
+j AS (SELECT p.doc_id, p.source, p.idx, p.para, fl.boiler
+      FROM p JOIN flags fl USING (source, para))
+SELECT doc_id, source,
+       count(*) AS n_paras,
+       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       coalesce(string_agg(para, chr(10) ORDER BY idx)
+                  FILTER (WHERE NOT boiler), '') AS cleaned_text
+FROM j GROUP BY doc_id, source
+"""
+
+
 def _q89_sql() -> str:
     blocks = []
     for dim, cat, src, pre in (
@@ -4703,6 +4779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_mixture_summary": q91_mixture_summary,
     "q92_ccnet_split": q92_ccnet_split,
     "q93_token_chunks": q93_token_chunks,
+    "q94_domain_boilerplate": q94_domain_boilerplate,
 }
 
 
@@ -4799,4 +4876,5 @@ def oracle_sql() -> dict[str, str]:
         "q91_mixture_summary": _q91_sql(),
         "q92_ccnet_split": _q92_sql(),
         "q93_token_chunks": _q93_sql(),
+        "q94_domain_boilerplate": Q94_SQL,
     }

@@ -55,6 +55,7 @@ PICKS = {
     "q91_mixture_summary": "mixture applied: the O(groups) plan BROADCAST back onto the corpus (map-side copies), one group-keyed outcome agg",
     "q92_ccnet_split": "CCNet head/middle/tail: perplexity kernel (two LM shuffles, broadcast score join) + banded exact terciles — every window keyed by (lang, _band), no whole-language single-reducer sort",
     "q93_token_chunks": "context-window chunking: tokenize + sliding 64/48 windows as pure codegen sequence/transform expressions, ZERO exchanges, no UDFs",
+    "q94_domain_boilerplate": "domain-scoped boilerplate strip: (domain, paragraph-content) freq key — content-salted, skew-free; O(domains) doc counts joined onto the O(distinct paras) freq frame, never onto occurrences; struct-sort reassembly, no global sort",
 }
 
 

@@ -193,3 +193,107 @@ class TestInDocParagraphDedupSeparator:
         row = with_paragraph_dedup_in_doc(df, sep=".").collect()[0]
         assert row["clean_text"] == "aa.bb.cc"
         assert row["n_paras_removed"] == 1
+
+
+class TestDomainBoilerplate:
+    """domain_boilerplate_removal: per-site df-ratio strip (q94)."""
+
+    def _run(self, spark, rows, **kw):
+        from fineweb_domain_analyzer_spark.operators.textclean import (
+            domain_boilerplate_removal,
+        )
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, paras array<string>"
+        )
+        return {
+            (r["source"], r["doc_id"]): (
+                r["n_paras"], r["n_removed"], r["cleaned_text"]
+            )
+            for r in domain_boilerplate_removal(
+                df, "paras", domain_col="source", **kw
+            ).collect()
+        }
+
+    def test_domain_scoped_not_cross_domain(self, spark):
+        # "nav" covers 2/2 docs on site A (>=50% and >=2 docs -> strip)
+        # but only 1/3 docs on site B (df=1 < min_doc_freq -> keep):
+        # the SAME paragraph is boilerplate on one site, content on the
+        # other — the exact property the corpus-wide q51 cannot express.
+        out = self._run(
+            spark,
+            [
+                (1, "a.com", ["nav", "alpha"]),
+                (2, "a.com", ["beta", "nav"]),
+                (3, "b.com", ["nav", "gamma"]),
+                (4, "b.com", ["delta"]),
+                (5, "b.com", ["epsilon"]),
+            ],
+        )
+        assert out[("a.com", 1)] == (2, 1, "alpha")
+        assert out[("a.com", 2)] == (2, 1, "beta")
+        assert out[("b.com", 3)] == (2, 0, "nav\ngamma")
+        assert out[("b.com", 4)] == (1, 0, "delta")
+        assert out[("b.com", 5)] == (1, 0, "epsilon")
+
+    def test_ratio_threshold_boundary_exact(self, spark):
+        # 4-doc domain, min_ratio_bp=5000: df=2 -> 2*10000 >= 5000*4
+        # holds with equality (strip); df=1 fails min_doc_freq. A float
+        # comparison could wobble on the equality case — the integer
+        # form cannot.
+        out = self._run(
+            spark,
+            [
+                (1, "c.com", ["footer", "x1"]),
+                (2, "c.com", ["footer", "x2"]),
+                (3, "c.com", ["x3"]),
+                (4, "c.com", ["x4"]),
+            ],
+        )
+        assert out[("c.com", 1)] == (2, 1, "x1")
+        assert out[("c.com", 2)] == (2, 1, "x2")
+
+    def test_below_ratio_kept(self, spark):
+        # df=2 of 5 docs = 4000 bp < 5000 bp -> kept everywhere even
+        # though min_doc_freq is met.
+        rows = [(i, "d.com", ["promo", f"body{i}"]) for i in (1, 2)] + [
+            (i, "d.com", [f"body{i}"]) for i in (3, 4, 5)
+        ]
+        out = self._run(spark, rows)
+        assert out[("d.com", 1)] == (2, 0, "promo\nbody1")
+        assert out[("d.com", 2)] == (2, 0, "promo\nbody2")
+
+    def test_repeat_within_one_doc_is_not_df(self, spark):
+        # doc-frequency counts DISTINCT docs: the same para twice in
+        # one doc of a 2-doc domain is df=1 -> kept (in-doc repeats are
+        # q71's job, not this operator's).
+        out = self._run(
+            spark,
+            [
+                (1, "e.com", ["hdr", "mid", "hdr"]),
+                (2, "e.com", ["other"]),
+            ],
+        )
+        assert out[("e.com", 1)] == (3, 0, "hdr\nmid\nhdr")
+
+    def test_q94_matches_duckdb_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from fineweb_domain_analyzer_spark import queries as q
+
+        got = sorted(
+            (
+                (r["doc_id"], r["source"], r["n_paras"], r["n_removed"],
+                 r["cleaned_text"])
+                for r in q.q94_domain_boilerplate(
+                    spark, str(sf_dir)
+                ).collect()
+            )
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        want = sorted(tuple(t) for t in con.execute(q.Q94_SQL).fetchall())
+        assert got == want
