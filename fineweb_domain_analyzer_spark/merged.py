@@ -286,6 +286,11 @@ _CORPUS_PROFILES = [
     # value check covers the window CONTENT, not just counts.
     ("q93", "q93_token_chunks", q._q93_sql(),
      ["doc_id", "chunk_id", "chunk_hash"], [], ["chunk_tokens"]),
+    # q95: per-domain tf-idf signature terms (operators/domain_stats.py
+    # :domain_signature_terms) — exact integer tf*10000//df score, so
+    # the fold's value check is bit-level.
+    ("q95", "q95_domain_signature_terms", q.Q95_SQL,
+     ["source", "token"], [], ["tf", "df", "score_e4", "rnk"]),
 ]
 
 
@@ -870,6 +875,7 @@ _FOLDED = {
     "q90_mixture_plan", "q91_mixture_summary",
     "q92_ccnet_split", "q93_token_chunks",
     "q51_paragraph_dedup", "q94_domain_boilerplate",
+    "q95_domain_signature_terms",
 }
 
 

@@ -192,3 +192,59 @@ def distinct_domains(pages: DataFrame, domain_col: str = "domain") -> DataFrame:
         .select(F.col(domain_col).alias("domain"))
         .distinct()
     )
+
+
+def domain_signature_terms(
+    docs: DataFrame,
+    domain_col: str = "source",
+    tokens_col: str = "_tk",
+    k: int = 10,
+) -> DataFrame:
+    """Per-domain SIGNATURE TERMS — tf-idf-style heavy hitters that
+    characterize each site against the rest of the corpus (corpus
+    exploration / topic-mix audits; the per-domain complement of the
+    corpus-wide q34 vocabulary top-k).
+
+    Each domain is one pseudo-document: ``tf`` counts the token's
+    occurrences inside the domain, ``df`` counts the domains containing
+    it, and the idf-ish score is the EXACT integer
+    ``score_e4 = tf * 10000 // df`` — rare-elsewhere tokens rank above
+    stopwords without a float log whose last ulp differs between
+    engines (same determinism rule as the drift/mixture operators).
+    Ties break on (tf desc, token asc) for a total order.
+
+    Scale shape: explode → (domain, token) partial-count shuffle (key
+    is content-salted by the token, so a Zipf head domain spreads);
+    ``df`` is a second agg over the ALREADY-GROUPED (domain, token)
+    frame — one row per pair, never the raw occurrences; the df join
+    keys on the token (near-uniform); the final top-k is a row_number
+    window per domain over its DISTINCT tokens, vocabulary-bounded
+    (same per-group trade as the reference's top-5 URL list, A1).
+    """
+    from pyspark.sql.window import Window
+
+    pairs = (
+        docs.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(F.col(tokens_col)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("domain", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    # integral `div`, not floor(double): tf*10000 stays bigint end to
+    # end, so the score is exact at any magnitude
+    scored = pairs.join(df_counts, "token").withColumn(
+        "score_e4", F.expr("(tf * 10000) div df").cast("bigint")
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("score_e4").desc(), F.col("tf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("domain", "token", "tf", "df", "score_e4", "rnk")
+    )

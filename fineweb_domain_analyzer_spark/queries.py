@@ -4668,6 +4668,53 @@ FROM j GROUP BY doc_id, source
 """
 
 
+def q95_domain_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — per-domain tf-idf-style signature terms: top-10
+    tokens per domain by the exact integer rarity score
+    ``tf * 10000 // df`` (domain = pseudo-document, df = domains
+    containing the token).  Corpus-exploration complement of q34's
+    corpus-wide vocabulary top-k: stopwords shared by every domain
+    score ~tf*10000/n_domains, while a site's own jargon keeps the
+    full tf*10000.  No float log anywhere, so the ranking is
+    bit-identical across engines and partitionings.
+    operators/domain_stats.py:domain_signature_terms."""
+    from fineweb_domain_analyzer_spark.functions.textfns import ws_tokens
+    from fineweb_domain_analyzer_spark.operators.domain_stats import (
+        domain_signature_terms,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", ws_tokens(F.lower(F.col("text"))).alias("_tk")
+    )
+    return domain_signature_terms(docs, domain_col="source", k=10).select(
+        F.col("domain").alias("source"), "token", "tf", "df", "score_e4", "rnk"
+    )
+
+
+Q95_SQL = f"""
+WITH pairs AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT source, unnest({TOKS_SQL}) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY 1, 2
+),
+dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY 1),
+scored AS (
+  SELECT p.source, p.token, p.tf, d.df,
+         CAST((p.tf * 10000) // d.df AS BIGINT) AS score_e4
+  FROM pairs p JOIN dfc d USING (token)
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY score_e4 DESC, tf DESC, token) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT source, token, tf, df, score_e4, rnk
+FROM ranked WHERE rnk <= 10
+"""
+
+
 def _q89_sql() -> str:
     blocks = []
     for dim, cat, src, pre in (
@@ -4780,6 +4827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_ccnet_split": q92_ccnet_split,
     "q93_token_chunks": q93_token_chunks,
     "q94_domain_boilerplate": q94_domain_boilerplate,
+    "q95_domain_signature_terms": q95_domain_signature_terms,
 }
 
 
@@ -4877,4 +4925,5 @@ def oracle_sql() -> dict[str, str]:
         "q92_ccnet_split": _q92_sql(),
         "q93_token_chunks": _q93_sql(),
         "q94_domain_boilerplate": Q94_SQL,
+        "q95_domain_signature_terms": Q95_SQL,
     }

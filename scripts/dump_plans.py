@@ -56,6 +56,7 @@ PICKS = {
     "q92_ccnet_split": "CCNet head/middle/tail: perplexity kernel (two LM shuffles, broadcast score join) + banded exact terciles — every window keyed by (lang, _band), no whole-language single-reducer sort",
     "q93_token_chunks": "context-window chunking: tokenize + sliding 64/48 windows as pure codegen sequence/transform expressions, ZERO exchanges, no UDFs",
     "q94_domain_boilerplate": "domain-scoped boilerplate strip: (domain, paragraph-content) freq key — content-salted, skew-free; O(domains) doc counts joined onto the O(distinct paras) freq frame, never onto occurrences; struct-sort reassembly, no global sort",
+    "q95_domain_signature_terms": "per-domain tf-idf signature terms: (domain, token) partial-count shuffle; df from the already-grouped pair frame (one row per pair, never raw occurrences); token-keyed join; vocabulary-bounded per-domain top-k window — exact integer score, no float log",
 }
 
 

@@ -116,3 +116,78 @@ def test_empty_string_timestamp_falls_back_to_run_ts(spark):
         for r in domain_stats_salted(rows, ts_col="ts", run_ts="RUNTS").collect()
     }
     assert salted["a.com"]["first_seen"] == "RUNTS"
+
+
+class TestDomainSignatureTerms:
+    """domain_signature_terms: per-domain tf-idf heavy hitters (q95)."""
+
+    def _run(self, spark, rows, k=10):
+        from fineweb_domain_analyzer_spark.operators.domain_stats import (
+            domain_signature_terms,
+        )
+
+        df = spark.createDataFrame(
+            rows, "source string, _tk array<string>"
+        )
+        return {
+            (r["domain"], r["rnk"]): (
+                r["token"], r["tf"], r["df"], r["score_e4"]
+            )
+            for r in domain_signature_terms(
+                df, domain_col="source", k=k
+            ).collect()
+        }
+
+    def test_shared_stopword_ranks_below_site_jargon(self, spark):
+        # "the" appears in both domains (df=2); each site's jargon has
+        # df=1. For site A: jargon tf=2 -> 2*10000//1 = 20000 beats
+        # "the" tf=3 -> 3*10000//2 = 15000.
+        out = self._run(
+            spark,
+            [
+                ("a.com", ["the", "spark", "the", "spark", "the"]),
+                ("b.com", ["the", "quantum"]),
+            ],
+        )
+        assert out[("a.com", 1)] == ("spark", 2, 1, 20000)
+        assert out[("a.com", 2)] == ("the", 3, 2, 15000)
+        assert out[("b.com", 1)] == ("quantum", 1, 1, 10000)
+        assert out[("b.com", 2)] == ("the", 1, 2, 5000)
+
+    def test_ties_break_on_tf_then_token(self, spark):
+        # two df=1 tokens with equal score: higher tf first; equal tf
+        # -> lexicographic token order.
+        out = self._run(
+            spark,
+            [("c.com", ["zz", "aa"]), ("d.com", ["other"])],
+        )
+        assert out[("c.com", 1)] == ("aa", 1, 1, 10000)
+        assert out[("c.com", 2)] == ("zz", 1, 1, 10000)
+
+    def test_k_bounds_output(self, spark):
+        rows = [("e.com", [f"t{i}" for i in range(30)]), ("f.com", ["x"])]
+        out = self._run(spark, rows, k=5)
+        assert sum(1 for (d, _r) in out if d == "e.com") == 5
+
+    def test_empty_tokens_dropped(self, spark):
+        out = self._run(spark, [("g.com", ["", "word", ""])])
+        assert out[("g.com", 1)] == ("word", 1, 1, 10000)
+        assert len(out) == 1
+
+    def test_q95_matches_duckdb_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from fineweb_domain_analyzer_spark import queries as q
+
+        got = sorted(
+            tuple(r) for r in q.q95_domain_signature_terms(
+                spark, str(sf_dir)
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        want = sorted(tuple(t) for t in con.execute(q.Q95_SQL).fetchall())
+        assert got == want
