@@ -291,6 +291,11 @@ _CORPUS_PROFILES = [
     # the fold's value check is bit-level.
     ("q95", "q95_domain_signature_terms", q.Q95_SQL,
      ["source", "token"], [], ["tf", "df", "score_e4", "rnk"]),
+    # q96: embedding-space outlier pruning (operators/similarity.py
+    # :embedding_outliers) — IVF assignment + banded per-cluster
+    # percentile; band 1 = the farthest 5%.
+    ("q96", "q96_embedding_outliers", q.Q96_SQL,
+     ["vec_id"], ["cos_c"], ["cluster_id", "band", "is_outlier"]),
 ]
 
 
@@ -875,7 +880,7 @@ _FOLDED = {
     "q90_mixture_plan", "q91_mixture_summary",
     "q92_ccnet_split", "q93_token_chunks",
     "q51_paragraph_dedup", "q94_domain_boilerplate",
-    "q95_domain_signature_terms",
+    "q95_domain_signature_terms", "q96_embedding_outliers",
 }
 
 

@@ -494,3 +494,70 @@ def make_cosine_scores_pandas_udf(query_vec: list[float]):
         return pd.Series(sims)
 
     return cosine_vs_query
+
+
+def embedding_outliers(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    n_bands_ntile: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids_df: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space OUTLIER detection: assign every vector to its
+    nearest centroid (cosine, 6dp round, lowest-centroid tie-break —
+    the exact assignment q32's IVF index uses), then flag the vectors
+    farthest from their own centroid: per-cluster exact
+    ``ntile(n_bands_ntile)`` over (cos asc, id asc); band 1 is the
+    most-dissimilar 1/n slice (5% at the default 20).  The classic
+    "prune far-from-every-cluster junk" curation filter (OCR noise,
+    encoding garbage, off-distribution scrapes) that complements
+    near-dup REMOVAL: near-dups are too close together, outliers are
+    too far from everything.
+
+    Scale shape: centroids broadcast (tiny), the per-vector nearest-
+    centroid window partitions by the VECTOR id over n_centroids rows
+    (bounded); the per-cluster percentile uses exact_ntile_by_group's
+    BANDED default — approx-quantile band pre-cut + in-band ranks +
+    broadcast prefix offsets — so a cluster holding 1/8 of a 10^12-row
+    corpus never sorts in one task (the q47/q68/q92 kernel).  Output:
+    (id, cluster_id, cos_c, band, is_outlier)."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        exact_ntile_by_group,
+    )
+
+    centroids = (
+        centroids_df
+        if centroids_df is not None
+        else deterministic_centroids(vectors, n_centroids, id_col, vec_col)
+    )
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cc", F.round(cosine(F.col(vec_col), F.col("centroid_vec")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cc").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("centroid_id").alias("cluster_id"),
+            F.col("_cc").alias("cos_c"),
+        )
+    )
+    banded = exact_ntile_by_group(
+        assigned,
+        n_bands_ntile,
+        order_col="cos_c",
+        by_col="cluster_id",
+        id_col=id_col,
+        out_col="band",
+    )
+    return banded.select(
+        id_col,
+        "cluster_id",
+        "cos_c",
+        F.col("band").cast("bigint").alias("band"),
+        (F.col("band") == 1).alias("is_outlier"),
+    )

@@ -4715,6 +4715,45 @@ FROM ranked WHERE rnk <= 10
 """
 
 
+def q96_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — embedding-space outlier pruning: every vector
+    assigned to its nearest deterministic centroid (q32's IVF
+    assignment), then the farthest 5% per cluster flagged via the
+    banded exact-ntile kernel (no per-cluster single-reducer sort —
+    a cluster is ~corpus/8 here, the exact hazard q47 was dinged
+    for).  operators/similarity.py:embedding_outliers."""
+    from fineweb_domain_analyzer_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, n_centroids=8, n_bands_ntile=20)
+
+
+Q96_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT vec_id, centroid_id, cosc,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosc DESC, centroid_id) AS rn
+  FROM (SELECT e.vec_id, c.centroid_id,
+               {_cos_sql('e.embedding', 'c.cvec')} AS cosc
+        FROM embeddings e CROSS JOIN cent c)
+),
+a AS (SELECT vec_id, centroid_id AS cluster_id, cosc AS cos_c
+      FROM assign WHERE rn = 1)
+SELECT vec_id, cluster_id, cos_c,
+       CAST(ntile(20) OVER (PARTITION BY cluster_id
+                            ORDER BY cos_c, vec_id) AS BIGINT) AS band,
+       (ntile(20) OVER (PARTITION BY cluster_id
+                        ORDER BY cos_c, vec_id)) = 1 AS is_outlier
+FROM a
+"""
+
+
 def _q89_sql() -> str:
     blocks = []
     for dim, cat, src, pre in (
@@ -4828,6 +4867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_token_chunks": q93_token_chunks,
     "q94_domain_boilerplate": q94_domain_boilerplate,
     "q95_domain_signature_terms": q95_domain_signature_terms,
+    "q96_embedding_outliers": q96_embedding_outliers,
 }
 
 
@@ -4926,4 +4966,5 @@ def oracle_sql() -> dict[str, str]:
         "q93_token_chunks": _q93_sql(),
         "q94_domain_boilerplate": Q94_SQL,
         "q95_domain_signature_terms": Q95_SQL,
+        "q96_embedding_outliers": Q96_SQL,
     }

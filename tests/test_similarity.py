@@ -315,3 +315,73 @@ class TestSemanticDedupComposition:
         assert clusters == {1: {1, 2, 3}, 10: {10, 11, 12}}
         kept = {r["node"] for r in out if r["kept"]}
         assert kept == {1, 10}
+
+
+class TestEmbeddingOutliers:
+    """embedding_outliers: IVF assignment + banded per-cluster
+    percentile (q96)."""
+
+    def test_planted_outlier_flagged(self, spark):
+        from fineweb_domain_analyzer_spark.operators.similarity import (
+            embedding_outliers,
+        )
+
+        # 2 centroids (lowest ids): [1,0] and [0,1]. 20 vectors hug
+        # centroid 0 with tiny jitter; one vector (id 99) points near
+        # the [1,0]/[0,1] diagonal but closer to [1,0] -> same cluster,
+        # far from it. With n_bands_ntile=20 and 21 members, band 1
+        # holds exactly the 2 lowest-cos rows (ntile puts ceil(21/20)=2
+        # in band 1) -> the planted outlier must be in band 1.
+        rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        rows += [(i, [1.0, 0.001 * i]) for i in range(2, 21)]
+        rows += [(99, [1.0, 0.9])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {
+            r["vec_id"]: (r["cluster_id"], r["band"], r["is_outlier"])
+            for r in embedding_outliers(df, n_centroids=2).collect()
+        }
+        assert out[99][0] == 0          # assigned to [1,0]'s cluster
+        assert out[99][1] == 1 and out[99][2] is True
+        assert out[1] == (1, 1, True)   # centroid 1's only member
+        # the tight cluster members are NOT all outliers
+        inliers = [v for k, v in out.items() if k not in (99, 1)]
+        assert sum(1 for (_c, _b, o) in inliers if o) <= 1
+
+    def test_band_sizes_are_ntile_exact(self, spark, sf_dir):
+        from fineweb_domain_analyzer_spark.operators.similarity import (
+            embedding_outliers,
+        )
+
+        emb = spark.read.parquet(str(sf_dir / "embeddings.parquet"))
+        out = embedding_outliers(emb, n_centroids=8, n_bands_ntile=20)
+        sizes = (
+            out.groupBy("cluster_id", "band").count()
+            .groupBy("cluster_id")
+            .agg(
+                F.max("count").alias("mx"),
+                F.min("count").alias("mn"),
+                F.sum("count").alias("n"),
+            )
+            .collect()
+        )
+        # ntile invariant: band sizes within a cluster differ by <= 1
+        for r in sizes:
+            assert r["mx"] - r["mn"] <= 1
+
+    def test_q96_matches_duckdb_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from fineweb_domain_analyzer_spark import queries as q
+
+        got = sorted(
+            tuple(r) for r in q.q96_embedding_outliers(
+                spark, str(sf_dir)
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        want = sorted(tuple(t) for t in con.execute(q.Q96_SQL).fetchall())
+        assert got == want
