@@ -4770,6 +4770,90 @@ SELECT * FROM terms)""")
     return "\nUNION ALL\n".join(blocks) + "\n"
 
 
+def q97_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — weighted host-level link graph: per-page outlinks
+    (deterministic synthetic generator standing in for crawl-time href
+    extraction) aggregated to (src_host, dst_host, n_links).  The
+    src-host label travels with the edge from extraction, so only the
+    dst endpoint needs a label join — one shuffle join + one agg.
+    operators/graph.py:host_graph."""
+    from fineweb_domain_analyzer_spark.operators.graph import (
+        host_graph,
+        synthetic_outlinks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synthetic_outlinks(docs, host_col="source")
+    return host_graph(edges, docs)
+
+
+Q97_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT d.doc_id AS src, d.source AS src_host,
+         (d.doc_id * 2654435761 + 40503 * t.j) % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (1), (2), (3)) t(j)
+),
+edges AS (SELECT * FROM raw WHERE dst <> src)
+SELECT e.src_host, d2.source AS dst_host, count(*) AS n_links
+FROM edges e JOIN documents d2 ON e.dst = d2.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q98_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — link-based document/host reputation: 3 iterations
+    of integer fixed-point PageRank (ranks scaled 1e6, integral DIV
+    everywhere) over the synthetic outlink graph.  Fixed-point makes
+    the iteration bit-exact across partitionings and engines — a
+    float PageRank is summation-order dependent and not
+    oracle-checkable.  operators/graph.py:pagerank."""
+    from fineweb_domain_analyzer_spark.operators.graph import (
+        pagerank,
+        synthetic_outlinks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synthetic_outlinks(docs)
+    pr = pagerank(edges, n_iter=3)
+    return pr.select(F.col("node").alias("doc_id"), "rank")
+
+
+def _q98_sql(n_iter: int = 3) -> str:
+    """Unrolled fixed-point PageRank CTE chain mirroring
+    operators/graph.py:pagerank (scale 1e6, damping 85/100 ⇒ teleport
+    150000; `//` is DuckDB integral division = Spark DIV for the
+    all-positive operands here)."""
+    sql = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 2654435761 + 40503 * t.j) % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (1), (2), (3)) t(j)
+),
+edges AS (SELECT src, dst FROM raw WHERE dst <> src),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges
+           UNION ALL SELECT dst FROM edges)),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    for k in range(1, n_iter + 1):
+        sql += f""",
+d{k} AS (SELECT coalesce(sum(rank), 0) AS dang FROM r{k - 1}
+         WHERE node NOT IN (SELECT src FROM outdeg)),
+c{k} AS (SELECT e.dst, sum(r.rank // o.outdeg) AS in_sum
+         FROM edges e
+           JOIN r{k - 1} r ON e.src = r.node
+           JOIN outdeg o ON e.src = o.src
+         GROUP BY e.dst),
+r{k} AS (SELECT n.node,
+         CAST(150000 + (85 * (coalesce(c.in_sum, 0)
+               + (SELECT dang FROM d{k}) // (SELECT n FROM nn))) // 100
+              AS BIGINT) AS rank
+         FROM nodes n LEFT JOIN c{k} c ON n.node = c.dst)"""
+    return sql + f"\nSELECT node AS doc_id, rank FROM r{n_iter}\n"
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4868,6 +4952,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_domain_boilerplate": q94_domain_boilerplate,
     "q95_domain_signature_terms": q95_domain_signature_terms,
     "q96_embedding_outliers": q96_embedding_outliers,
+    "q97_host_graph": q97_host_graph,
+    "q98_pagerank": q98_pagerank,
 }
 
 
@@ -4967,4 +5053,6 @@ def oracle_sql() -> dict[str, str]:
         "q94_domain_boilerplate": Q94_SQL,
         "q95_domain_signature_terms": Q95_SQL,
         "q96_embedding_outliers": Q96_SQL,
+        "q97_host_graph": Q97_SQL,
+        "q98_pagerank": _q98_sql(),
     }

@@ -1,0 +1,88 @@
+"""Link-graph operators: synthetic outlinks, host graph, fixed-point
+PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fineweb_domain_analyzer_spark.operators.graph import (
+    host_graph,
+    pagerank,
+    synthetic_outlinks,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_synthetic_outlinks_shape(spark):
+    docs = spark.range(40).withColumnRenamed("id", "doc_id")
+    edges = synthetic_outlinks(docs, n_links=3).toPandas()
+    assert ((edges.src != edges.dst)).all()
+    assert edges.dst.between(0, 39).all()
+    deg = edges.groupby("src").size()
+    assert set(deg.index) == set(range(40))  # every doc is a src
+    assert deg.between(2, 3).all()  # at most one self-link dropped
+
+
+def test_synthetic_outlinks_carries_host(spark):
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    edges = synthetic_outlinks(docs, host_col="source")
+    assert edges.columns == ["src", "src_host", "dst"]
+    row = edges.where(F.col("src") == 4).first()
+    assert row.src_host == "h1"
+
+
+def test_host_graph_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    edges = spark.createDataFrame(
+        [(0, "a", 2), (1, "a", 2), (0, "a", 1), (2, "b", 0)],
+        "src long, src_host string, dst long",
+    )
+    hg = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_graph(edges, docs).collect()
+    }
+    assert hg == {("a", "b"): 2, ("a", "a"): 1, ("b", "a"): 1}
+
+
+def test_pagerank_hand_computed_one_iteration(spark):
+    # A(0)->B(1); B->A, B->C(2); C dangling.  Integer math by hand:
+    #   teleport = 150000, dang_share = 1_000_000 // 3 = 333333
+    #   rA = 150000 + (85*(500000+333333))//100  = 858333
+    #   rB = 150000 + (85*(1000000+333333))//100 = 1283333
+    #   rC = rA
+    edges = _edges(spark, [(0, 1), (1, 0), (1, 2)])
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, n_iter=1, persist=False).collect()
+    }
+    assert got == {0: 858333, 1: 1283333, 2: 858333}
+
+
+def test_pagerank_partitioning_invariant(spark):
+    docs = spark.range(60).withColumnRenamed("id", "doc_id")
+    edges = synthetic_outlinks(docs)
+    a = {
+        r.node: r.rank
+        for r in pagerank(edges.repartition(7), n_iter=3, persist=False).collect()
+    }
+    b = {
+        r.node: r.rank
+        for r in pagerank(edges.repartition(2), n_iter=3, persist=False).collect()
+    }
+    assert a == b  # bigint fixed-point: bit-exact under any partitioning
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    # star: everyone links to node 0; node 0 links to node 1.
+    edges = _edges(spark, [(1, 0), (2, 0), (3, 0), (0, 1)])
+    got = {r.node: r.rank for r in pagerank(edges, n_iter=3).collect()}
+    assert got[0] == max(got.values())
+    assert got[2] == got[3]  # symmetric nodes stay exactly tied
