@@ -27,6 +27,50 @@ def decode_utf8_ignore_udf(payload: pd.Series) -> pd.Series:
     return payload.map(lambda b: None if b is None else bytes(b).decode("utf-8", "ignore"))
 
 
+# --- unicode normalization -------------------------------------------------
+
+@pandas_udf(StringType())
+def nfc_normalize_udf(text: pd.Series) -> pd.Series:
+    """Unicode NFC canonical composition (combining sequences →
+    precomposed forms).  NFC is normative and stable, so Python's
+    unicodedata and the DuckDB oracle's utf8proc agree byte-for-byte
+    on assigned codepoints — differential-tested."""
+    import unicodedata
+
+    return text.map(
+        lambda s: None if s is None else unicodedata.normalize("NFC", s)
+    )
+
+
+#: C0/C1 controls (minus \t \n \r, handled by the whitespace collapse)
+#: plus the zero-width format chars and the BOM — the characters a
+#: web-text pipeline strips before tokenization.
+CONTROL_FORMAT_CLASS = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+    "\\u200b\\u200c\\u200d\\ufeff]"
+)
+
+
+def normalize_text(text: Column) -> Column:
+    """The standard pre-tokenization normalization stage: strip
+    control/format characters, map NBSP to space, NFC-compose, then
+    collapse whitespace runs and trim.
+
+    Scale shape: every step except NFC is a JVM ``regexp_replace``
+    (whole-stage codegen).  The NFC crossing is GATED — only rows that
+    still contain a non-ASCII byte take the Arrow pandas UDF; NFC is
+    the identity on ASCII, and the overwhelmingly-ASCII web hot path
+    never leaves the JVM.  The oracle applies NFC unconditionally
+    (identity on ASCII ⇒ equivalent).
+    """
+    cleaned = F.regexp_replace(text, CONTROL_FORMAT_CLASS, "")
+    cleaned = F.regexp_replace(cleaned, "\\u00a0", " ")
+    nfc = F.when(
+        cleaned.rlike("[^\x00-\x7f]"), nfc_normalize_udf(cleaned)
+    ).otherwise(cleaned)
+    return F.trim(F.regexp_replace(nfc, "[ \t\r\n]+", " "))
+
+
 # --- tokenization ----------------------------------------------------------
 
 def ws_tokens(text: Column) -> Column:

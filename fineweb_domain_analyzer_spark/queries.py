@@ -4854,6 +4854,72 @@ r{k} AS (SELECT n.node,
     return sql + f"\nSELECT node AS doc_id, rank FROM r{n_iter}\n"
 
 
+#: Deterministic "messy unicode" suffix exercising every branch of the
+#: normalization stage: combining acute (NFC-composes into é),
+#: zero-width space, backspace control, NBSP, tab/CR/LF runs, edge
+#: whitespace.  Appended to 2 of 3 docs so the remaining third stays
+#: ASCII and exercises the JVM-only fast path.
+_MESSY_SUFFIX = "\tCafe\u0301 \u200bX\bY\u00a0 Z \r\n end  "
+_MESSY_SQL = " || ".join(f"chr({ord(c)})" for c in _MESSY_SUFFIX)
+
+
+def q99_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — unicode normalization stage (control/format strip,
+    NBSP→space, NFC composition, whitespace collapse): the
+    pre-tokenization cleanup every web pipeline runs before langid /
+    quality / dedup.  NFC is an ASCII-gated Arrow pandas UDF; all
+    other steps are JVM codegen.  functions/textfns.py:normalize_text;
+    hashes compared byte-level against DuckDB's utf8proc NFC."""
+    from fineweb_domain_analyzer_spark.functions.textfns import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 3 == 0, F.col("text")
+    ).otherwise(F.concat(F.col("text"), F.lit(_MESSY_SUFFIX)))
+    norm = normalize_text(raw)
+    return docs.select(
+        "doc_id",
+        (~raw.rlike("[^\x00-\x7f]")).alias("ascii_fast_path"),
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+def _q99_sql() -> str:
+    ctrl = (
+        r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
+        r"\x{200b}-\x{200d}\x{feff}]"
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE text || {_MESSY_SQL} END AS raw_text
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, raw_text,
+         regexp_replace(
+           regexp_replace(raw_text, '{ctrl}', '', 'g'),
+           chr(160), ' ', 'g') AS c1
+  FROM raw
+),
+norm AS (
+  SELECT doc_id, raw_text,
+         trim(regexp_replace(nfc_normalize(c1),
+                             '[ ' || chr(9) || chr(13) || chr(10) || ']+',
+                             ' ', 'g')) AS n
+  FROM cleaned
+)
+SELECT doc_id,
+       NOT regexp_matches(raw_text, '[^' || chr(1) || '-' || chr(127) || ']')
+         AS ascii_fast_path,
+       md5(n) AS norm_hash,
+       CAST(length(n) AS BIGINT) AS norm_len
+FROM norm
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4954,6 +5020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_embedding_outliers": q96_embedding_outliers,
     "q97_host_graph": q97_host_graph,
     "q98_pagerank": q98_pagerank,
+    "q99_text_normalize": q99_text_normalize,
 }
 
 
@@ -5055,4 +5122,5 @@ def oracle_sql() -> dict[str, str]:
         "q96_embedding_outliers": Q96_SQL,
         "q97_host_graph": Q97_SQL,
         "q98_pagerank": _q98_sql(),
+        "q99_text_normalize": _q99_sql(),
     }
