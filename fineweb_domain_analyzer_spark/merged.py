@@ -296,12 +296,29 @@ _CORPUS_PROFILES = [
     # percentile; band 1 = the farthest 5%.
     ("q96", "q96_embedding_outliers", q.Q96_SQL,
      ["vec_id"], ["cos_c"], ["cluster_id", "band", "is_outlier"]),
+    # q97/q98: link-graph analytics (operators/graph.py) — weighted
+    # host-level edge list and 3-iteration integer fixed-point PageRank
+    # over the deterministic outlink graph; fixed-point ranks make the
+    # fold's value check bit-exact across engines.
+    ("q97", "q97_host_graph", q.Q97_SQL,
+     ["src_host", "dst_host"], [], ["n_links"]),
+    ("q98", "q98_pagerank", q._q98_sql(),
+     ["doc_id"], [], ["rank"]),
+    # q99: unicode normalization stage (functions/textfns.py
+    # :normalize_text) — norm_hash rides as a key so the fold checks
+    # the normalized BYTES against DuckDB's utf8proc NFC, not just
+    # lengths; ascii_fast_path certifies the JVM-gate split.
+    ("q99", "q99_text_normalize", q._q99_sql(),
+     ["doc_id", "ascii_fast_path", "norm_hash"], [], ["norm_len"]),
 ]
 
 
 def q34_corpus_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocab top-k + length histogram + dump-drift monitoring
-    (q87/q88/q89) folded into one profile frame."""
+    (q87/q88/q89) + mixture planning (q90/q91) + token chunking (q93)
+    + domain signature terms (q95) + embedding outliers (q96) +
+    link-graph / PageRank (q97/q98) + unicode normalization (q99)
+    folded into one profile frame."""
     return _folded_union(spark, sf_dir, _CORPUS_PROFILES)
 
 
@@ -881,6 +898,7 @@ _FOLDED = {
     "q92_ccnet_split", "q93_token_chunks",
     "q51_paragraph_dedup", "q94_domain_boilerplate",
     "q95_domain_signature_terms", "q96_embedding_outliers",
+    "q97_host_graph", "q98_pagerank", "q99_text_normalize",
 }
 
 
