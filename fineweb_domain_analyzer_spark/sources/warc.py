@@ -72,9 +72,19 @@ def _read_headers(stream: BinaryIO) -> dict[str, str] | None:
     return headers
 
 
-def iter_warc_records_builtin(stream: BinaryIO) -> Iterator[dict]:
+RESPONSE_TYPES = ("response",)
+# WET shards (Common Crawl's pre-extracted plain text) carry the text as
+# `conversion` records: the block IS the document — no HTTP envelope —
+# and Content-Type lives in the WARC header itself (text/plain).
+CONVERSION_TYPES = ("conversion",)
+
+
+def iter_warc_records_builtin(
+    stream: BinaryIO, record_types: tuple[str, ...] = RESPONSE_TYPES
+) -> Iterator[dict]:
     """Minimal WARC/1.x reader: yields dicts shaped like the reference's
-    JSON records for response-type records only."""
+    JSON records. Default keeps only response records (reference
+    behavior); pass CONVERSION_TYPES for WET shards."""
     while True:
         # skip record separators
         pos_line = stream.readline()
@@ -90,7 +100,19 @@ def iter_warc_records_builtin(stream: BinaryIO) -> Iterator[dict]:
         length = int(headers.get("content-length", "0"))
         block = stream.read(length)
         rec_type = headers.get("warc-type", "")
+        if rec_type not in record_types:
+            continue
         if rec_type != "response":
+            # conversion (WET) and other non-HTTP records: the block is
+            # the payload; content-type comes from the WARC header
+            yield {
+                "url": headers.get("warc-target-uri"),
+                "timestamp": headers.get("warc-date"),
+                "content_type": headers.get("content-type"),
+                "content_length": headers.get("content-length"),
+                "status_code": None,
+                "content": block.decode("utf-8", "ignore"),
+            }
             continue
         # block = HTTP response: status line + headers + CRLF + body
         http_headers: dict[str, str] = {}
@@ -126,34 +148,38 @@ def iter_warc_records_builtin(stream: BinaryIO) -> Iterator[dict]:
         }
 
 
-def iter_warc_records_warcio(stream: BinaryIO) -> Iterator[dict]:
+def iter_warc_records_warcio(
+    stream: BinaryIO, record_types: tuple[str, ...] = RESPONSE_TYPES
+) -> Iterator[dict]:
     for record in ArchiveIterator(stream):
-        if record.rec_type != "response":
+        if record.rec_type not in record_types:
             continue
+        http = record.http_headers if record.rec_type == "response" else None
         yield {
             "url": record.rec_headers.get_header("WARC-Target-URI"),
             "timestamp": record.rec_headers.get_header("WARC-Date"),
-            "content_type": record.http_headers.get_header("Content-Type")
-            if record.http_headers
-            else None,
+            "content_type": http.get_header("Content-Type")
+            if http
+            else record.rec_headers.get_header("Content-Type"),
             "content_length": record.rec_headers.get_header("Content-Length"),
-            "status_code": record.http_headers.get_statuscode()
-            if record.http_headers
-            else None,
+            "status_code": http.get_statuscode() if http else None,
             "content": record.content_stream().read().decode("utf-8", "ignore"),
         }
 
 
 def parse_warc_bytes(
-    raw: bytes, is_gzip: bool, max_records: int | None = None
+    raw: bytes,
+    is_gzip: bool,
+    max_records: int | None = None,
+    record_types: tuple[str, ...] = RESPONSE_TYPES,
 ) -> Iterator[dict]:
     stream: BinaryIO = io.BytesIO(raw)
     if is_gzip:
         stream = gzip.GzipFile(fileobj=stream)  # type: ignore[assignment]
     it = (
-        iter_warc_records_warcio(stream)
+        iter_warc_records_warcio(stream, record_types)
         if HAS_WARCIO
-        else iter_warc_records_builtin(stream)
+        else iter_warc_records_builtin(stream, record_types)
     )
     for i, rec in enumerate(it):
         if max_records is not None and i >= max_records:
@@ -188,6 +214,7 @@ def stream_warc_file_batches(
     batch_rows: int = 2048,
     max_records: int | None = None,
     batch_bytes: int = 32 * 1024 * 1024,
+    record_types: tuple[str, ...] = RESPONSE_TYPES,
 ) -> Iterator[pd.DataFrame]:
     """Stream ONE warc(.gz) file as bounded pandas DataFrames.
     This is the exact per-file loop the read_warc workers run. A batch
@@ -206,9 +233,9 @@ def stream_warc_file_batches(
             else fh
         )
         it = (
-            iter_warc_records_warcio(stream)
+            iter_warc_records_warcio(stream, record_types)
             if HAS_WARCIO
-            else iter_warc_records_builtin(stream)
+            else iter_warc_records_builtin(stream, record_types)
         )
         out: list[dict] = []
         out_bytes = 0
@@ -230,6 +257,7 @@ def read_warc(
     max_records_per_file: int | None = None,
     batch_rows: int = 2048,
     batch_bytes: int = 32 * 1024 * 1024,
+    record_types: tuple[str, ...] = RESPONSE_TYPES,
 ) -> DataFrame:
     """Distributed WARC scan: one task per file; each worker opens its
     file directly and streams records out in Arrow batches bounded by
@@ -253,10 +281,40 @@ def read_warc(
         for pdf in batches:
             for p in pdf["path"]:
                 yield from stream_warc_file_batches(
-                    str(p), names, batch_rows, max_records_per_file, batch_bytes
+                    str(p),
+                    names,
+                    batch_rows,
+                    max_records_per_file,
+                    batch_bytes,
+                    record_types,
                 )
 
     return files.mapInPandas(_parse, WARC_RECORD)
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    max_records_per_file: int | None = None,
+    batch_rows: int = 2048,
+    batch_bytes: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Distributed WET scan (Common Crawl's pre-extracted plain text:
+    same ISO 28500 container, but the documents are `conversion`
+    records whose block is the text itself, no HTTP envelope). Same
+    one-task-per-file streaming plan as read_warc; `status_code` is
+    null (WET carries none) and `content_type` comes from the WARC
+    header (text/plain). The reference has no WET path — EXTENSION:
+    FineWeb-style pipelines start from WET shards, so an engine
+    claiming drop-in coverage needs this source."""
+    return read_warc(
+        spark,
+        path,
+        max_records_per_file=max_records_per_file,
+        batch_rows=batch_rows,
+        batch_bytes=batch_bytes,
+        record_types=CONVERSION_TYPES,
+    )
 
 
 def write_warc_file(records: list[dict], path: str, gzip_out: bool = False) -> None:
@@ -273,12 +331,14 @@ def write_warc_file(records: list[dict], path: str, gzip_out: bool = False) -> N
             )
         else:
             http = rec.get("body", b"")
+        warc_ct = rec.get("warc_content_type")  # WET: text/plain at WARC level
         headers = (
             b"WARC/1.0\r\n"
             b"WARC-Type: " + rec_type.encode() + b"\r\n"
             b"WARC-Target-URI: " + rec.get("url", "").encode() + b"\r\n"
             b"WARC-Date: " + rec.get("date", "2024-06-12T00:00:00Z").encode() + b"\r\n"
-            b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+            + (b"Content-Type: " + warc_ct.encode() + b"\r\n" if warc_ct else b"")
+            + b"Content-Length: " + str(len(http)).encode() + b"\r\n"
             b"\r\n"
         )
         buf.write(headers + http + b"\r\n\r\n")

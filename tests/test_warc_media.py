@@ -270,3 +270,77 @@ def test_pixel_decode_pil_gated():
             raise AssertionError("expected NotImplementedError without PIL")
         except NotImplementedError as e:
             assert "Pillow" in str(e)
+
+
+# --- WET (conversion-record) source ---------------------------------
+
+WET_RECORDS = [
+    {
+        "rec_type": "warcinfo",
+        "url": "",
+        "body": b"software: test",
+    },
+    {
+        "rec_type": "conversion",
+        "url": "https://a.example.com/1",
+        "date": "2024-06-12T01:00:00Z",
+        "warc_content_type": "text/plain",
+        "body": "extracted plain text — no markup".encode(),
+    },
+    {
+        "rec_type": "conversion",
+        "url": "https://b.example.com/2",
+        "date": "2024-06-12T02:00:00Z",
+        "warc_content_type": "text/plain",
+        # invalid utf-8 run exercises decode errors='ignore'
+        "body": b"wet \xff\xfe bytes",
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def wet_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wet")
+    write_warc_file(WET_RECORDS, str(d / "sample.warc.wet"))
+    write_warc_file(WET_RECORDS, str(d / "sample.warc.wet.gz"), gzip_out=True)
+    return d
+
+
+def test_parse_wet_conversion_records(wet_dir):
+    from fineweb_domain_analyzer_spark.sources.warc import CONVERSION_TYPES
+
+    raw = (wet_dir / "sample.warc.wet").read_bytes()
+    recs = list(parse_warc_bytes(raw, is_gzip=False, record_types=CONVERSION_TYPES))
+    assert len(recs) == 2  # warcinfo dropped
+    assert recs[0]["url"] == "https://a.example.com/1"
+    assert recs[0]["content"] == "extracted plain text — no markup"
+    assert recs[0]["content_type"] == "text/plain"
+    assert recs[0]["status_code"] is None  # WET has no HTTP envelope
+    assert recs[1]["content"] == "wet  bytes"  # decode-ignore
+
+    # gzip member path
+    rawgz = (wet_dir / "sample.warc.wet.gz").read_bytes()
+    assert len(list(parse_warc_bytes(rawgz, is_gzip=True, record_types=CONVERSION_TYPES))) == 2
+
+
+def test_wet_records_invisible_to_response_scan(wet_dir):
+    raw = (wet_dir / "sample.warc.wet").read_bytes()
+    assert list(parse_warc_bytes(raw, is_gzip=False)) == []
+
+
+def test_read_wet_distributed(spark, wet_dir):
+    from fineweb_domain_analyzer_spark.sources.warc import read_wet
+
+    df = read_wet(spark, str(wet_dir))
+    rows = sorted(df.collect(), key=lambda r: (r["url"], r["content"]))
+    # plain + gzip copies of the same 2 conversion records
+    assert len(rows) == 4
+    assert [f.name for f in df.schema.fields] == [
+        "url", "timestamp", "content_type", "content_length",
+        "status_code", "content",
+    ]
+    assert rows[0]["url"] == "https://a.example.com/1"
+    assert rows[0]["content"] == "extracted plain text — no markup"
+    assert all(r["status_code"] is None for r in rows)
+    # the response-record scan over the same dir sees nothing
+    assert read_warc(spark, str(wet_dir)).count() == 0
