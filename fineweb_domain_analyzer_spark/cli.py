@@ -4,6 +4,7 @@ Spark-backed.
 A user of the reference can run the same commands against this engine:
 
     python -m fineweb_domain_analyzer_spark.cli --input data.warc.gz --warc-to-json
+    python -m fineweb_domain_analyzer_spark.cli --input data.warc.wet.gz --wet-to-json
     python -m fineweb_domain_analyzer_spark.cli --input data.jsonl --extract-domains
     python -m fineweb_domain_analyzer_spark.cli --domains domains.json --check-robots
     python -m fineweb_domain_analyzer_spark.cli --input data.jsonl --robots robots_check.json --filter-content
@@ -48,7 +49,7 @@ from fineweb_domain_analyzer_spark.operators.filtering import label_pages, with_
 
 
 from fineweb_domain_analyzer_spark.sources.jsonl import read_jsonl_with_raw
-from fineweb_domain_analyzer_spark.sources.warc import read_warc
+from fineweb_domain_analyzer_spark.sources.warc import read_warc, read_wet
 
 
 def _ts(args) -> str:
@@ -83,10 +84,11 @@ def _concat_parts(parts, target, count_lines: bool = False) -> int:
     return n if count_lines else -1
 
 
-def warc_to_json(spark, args) -> Path:
+def warc_to_json(spark, args, wet: bool = False) -> Path:
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
-    df = read_warc(spark, args.input, args.max_records)
+    reader = read_wet if wet else read_warc
+    df = reader(spark, args.input, args.max_records)
     # reference filename: f"{warc_path.stem}.jsonl" (fineweb_analyzer.py:70)
     # — 'data.warc.gz' → 'data.warc.jsonl', 'data.warc' → 'data.jsonl'
     stem = Path(args.input).stem
@@ -444,6 +446,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument("--all-steps", action="store_true")
     p.add_argument("--warc-to-json", action="store_true")
+    p.add_argument(
+        "--wet-to-json",
+        action="store_true",
+        help="convert WET (conversion-record) shards to JSONL "
+        "(EXTENSION: the reference only reads WARC response records)",
+    )
     p.add_argument("--extract-domains", action="store_true")
     p.add_argument("--check-robots", action="store_true")
     p.add_argument("--filter-content", action="store_true")
@@ -519,7 +527,7 @@ def main(argv: list[str] | None = None) -> int:
     p = build_parser()
     args = p.parse_args(argv)
 
-    if (args.all_steps or args.warc_to_json or args.extract_domains or args.filter_content or args.stream_ingest or args.train_classifier) and not args.input:
+    if (args.all_steps or args.warc_to_json or args.wet_to_json or args.extract_domains or args.filter_content or args.stream_ingest or args.train_classifier) and not args.input:
         p.error("these operations require --input")
     if args.check_robots and not (args.domains or args.all_steps):
         p.error("--check-robots requires --domains")
@@ -529,6 +537,7 @@ def main(argv: list[str] | None = None) -> int:
     has_action = (
         args.all_steps
         or args.warc_to_json
+        or args.wet_to_json
         or args.extract_domains
         or args.check_robots
         or args.filter_content
@@ -553,6 +562,8 @@ def main(argv: list[str] | None = None) -> int:
             filter_content(spark, args, robots_results=results, jsonl_path=jsonl)
         elif args.warc_to_json:
             warc_to_json(spark, args)
+        elif args.wet_to_json:
+            warc_to_json(spark, args, wet=True)
         elif args.extract_domains:
             extract_domains(spark, args)
         elif args.check_robots:

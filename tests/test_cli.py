@@ -257,3 +257,37 @@ def test_cli_stream_ingest_incremental(spark, tmp_path):
     ).write.mode("append").parquet(in_dir)
     assert cli.main(argv) == 0
     assert spark.read.parquet(str(out_dir / "pages")).count() == 300
+
+
+def test_wet_to_json(spark, tmp_path):
+    wet = tmp_path / "mini.warc.wet"
+    write_warc_file(
+        [
+            {"rec_type": "warcinfo", "url": "", "body": b"software: t"},
+            {
+                "rec_type": "conversion",
+                "url": "https://alpha.example.com/a",
+                "date": "2024-06-12T00:00:00Z",
+                "warc_content_type": "text/plain",
+                "body": "plain alpha text".encode(),
+            },
+            {
+                "rec_type": "conversion",
+                "url": "https://beta.example.com/b",
+                "date": "2024-06-12T00:01:00Z",
+                "warc_content_type": "text/plain",
+                "body": "plain beta text".encode(),
+            },
+        ],
+        str(wet),
+    )
+    args = _args(input=str(wet), output=str(tmp_path / "out"), wet_to_json=True)
+    jsonl = cli.warc_to_json(spark, args, wet=True)
+    lines = [json.loads(l) for l in open(jsonl) if l.strip()]
+    assert len(lines) == 2  # warcinfo dropped
+    by_url = {l["url"]: l for l in lines}
+    assert by_url["https://alpha.example.com/a"]["content"] == "plain alpha text"
+    assert by_url["https://alpha.example.com/a"]["content_type"] == "text/plain"
+    assert "status_code" not in by_url["https://alpha.example.com/a"] or by_url[
+        "https://alpha.example.com/a"
+    ]["status_code"] is None
