@@ -344,3 +344,65 @@ def test_read_wet_distributed(spark, wet_dir):
     assert all(r["status_code"] is None for r in rows)
     # the response-record scan over the same dir sees nothing
     assert read_warc(spark, str(wet_dir)).count() == 0
+
+
+# --- writer <-> parser round-trip property --------------------------
+
+
+def test_warc_roundtrip_property(tmp_path):
+    """Property: for any mix of response/conversion/other records, the
+    writer->parser round trip recovers exactly the records of the
+    requested type, with url/content preserved (modulo the documented
+    decode-ignore on invalid utf-8, which the strategy avoids by
+    generating valid text)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fineweb_domain_analyzer_spark.sources.warc import (
+        CONVERSION_TYPES,
+        parse_warc_bytes,
+    )
+
+    # printable text without lone CR/LF tricks that a writer would have
+    # to escape; WARC bodies are Content-Length-delimited so newlines
+    # inside bodies ARE legal — include them.
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+    )
+    rec = st.fixed_dictionaries(
+        {
+            "rec_type": st.sampled_from(["response", "conversion", "request"]),
+            "url": st.from_regex(r"https://[a-z]{1,10}\.example\.com/[a-z0-9]{0,8}", fullmatch=True),
+            "body_text": text,
+        }
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(recs=st.lists(rec, max_size=8), use_gzip=st.booleans())
+    def run(recs, use_gzip):
+        path = tmp_path / ("rt.warc.gz" if use_gzip else "rt.warc")
+        wire = [
+            {
+                "rec_type": r["rec_type"],
+                "url": r["url"],
+                "body": r["body_text"].encode("utf-8"),
+                **(
+                    {"warc_content_type": "text/plain"}
+                    if r["rec_type"] == "conversion"
+                    else {}
+                ),
+            }
+            for r in recs
+        ]
+        write_warc_file(wire, str(path), gzip_out=use_gzip)
+        raw = path.read_bytes()
+        for types, want in (
+            (("response",), [r for r in recs if r["rec_type"] == "response"]),
+            (CONVERSION_TYPES, [r for r in recs if r["rec_type"] == "conversion"]),
+        ):
+            got = list(parse_warc_bytes(raw, is_gzip=use_gzip, record_types=types))
+            assert [(g["url"], g["content"]) for g in got] == [
+                (w["url"], w["body_text"]) for w in want
+            ]
+
+    run()
