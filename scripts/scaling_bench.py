@@ -124,7 +124,12 @@ Python-UDF worker pool, so this understates multi-node scaling where
 each executor brings its own memory channels; the plan itself is
 shuffle-free up to the final metrics aggregation (broadcast join +
 map-side ops), which is the property that actually transfers to a
-1000-executor cluster.
+1000-executor cluster. Measured efficiency can land near or even
+above 1.0: this sandbox's many-core wall times swing ~2x
+(BENCH/host_variance.json) and per-JVM fixed costs (GC, Python
+worker-pool startup) amortize better at higher parallelism — read
+values >= 1 as "no scaling bottleneck observed at 4x cores," not as
+true super-linearity.
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
