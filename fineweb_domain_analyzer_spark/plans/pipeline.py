@@ -147,7 +147,10 @@ def quality_filter_pipeline(
 
 
 def write_pipeline_output(
-    labeled: DataFrame, out_path: str, fmt: str = "parquet"
+    labeled: DataFrame,
+    out_path: str,
+    fmt: str = "parquet",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Partitioned sink (Iceberg in production: writeTo(...).append() on
     a table partitioned by drop_reason; parquet here).
@@ -155,10 +158,12 @@ def write_pipeline_output(
     Partition key is drop_reason, not the boolean keep: readers get
     reason-level partition pruning (kept = drop_reason='kept'), and
     boolean partition values round-trip as strings on read — a type
-    surprise drop_reason (already string) avoids."""
-    (
-        labeled.write.mode("overwrite")
-        .partitionBy("drop_reason")
-        .format(fmt)
-        .save(out_path)
-    )
+    surprise drop_reason (already string) avoids.
+
+    ``max_records_per_file`` caps rows per output file (Spark's
+    maxRecordsPerFile) so shard size is bounded independently of the
+    write-stage task layout — no repartition, no extra shuffle."""
+    w = labeled.write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy("drop_reason").format(fmt).save(out_path)

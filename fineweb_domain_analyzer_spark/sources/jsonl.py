@@ -60,16 +60,35 @@ def read_jsonl_with_raw(
     return ok.select("raw", "_rec.*").drop(_CORRUPT)
 
 
-def write_jsonl_passthrough(labeled: DataFrame, out_dir: str) -> None:
+def write_jsonl_passthrough(
+    labeled: DataFrame, out_dir: str, max_records_per_file: int | None = None
+) -> None:
     """Dual sink (S7): one pass, partitioned by keep — each row's raw
-    line is written verbatim, preserving byte-identity."""
-    labeled.select("keep", "raw").write.mode("overwrite").partitionBy("keep").text(
-        out_dir
-    )
+    line is written verbatim, preserving byte-identity.
+
+    ``max_records_per_file`` bounds output shard size (Spark's
+    maxRecordsPerFile: a task rolls to a new file at the cap). At
+    100 TB the input task layout says nothing about what a sane output
+    shard is — downstream consumers want bounded files regardless of
+    how fat the write-stage partitions were, and the cap delivers that
+    without a repartition (no extra shuffle)."""
+    w = labeled.select("keep", "raw").write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy("keep").text(out_dir)
 
 
-def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
     """Re-serializing JSONL sink (S5) for engine-produced records. Not
     byte-identical to Python's json.dumps — use the passthrough sink
-    when byte-identity matters."""
-    df.write.mode(mode).json(path)
+    when byte-identity matters. ``max_records_per_file`` bounds output
+    shards (see write_jsonl_passthrough)."""
+    w = df.write.mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.json(path)
