@@ -43,6 +43,9 @@ value-checked oracle row, inside the 50-key window:
 * ``q51_paragraph_dedup``    = q51 corpus-wide CCNet paragraph strip +
   q94 domain-scoped ratio boilerplate strip (RefinedWeb-style per-site
   clean), method-tagged union.
+* ``q69_sequence_packing``   = q69 concat-and-chunk packing placement +
+  q100 seeded deterministic corpus shuffle (pre-training layout that
+  decorrelates crawl order), method-tagged union.
 
 The fine-grained originals stay in ``queries.QUERIES`` (the FULL
 registry) for tests, benches and `FULL=1 scripts/check_oracle.py`;
@@ -851,6 +854,54 @@ def _paragraph_dedup_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q69_sequence_packing (packing placement ∪ deterministic shuffle layout)
+# ---------------------------------------------------------------------------
+
+def q69_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-layout plans, method-tagged: the GPT-style
+    concat-and-chunk packing placement (q69, per-shard windows) and the
+    seeded deterministic corpus shuffle (q100, md5-prefix hash order
+    that decorrelates crawl order before packing). Both are
+    integer-exact placement maps over the same doc_id key."""
+    pack = q.q69_sequence_packing(spark, sf_dir).select(
+        F.lit("pack").alias("method"),
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        "tokens",
+        "start_seq",
+        "start_offset",
+        F.lit(None).cast("bigint").alias("shuffle_hash"),
+        F.lit(None).cast("bigint").alias("shard_rank"),
+    )
+    shuf = q.q100_deterministic_shuffle(spark, sf_dir).select(
+        F.lit("shuffle").alias("method"),
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.lit(None).cast("bigint").alias("tokens"),
+        F.lit(None).cast("bigint").alias("start_seq"),
+        F.lit(None).cast("bigint").alias("start_offset"),
+        "shuffle_hash",
+        "shard_rank",
+    )
+    return pack.unionAll(shuf)
+
+
+def _sequence_packing_sql() -> str:
+    return (
+        "SELECT 'pack' AS method, doc_id, CAST(shard AS BIGINT) AS shard, "
+        "tokens, start_seq, start_offset, "
+        "CAST(NULL AS BIGINT) AS shuffle_hash, "
+        "CAST(NULL AS BIGINT) AS shard_rank "
+        f"FROM ({q.Q69_SQL})\n"
+        "UNION ALL\n"
+        "SELECT 'shuffle' AS method, doc_id, CAST(shard AS BIGINT) AS shard, "
+        "CAST(NULL AS BIGINT) AS tokens, CAST(NULL AS BIGINT) AS start_seq, "
+        "CAST(NULL AS BIGINT) AS start_offset, shuffle_hash, shard_rank "
+        f"FROM ({q.Q100_SQL})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # exposed registry: every operator, ≤ 50 keys
 # ---------------------------------------------------------------------------
 
@@ -869,6 +920,7 @@ _MERGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_embedding_near_dups": q30_embedding_near_dups,
     "q42_media_features": q42_media_features,
     "q51_paragraph_dedup": q51_paragraph_dedup,
+    "q69_sequence_packing": q69_sequence_packing,
 }
 
 _FOLDED = {
@@ -899,6 +951,7 @@ _FOLDED = {
     "q51_paragraph_dedup", "q94_domain_boilerplate",
     "q95_domain_signature_terms", "q96_embedding_outliers",
     "q97_host_graph", "q98_pagerank", "q99_text_normalize",
+    "q69_sequence_packing", "q100_deterministic_shuffle",
 }
 
 
@@ -927,6 +980,7 @@ def merged_oracle_sql() -> dict[str, str]:
         "q30_embedding_near_dups": _embedding_near_dups_sql(),
         "q42_media_features": _media_features_sql(),
         "q51_paragraph_dedup": _paragraph_dedup_sql(),
+        "q69_sequence_packing": _sequence_packing_sql(),
     }
 
 
@@ -946,6 +1000,7 @@ _RENAMED_IN_FULL = {
     "q30_embedding_near_dups": "q30_embedding_near_dups_single_key",
     "q42_media_features": "q42_media_features_bytes",
     "q51_paragraph_dedup": "q51_paragraph_dedup_corpus",
+    "q69_sequence_packing": "q69_sequence_packing_plan_only",
 }
 
 

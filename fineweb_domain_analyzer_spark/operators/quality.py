@@ -1165,6 +1165,70 @@ def plan_sequence_packing(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    seed: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded deterministic corpus shuffle — the pre-training layout
+    stage that decorrelates crawl order. Scan order is *adversarially*
+    correlated for training (a domain's pages are id-adjacent, a dump's
+    docs are contiguous), so packers shuffle before laying out training
+    files; doing it seeded makes the data order reproducible across
+    re-runs and engines.
+
+    Shape: a 60-bit engine-portable hash of ``(id, seed)`` (md5-prefix,
+    the same portable family the Bloom/MinHash oracles use — NOT
+    xxhash64, which DuckDB can't replay) assigns each doc a shard
+    (``hash % n_shards``) and its rank within that shard
+    (``row_number`` by hash, id-tiebreak ⇒ a total order even on
+    hash collisions). Emits ``(id, shuffle_hash, shard, shard_rank)``
+    — the placement map a training-file writer consumes; combine with
+    ``plan_sequence_packing(shard_col='shard')`` for shuffled packing.
+
+    Scale: one hash shuffle keyed by shard + a per-shard sort window.
+    ``n_shards`` is the number of output training files, which real
+    writers size to the corpus (corpus_tokens / file_token_budget —
+    e.g. ~100k files for 100 TB), so per-shard row counts stay bounded
+    and no reducer sees more than one file's worth of docs. A global
+    total order is deliberately NOT offered: no consumer needs one, and
+    it would funnel the corpus through a single sort range at scale.
+
+    Determinism contract: same (ids, seed, n_shards) ⇒ bit-identical
+    output on any partitioning/engine (all arithmetic is exact integer;
+    the hash is data-derived, no RNG state anywhere).
+    """
+    from pyspark.sql.window import Window
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    # 15 hex chars = 60 bits: fits a signed 64-bit int in both engines
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.lit(str(int(seed)))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    staged = df.select(
+        F.col(id_col), h.alias("shuffle_hash")
+    ).withColumn("shard", F.pmod(F.col("shuffle_hash"), F.lit(n_shards)))
+    w = Window.partitionBy("shard").orderBy("shuffle_hash", id_col)
+    return staged.select(
+        id_col,
+        "shuffle_hash",
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("shard_rank"),
+    )
+
+
 # --- compression-ratio quality signal ---------------------------------------
 
 def _compression_ratio_udf():

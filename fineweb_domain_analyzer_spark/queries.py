@@ -4920,6 +4920,38 @@ FROM norm
 """
 
 
+def q100_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — seeded deterministic corpus shuffle
+    (operators/quality.py:deterministic_shuffle): pre-training layout
+    that decorrelates crawl order. 60-bit md5-prefix hash of
+    (doc_id, seed) assigns shard (hash % 8) and within-shard rank;
+    integer-exact, engine-portable, one shard-keyed shuffle + a
+    per-shard window (n_shards sized to the corpus in production, so
+    no reducer ever sees more than one training file's worth)."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        deterministic_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, seed=7, n_shards=8)
+
+
+Q100_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
+           AS shuffle_hash
+  FROM documents
+)
+SELECT doc_id, shuffle_hash,
+       shuffle_hash % 8 AS shard,
+       CAST(row_number() OVER (PARTITION BY shuffle_hash % 8
+                               ORDER BY shuffle_hash, doc_id) AS BIGINT)
+         AS shard_rank
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5021,6 +5053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97_host_graph": q97_host_graph,
     "q98_pagerank": q98_pagerank,
     "q99_text_normalize": q99_text_normalize,
+    "q100_deterministic_shuffle": q100_deterministic_shuffle,
 }
 
 
@@ -5123,4 +5156,5 @@ def oracle_sql() -> dict[str, str]:
         "q97_host_graph": Q97_SQL,
         "q98_pagerank": _q98_sql(),
         "q99_text_normalize": _q99_sql(),
+        "q100_deterministic_shuffle": Q100_SQL,
     }

@@ -758,3 +758,62 @@ def test_ccnet_split_semantics(spark, sf_dir):
         head_max = max(r["perplexity"] for r in rows if r["tercile"] == 1)
         tail_min = min(r["perplexity"] for r in rows if r["tercile"] == 3)
         assert head_max <= tail_min, lang
+
+
+# --- deterministic corpus shuffle -----------------------------------
+
+
+def test_deterministic_shuffle_contract(spark):
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        deterministic_shuffle,
+        plan_sequence_packing,
+    )
+
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = deterministic_shuffle(docs, seed=7, n_shards=4)
+    b = deterministic_shuffle(docs, seed=7, n_shards=4)
+    rows_a = sorted(a.collect())
+    assert rows_a == sorted(b.collect())  # bit-identical re-run
+
+    # seed changes the order, not the membership
+    c = deterministic_shuffle(docs, seed=8, n_shards=4)
+    order_a = [r["doc_id"] for r in a.orderBy("shard", "shard_rank").collect()]
+    order_c = [r["doc_id"] for r in c.orderBy("shard", "shard_rank").collect()]
+    assert sorted(order_a) == sorted(order_c) == list(range(500))
+    assert order_a != order_c
+
+    # ranks are contiguous 1..n within every shard
+    import collections
+
+    per_shard = collections.defaultdict(list)
+    for r in rows_a:
+        per_shard[r["shard"]].append(r["shard_rank"])
+    assert set(per_shard) == {0, 1, 2, 3}
+    for ranks in per_shard.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    # scale shape: the window is per-shard, never a single partition
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    # composes with the packer: shuffled layout, still integer-exact
+    shuffled = a.join(
+        docs.selectExpr("doc_id", "doc_id % 7 + 1 as wc"), "doc_id"
+    )
+    packed = plan_sequence_packing(
+        shuffled, seq_len=16, n_shards=4, tokens_col="wc",
+        shard_col="shard",
+    )
+    assert packed.count() == 500
+
+
+def test_deterministic_shuffle_rejects_bad_shards(spark):
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        deterministic_shuffle,
+    )
+
+    import pytest as _pytest
+
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError):
+        deterministic_shuffle(docs, seed=1, n_shards=0)
