@@ -40,7 +40,7 @@ PICKS = {
     "q67_remove_duplicated_spans": "span removal: detection plan + bounded in-bucket window; cut lists flow back as a small doc-keyed agg; reconstruction is a pure index-lambda map",
     "q47_quality_deciles": "exact ntile deciles, banded DEFAULT: rank = broadcast band offset + in-band row_number, every window partitioned by (lang, _band) — the whole-language single-reducer ntile sort is gone (it survives only as the banded=False oracle mirror)",
     "q68_per_language_quality_cut": "group-adaptive cut, banded DEFAULT: per-language approx-quantile cuts + tiny offset aggregates (all broadcast back); only each language's boundary band runs the exact rank window, partitioned by (lang, band) — no whole-language sort anywhere",
-    "q69_sequence_packing": "packing plan: ONE shard-keyed exchange, per-shard running-total window, integral div/pmod placement — no global sort",
+    "q69_sequence_packing": "layout union: packing side is ONE shard-keyed exchange + per-shard running-total window (integral div/pmod placement); shuffle side (q100) is one hash-shard exchange + per-shard rank — no global sort on either branch",
     "q72_dsir_selection": "DSIR: gram explode map-side, ONE (id,bucket) count shuffle, both bucket models tiny aggregates BROADCAST into the scoring join (the corpus never shuffles against the model), one id-keyed weight agg, banded global cut — every window keyed by (_g, _band)",
     "q73_domain_doc_cap": "per-domain cap, banded DEFAULT: whole bands inside/outside the cap short-circuit; the only window partitions by (source, band) — the hot domain never sorts in one task",
     "q70_curation_capstone": "full curation chain in one plan: fused score projection, hash-window dedup, banded per-language cut (no whole-language sort), shard-keyed packing",
