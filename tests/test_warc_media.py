@@ -406,3 +406,37 @@ def test_warc_roundtrip_property(tmp_path):
             ]
 
     run()
+
+
+def test_wet_feeds_quality_pipeline(spark, wet_dir):
+    """Integration: WET conversion records flow straight into the
+    flagship quality-filter pipeline (WET text IS the document text —
+    no decode step needed), ending in labeled keep/drop_reason rows."""
+    from pyspark.sql import functions as F
+
+    from fineweb_domain_analyzer_spark.plans.pipeline import (
+        quality_filter_pipeline,
+    )
+    from fineweb_domain_analyzer_spark.sources.pages import (
+        synth_policy_for_domains,
+    )
+    from fineweb_domain_analyzer_spark.sources.warc import read_wet
+
+    pages = (
+        read_wet(spark, str(wet_dir / "sample.warc.wet"))
+        .select(
+            "url",
+            F.col("timestamp").alias("warc_ts"),
+            F.lit(None).cast("string").alias("html"),
+            F.col("content").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+    policy = synth_policy_for_domains(spark, 5)
+    labeled = quality_filter_pipeline(pages, policy)
+    rows = labeled.collect()
+    assert len(rows) == 2
+    assert {"keep", "drop_reason", "domain"} <= set(labeled.columns)
+    by_url = {r["url"]: r for r in rows}
+    assert by_url["https://a.example.com/1"]["domain"] == "a.example.com"
+    assert all(r["drop_reason"] is not None for r in rows)
