@@ -243,6 +243,16 @@ _FILTER_METRICS = [
     ("q86", "q86_operating_point", q._q86_sql(),
      ["t_si"], ["threshold", "precision", "recall", "f1", "accuracy"],
      ["tp", "fp", "fn", "tn"]),
+    # q101/q102: filter-cascade ablation audit — per-rule independent
+    # fires + unique (marginal) drops, and the pairwise co-fire matrix
+    # (operators/metrics.py:rule_ablation/rule_overlap). One fire-bit
+    # map stage + a 1-row partial agg each; the oracle replays the
+    # bits over the shared q56 feature CTEs.
+    ("q101", "q101_rule_ablation", q._q101_sql(),
+     ["rule"], [],
+     ["fires", "unique_drops", "total_docs", "total_dropped"]),
+    ("q102", "q102_rule_overlap", q._q102_sql(),
+     ["rule_a", "rule_b"], [], ["both_fire"]),
 ]
 
 
@@ -952,6 +962,7 @@ _FOLDED = {
     "q95_domain_signature_terms", "q96_embedding_outliers",
     "q97_host_graph", "q98_pagerank", "q99_text_normalize",
     "q69_sequence_packing", "q100_deterministic_shuffle",
+    "q101_rule_ablation", "q102_rule_overlap",
 }
 
 

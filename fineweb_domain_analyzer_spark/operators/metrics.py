@@ -8,7 +8,7 @@ drop-reason histogram; both are single partial-aggregating shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -123,4 +123,108 @@ def curation_funnel(
              3L, 'exact_dedup',       n3, n2 - n3,
              4L, 'stratified_sample', n4, n3 - n4
            ) AS (stage_idx, stage, rows_out, dropped)"""
+    )
+
+
+def _fire_bits(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Project each rule condition to a non-null boolean fire bit.
+
+    ``coalesce(cond, FALSE)`` mirrors the pipeline's permissive null
+    semantics (plans/pipeline.py: a null feature never drops a doc), so
+    an ablation row can never claim a drop the flagship didn't make."""
+    return df.select(
+        *[
+            F.coalesce(cond.cast("boolean"), F.lit(False)).alias(f"_f_{name}")
+            for name, cond in rules.items()
+        ]
+    )
+
+
+def rule_ablation(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Per-rule marginal analysis of a filter cascade — the standard
+    curation-ablation audit (which rule does the work, which is
+    redundant): for each named rule condition ("fires" = would drop),
+
+    * ``fires``         — docs the rule fires on,
+    * ``unique_drops``  — docs ONLY this rule fires on (= docs recovered
+                          if the rule were removed from the cascade:
+                          its marginal contribution),
+    * ``total_docs`` / ``total_dropped`` — cascade-level denominators
+      (constant across rows so shares are computable in place).
+
+    Unlike ``drop_reason_histogram`` (which counts the PRECEDENCE
+    winner), this evaluates every rule independently, so masked fires
+    (e.g. a robots-dropped doc that is also gibberish) are visible.
+
+    Scale shape: one map stage computing the fire bits (all codegen —
+    the conditions are plain boolean exprs over already-computed
+    feature columns) + one map-side-combined aggregation to a single
+    row, then a driver-free ``stack`` unpivot. Zero extra shuffles at
+    any corpus size; output is O(#rules) rows.
+    """
+    names = list(rules)
+    if not names:
+        raise ValueError("rules must not be empty")
+    bits = _fire_bits(df, rules)
+    n_fired: Column = sum(
+        (F.col(f"_f_{n}").cast("int") for n in names), F.lit(0)
+    )
+    bits = bits.withColumn("_nf", n_fired)
+    aggs = [
+        F.count(F.lit(1)).alias("_total"),
+        F.coalesce(
+            F.sum((F.col("_nf") > 0).cast("long")), F.lit(0)
+        ).alias("_dropped"),
+    ]
+    for n in names:
+        aggs.append(
+            F.coalesce(F.sum(F.col(f"_f_{n}").cast("long")), F.lit(0)).alias(
+                f"_fires_{n}"
+            )
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum((F.col(f"_f_{n}") & (F.col("_nf") == 1)).cast("long")),
+                F.lit(0),
+            ).alias(f"_uniq_{n}")
+        )
+    one = bits.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{n}', _fires_{n}, _uniq_{n}" for n in names
+    )
+    return one.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS (rule, fires, unique_drops)",
+        "_total AS total_docs",
+        "_dropped AS total_dropped",
+    )
+
+
+def rule_overlap(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Pairwise co-fire counts for the same rule set: one row per
+    unordered pair ``(rule_a, rule_b, both_fire)`` with a < b in the
+    dict's order. Together with :func:`rule_ablation`'s per-rule fires
+    this gives the full overlap matrix (a high ``both_fire`` relative
+    to the smaller ``fires`` means one rule is nearly subsumed by the
+    other — a candidate to drop from the cascade).
+
+    Same scale shape as ``rule_ablation``: fire-bit map stage + one
+    1-row aggregation (O(#rules²) aggregate columns — rules are a
+    handful, not data-sized) + ``stack``. Zero extra shuffles.
+    """
+    names = list(rules)
+    if len(names) < 2:
+        raise ValueError("rule_overlap needs at least two rules")
+    bits = _fire_bits(df, rules)
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    aggs = [
+        F.coalesce(
+            F.sum((F.col(f"_f_{a}") & F.col(f"_f_{b}")).cast("long")),
+            F.lit(0),
+        ).alias(f"_b_{a}__{b}")
+        for a, b in pairs
+    ]
+    one = bits.agg(*aggs)
+    stack_args = ", ".join(f"'{a}', '{b}', _b_{a}__{b}" for a, b in pairs)
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (rule_a, rule_b, both_fire)"
     )

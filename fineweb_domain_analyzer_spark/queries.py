@@ -2338,7 +2338,11 @@ def q56_pipeline_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "langid", "keep", "drop_reason")
 
 
-def _q56_sql() -> str:
+def _q56_ctes() -> str:
+    """WITH-body prefix shared by the q56/q101/q102 oracles: the full
+    pipeline feature chain through ``feats`` (doc_id, robots_reason,
+    langid, the five heuristic features) — one definition so the
+    ablation oracles are parity-locked to the flagship-label oracle."""
     from fineweb_domain_analyzer_spark.functions.textfns import LANG_STOPWORDS
 
     hit_cols = []
@@ -2387,7 +2391,13 @@ feats AS (
                            t -> len(list_filter({TOKS_SQL}, x -> x = t))))::DOUBLE
                          / len({TOKS_SQL}), 4) END AS max_word_repeat_ratio
   FROM lang
-),
+)"""
+
+
+def _q56_sql() -> str:
+    return (
+        _q56_ctes()
+        + """,
 decided AS (
   SELECT doc_id, langid,
          CASE WHEN robots_reason <> 'kept' THEN robots_reason
@@ -2405,6 +2415,7 @@ decided AS (
 SELECT doc_id, langid, drop_reason = 'kept' AS keep, drop_reason
 FROM decided
 """
+    )
 
 
 def _feats_cte() -> str:
@@ -4956,6 +4967,153 @@ FROM h
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# q101/q102 — filter-rule ablation + overlap matrix (curation audit)
+# ---------------------------------------------------------------------------
+
+# DuckDB fire-bit expressions over the q56 `feats` CTE; key order must
+# match _pipeline_fire_rules so the two registries name the same rules.
+_ABLATION_BITS_SQL = {
+    "robots": "coalesce(robots_reason <> 'kept', FALSE)",
+    "language": "coalesce(langid NOT IN ('en', 'zh', 'de', 'fr', 'es'), FALSE)",
+    "word_count": "coalesce(NOT (word_count BETWEEN 5 AND 1000000), FALSE)",
+    "mean_word_len": "coalesce(NOT (mean_word_len BETWEEN 2.0 AND 12.0), FALSE)",
+    "symbol_ratio": "coalesce(symbol_ratio > 0.5, FALSE)",
+    "stopword_density": "coalesce(stopword_density < 0.0, FALSE)",
+    "repeat_ratio": "coalesce(max_word_repeat_ratio > 0.9, FALSE)",
+}
+
+
+def _pipeline_fire_rules(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """(labeled frame, independent fire bits) for the flagship cascade.
+
+    Runs the SAME quality_filter_pipeline as q56, then re-derives each
+    gate's would-drop condition from the feature columns the pipeline
+    already carries — robots is recovered from drop_reason (robots wins
+    precedence, so drop_reason is a robots reason iff robots fired);
+    the rest are evaluated independently of precedence so masked fires
+    are visible. Thresholds are PipelineConfig defaults + gopher_keep's
+    default mean-word-len/stopword bounds (plans/pipeline.py), the
+    exact constants the q56 oracle inlines."""
+    from fineweb_domain_analyzer_spark.operators.filtering import (
+        REASON_KEPT as _KEPT,
+    )
+    from fineweb_domain_analyzer_spark.plans.pipeline import (
+        REASON_CLASSIFIER,
+        REASON_LANGUAGE,
+        REASON_QUALITY,
+        PipelineConfig,
+        quality_filter_pipeline,
+    )
+
+    cfg = PipelineConfig(scrub=False)
+    out = quality_filter_pipeline(
+        pages_view(spark, sf_dir), policy_view(spark, sf_dir), cfg
+    )
+    non_robots = (_KEPT, REASON_LANGUAGE, REASON_QUALITY, REASON_CLASSIFIER)
+    rules = {
+        "robots": ~F.col("drop_reason").isin(*non_robots),
+        "language": ~F.col("langid").isin(*cfg.allowed_langs),
+        "word_count": ~F.col("word_count").between(
+            cfg.min_words, cfg.max_words
+        ),
+        # gopher_keep defaults (operators/quality.py:171-174)
+        "mean_word_len": ~F.col("mean_word_len").between(2.0, 12.0),
+        "symbol_ratio": F.col("symbol_ratio") > cfg.max_symbol_ratio,
+        "stopword_density": F.col("stopword_density") < 0.0,
+        "repeat_ratio": F.col("max_word_repeat_ratio") > cfg.max_repeat_ratio,
+    }
+    return out, rules
+
+
+def q101_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — filter-cascade ablation audit: per rule, independent
+    fire count + unique (marginal) drops over the flagship pipeline's
+    gates, plus cascade denominators. operators/metrics.py:rule_ablation
+    — fire-bit map stage + one 1-row partial agg + stack; zero extra
+    shuffles at any corpus size."""
+    from fineweb_domain_analyzer_spark.operators.metrics import rule_ablation
+
+    df, rules = _pipeline_fire_rules(spark, sf_dir)
+    return rule_ablation(df, rules)
+
+
+def q102_rule_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — pairwise co-fire matrix for the same rule set (a
+    both_fire near min(fires) flags a nearly-subsumed rule)."""
+    from fineweb_domain_analyzer_spark.operators.metrics import rule_overlap
+
+    df, rules = _pipeline_fire_rules(spark, sf_dir)
+    return rule_overlap(df, rules)
+
+
+def _q101_sql() -> str:
+    names = list(_ABLATION_BITS_SQL)
+    bit_cols = ",\n         ".join(
+        f"({e}) AS f_{n}" for n, e in _ABLATION_BITS_SQL.items()
+    )
+    nf = " + ".join(f"f_{n}::INT" for n in names)
+    any_f = " OR ".join(f"f_{n}" for n in names)
+    fire_sums = ",\n         ".join(
+        f"coalesce(sum(f_{n}::BIGINT), 0) AS fires_{n},\n         "
+        f"coalesce(sum((f_{n} AND ({nf}) = 1)::BIGINT), 0) AS uniq_{n}"
+        for n in names
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS rule, fires_{n} AS fires, uniq_{n} AS unique_drops,\n"
+        f"       total_docs, total_dropped FROM agg"
+        for n in names
+    )
+    return (
+        _q56_ctes()
+        + f""",
+bits AS (
+  SELECT {bit_cols}
+  FROM feats
+),
+agg AS MATERIALIZED (
+  SELECT count(*) AS total_docs,
+         coalesce(sum(({any_f})::BIGINT), 0) AS total_dropped,
+         {fire_sums}
+  FROM bits
+)
+{selects}
+"""
+    )
+
+
+def _q102_sql() -> str:
+    names = list(_ABLATION_BITS_SQL)
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    bit_cols = ",\n         ".join(
+        f"({e}) AS f_{n}" for n, e in _ABLATION_BITS_SQL.items()
+    )
+    sums = ",\n         ".join(
+        f"coalesce(sum((f_{a} AND f_{b})::BIGINT), 0) AS b_{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS rule_a, '{b}' AS rule_b, b_{i} AS both_fire FROM agg"
+        for i, (a, b) in enumerate(pairs)
+    )
+    return (
+        _q56_ctes()
+        + f""",
+bits AS (
+  SELECT {bit_cols}
+  FROM feats
+),
+agg AS MATERIALIZED (
+  SELECT {sums}
+  FROM bits
+)
+{selects}
+"""
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5054,6 +5212,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_pagerank": q98_pagerank,
     "q99_text_normalize": q99_text_normalize,
     "q100_deterministic_shuffle": q100_deterministic_shuffle,
+    "q101_rule_ablation": q101_rule_ablation,
+    "q102_rule_overlap": q102_rule_overlap,
 }
 
 
@@ -5157,4 +5317,6 @@ def oracle_sql() -> dict[str, str]:
         "q98_pagerank": _q98_sql(),
         "q99_text_normalize": _q99_sql(),
         "q100_deterministic_shuffle": Q100_SQL,
+        "q101_rule_ablation": _q101_sql(),
+        "q102_rule_overlap": _q102_sql(),
     }
