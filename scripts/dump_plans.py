@@ -58,6 +58,7 @@ PICKS = {
     "q94_domain_boilerplate": "domain-scoped boilerplate strip: (domain, paragraph-content) freq key — content-salted, skew-free; O(domains) doc counts joined onto the O(distinct paras) freq frame, never onto occurrences; struct-sort reassembly, no global sort",
     "q95_domain_signature_terms": "per-domain tf-idf signature terms: (domain, token) partial-count shuffle; df from the already-grouped pair frame (one row per pair, never raw occurrences); token-keyed join; vocabulary-bounded per-domain top-k window — exact integer score, no float log",
     "q96_embedding_outliers": "embedding outlier pruning: broadcast centroids, per-VECTOR bounded nearest-centroid window (8 rows), then the banded exact-ntile kernel per cluster — a corpus/8 cluster never sorts in one task",
+    "q101_rule_ablation": "cascade ablation audit: the fire bits fuse into the flagship's single map stage (broadcast policy join, no fact-side shuffle); ONE single-row exchange carries all 16 partial counters map-side-combined — q102's overlap matrix is the same shape with O(rules²) counters",
 }
 
 
