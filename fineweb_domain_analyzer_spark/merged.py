@@ -345,15 +345,20 @@ def _corpus_profiles_sql() -> str:
 
 def q13_quality_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-level quality surface: Gopher/C4 heuristics + n-gram
-    repetition + classifier score + zlib compression ratio, composed as
-    column adders over ONE scan — the whole frame is a single map stage
-    (repetition's sorted-runs fold included), no joins, no shuffles."""
+    repetition + classifier score + zlib compression ratio + page-type
+    heuristics (q103), composed as column adders over ONE scan — the
+    whole frame is a single map stage (repetition's sorted-runs fold
+    included), no joins, no shuffles."""
     from fineweb_domain_analyzer_spark.operators.quality import (
         with_compression_ratio,
         with_quality_score,
     )
     from fineweb_domain_analyzer_spark.operators.textclean import (
         with_ngram_repetition,
+    )
+
+    from fineweb_domain_analyzer_spark.operators.pagetype import (
+        with_page_type,
     )
 
     feats = q._gate_labeled_feats(spark, sf_dir).drop("_bucket")
@@ -365,6 +370,8 @@ def q13_quality_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = with_quality_score(df, weights=weights, out_col="trained_score")
     df = with_ngram_repetition(df)
     df = with_compression_ratio(df)
+    # q103: page-type heuristics fuse into the same map stage
+    df = with_page_type(df, rules=q._Q103_RULES, idx_col="rule_idx")
     return df.select(
         "doc_id",
         F.col("word_count").cast("bigint").alias("word_count"),
@@ -380,6 +387,8 @@ def q13_quality_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distill_label",
         "trained_score",
         (F.col("trained_score") >= 0.5).alias("trained_keep"),
+        "page_type",
+        "rule_idx",
     )
 
 
@@ -402,6 +411,9 @@ zr AS (
   FROM documents d
   LEFT JOIN read_parquet('{_ZLIB_FIXTURE}') f ON md5(d.text) = f.text_md5
 ),
+pt AS (
+{q._q103_sql()}
+),
 {q._q80_training_ctes()}
 SELECT feats.doc_id,
        CAST(feats.word_count AS BIGINT) AS word_count,
@@ -413,11 +425,13 @@ SELECT feats.doc_id,
        zr.compression_ratio,
        CASE WHEN {q._gopher_gate_sql('feats.')} THEN TRUE ELSE FALSE END AS distill_label,
        {q._q80_score_sql('feats.')} AS trained_score,
-       {q._q80_score_sql('feats.')} >= 0.5 AS trained_keep
+       {q._q80_score_sql('feats.')} >= 0.5 AS trained_keep,
+       pt.page_type, pt.rule_idx
 FROM feats
 JOIN a2 ON feats.doc_id = a2.doc_id
 JOIN a5 ON feats.doc_id = a5.doc_id
 JOIN zr ON feats.doc_id = zr.doc_id
+JOIN pt ON feats.doc_id = pt.doc_id
 CROSS JOIN twf
 """
 
@@ -963,6 +977,7 @@ _FOLDED = {
     "q97_host_graph", "q98_pagerank", "q99_text_normalize",
     "q69_sequence_packing", "q100_deterministic_shuffle",
     "q101_rule_ablation", "q102_rule_overlap",
+    "q103_page_type",
 }
 
 

@@ -4968,6 +4968,56 @@ FROM h
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# q103 — page-type detection (soft-404 / login-wall / parked / cookie-wall)
+# ---------------------------------------------------------------------------
+
+# Corpus rule set over the synthetic vocabulary: the real-phrase
+# defaults (operators/pagetype.py:DEFAULT_PAGE_TYPE_RULES) cannot fire
+# on the synthetic corpus — they are unit-tested on realistic page
+# fixtures in tests/test_pagetype.py; these patterns exercise the same
+# first-match-wins machinery with discriminating selectivity here.
+_Q103_RULES = [
+    ("error_page", "batch batch"),
+    ("login_wall", "spark (window|query)"),
+    ("parked_domain", "vector join"),
+    ("cookie_wall", "customer small"),
+]
+
+
+def q103_page_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — page-type heuristics (soft-404/login-wall/parked/
+    cookie-wall): first-match-wins chained-rlike projection, all
+    codegen, ZERO shuffles (operators/pagetype.py)."""
+    from fineweb_domain_analyzer_spark.operators.pagetype import (
+        with_page_type,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_page_type(docs, rules=_Q103_RULES, idx_col="rule_idx").select(
+        "doc_id", "page_type", "rule_idx"
+    )
+
+
+def _q103_sql() -> str:
+    type_whens = "\n       ".join(
+        f"WHEN regexp_matches(lower(text), '{pat}') THEN '{name}'"
+        for name, pat in _Q103_RULES
+    )
+    idx_whens = "\n       ".join(
+        f"WHEN regexp_matches(lower(text), '{pat}') THEN {i}"
+        for i, (_name, pat) in enumerate(_Q103_RULES)
+    )
+    return f"""
+SELECT doc_id,
+       CASE {type_whens}
+            ELSE 'content' END AS page_type,
+       CAST(CASE {idx_whens}
+            ELSE -1 END AS BIGINT) AS rule_idx
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # q101/q102 — filter-rule ablation + overlap matrix (curation audit)
 # ---------------------------------------------------------------------------
 
@@ -5214,6 +5264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_deterministic_shuffle": q100_deterministic_shuffle,
     "q101_rule_ablation": q101_rule_ablation,
     "q102_rule_overlap": q102_rule_overlap,
+    "q103_page_type": q103_page_type,
 }
 
 
@@ -5319,4 +5370,5 @@ def oracle_sql() -> dict[str, str]:
         "q100_deterministic_shuffle": Q100_SQL,
         "q101_rule_ablation": _q101_sql(),
         "q102_rule_overlap": _q102_sql(),
+        "q103_page_type": _q103_sql(),
     }
