@@ -45,6 +45,7 @@ from fineweb_domain_analyzer_spark.operators.quality import (
 REASON_LANGUAGE = "language_filtered"
 REASON_QUALITY = "quality_filtered"
 REASON_CLASSIFIER = "classifier_filtered"
+REASON_PAGE_TYPE = "page_type_filtered"
 
 
 @dataclass
@@ -67,6 +68,16 @@ class PipelineConfig:
     # Streaming (streaming/pipeline.py reuses this plan).
     quality_weights: dict | None = None
     min_quality_score: float = 0.5
+    # opt-in page-type gate (operators/pagetype.py): drop docs whose
+    # first-match-wins page_type is in this set — soft-404s, parked
+    # domains, login/cookie walls are fluent boilerplate the quality
+    # gates can't catch. () (default) keeps the reference-parity plan
+    # byte-identical; when enabled the classification is a chained
+    # rlike projection that fuses into the same single map stage (and
+    # therefore works unchanged under Structured Streaming).
+    # page_type_rules=None uses DEFAULT_PAGE_TYPE_RULES.
+    drop_page_types: tuple[str, ...] = ()
+    page_type_rules: list[tuple[str, str]] | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -120,11 +131,23 @@ def quality_filter_pipeline(
         max_repeat_ratio=cfg.max_repeat_ratio,
     )
     lang_keep = F.col("langid").isin(*cfg.allowed_langs)
-    reason = (
-        F.when(F.col("_robots_reason") != REASON_KEPT, F.col("_robots_reason"))
-        .when(~lang_keep, F.lit(REASON_LANGUAGE))
-        .when(~q_keep, F.lit(REASON_QUALITY))
-    )
+    reason = F.when(
+        F.col("_robots_reason") != REASON_KEPT, F.col("_robots_reason")
+    ).when(~lang_keep, F.lit(REASON_LANGUAGE))
+    if cfg.drop_page_types:
+        from fineweb_domain_analyzer_spark.operators.pagetype import (
+            with_page_type,
+        )
+
+        # boilerplate page classes outrank the quality heuristics: a
+        # parked/soft-404 page is attributed to its page type, not to
+        # whichever Gopher rule it happens to also trip
+        labeled = with_page_type(labeled, rules=cfg.page_type_rules)
+        reason = reason.when(
+            F.col("page_type").isin(*cfg.drop_page_types),
+            F.lit(REASON_PAGE_TYPE),
+        )
+    reason = reason.when(~q_keep, F.lit(REASON_QUALITY))
     if cfg.quality_weights is not None:
         from fineweb_domain_analyzer_spark.operators.quality import (
             with_quality_score,

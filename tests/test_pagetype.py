@@ -117,3 +117,108 @@ class TestCorpusRules:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestPipelineGate:
+    """PipelineConfig.drop_page_types: the opt-in page-type stage of the
+    flagship cascade (off by default — reference parity is pinned by
+    test_filter_golden.py)."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        pages = spark.createDataFrame(
+            [
+                (
+                    "https://a.example.com/1",
+                    "404 not found the quick brown fox jumps over the lazy dog again and again today",
+                ),
+                (
+                    "https://a.example.com/2",
+                    "an ordinary well formed document about the habits of foxes and dogs in the wild",
+                ),
+                (
+                    "https://a.example.com/3",
+                    "we use cookies the quick brown fox jumps over the lazy dog every single day",
+                ),
+                (
+                    "https://a.example.com/4",
+                    # langid 'en' (stopword hits) but symbol_ratio > 0.5
+                    "the ######## the ######## the ######## the ######## the ########",
+                ),
+            ],
+            "url string, text string",
+        )
+        policy = spark.createDataFrame(
+            [("a.example.com", True)], "domain string, crawl_allowed boolean"
+        )
+        return pages, policy
+
+    def test_gate_off_is_default(self, spark, frames):
+        from fineweb_domain_analyzer_spark.plans.pipeline import (
+            PipelineConfig,
+            quality_filter_pipeline,
+        )
+
+        pages, policy = frames
+        out = quality_filter_pipeline(pages, policy, PipelineConfig(scrub=False))
+        assert "page_type" not in out.columns
+        reasons = {r["url"]: r["drop_reason"] for r in out.collect()}
+        assert reasons["https://a.example.com/1"] == "kept"  # soft-404 slips through
+
+    def test_gate_drops_and_attributes(self, spark, frames):
+        from fineweb_domain_analyzer_spark.plans.pipeline import (
+            REASON_PAGE_TYPE,
+            PipelineConfig,
+            quality_filter_pipeline,
+        )
+
+        pages, policy = frames
+        out = quality_filter_pipeline(
+            pages,
+            policy,
+            PipelineConfig(
+                scrub=False, drop_page_types=("error_page", "cookie_wall")
+            ),
+        )
+        rows = {r["url"]: r for r in out.collect()}
+        assert rows["https://a.example.com/1"]["drop_reason"] == REASON_PAGE_TYPE
+        assert rows["https://a.example.com/1"]["page_type"] == "error_page"
+        assert not rows["https://a.example.com/1"]["keep"]
+        assert rows["https://a.example.com/3"]["drop_reason"] == REASON_PAGE_TYPE
+        assert rows["https://a.example.com/2"]["drop_reason"] == "kept"
+        # page-type outranks quality, but only for listed classes: the
+        # symbol-soup page is still a quality drop
+        assert rows["https://a.example.com/4"]["drop_reason"] == "quality_filtered"
+
+    def test_gate_precedence_below_robots(self, spark, frames):
+        from fineweb_domain_analyzer_spark.plans.pipeline import (
+            PipelineConfig,
+            quality_filter_pipeline,
+        )
+
+        pages, _ = frames
+        deny = spark.createDataFrame(
+            [("a.example.com", False)], "domain string, crawl_allowed boolean"
+        )
+        out = quality_filter_pipeline(
+            pages, deny, PipelineConfig(scrub=False, drop_page_types=("error_page",))
+        )
+        assert {r["drop_reason"] for r in out.collect()} == {"robots_disallowed"}
+
+    def test_gate_stays_one_map_stage(self, spark, frames):
+        """Enabling the gate must not add a shuffle: the only Exchanges
+        in the labeled plan are the tiny policy dimension's."""
+        from fineweb_domain_analyzer_spark.plans.pipeline import (
+            PipelineConfig,
+            quality_filter_pipeline,
+        )
+
+        pages, policy = frames
+        out = quality_filter_pipeline(
+            pages, policy, PipelineConfig(scrub=False, drop_page_types=("error_page",))
+        )
+        base = quality_filter_pipeline(pages, policy, PipelineConfig(scrub=False))
+        def n_exchanges(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange")
+        assert n_exchanges(out) == n_exchanges(base)
