@@ -304,6 +304,14 @@ _CORPUS_PROFILES = [
     # the fold's value check is bit-level.
     ("q95", "q95_domain_signature_terms", q.Q95_SQL,
      ["source", "token"], [], ["tf", "df", "score_e4", "rnk"]),
+    # q104: Gopher doc-shape rules (bullet/ellipsis line fractions,
+    # alpha-word fraction, #/… symbol-to-word ratios) over the
+    # deterministically line-structured corpus view — all codegen,
+    # zero shuffles (operators/quality.py:with_doc_shape_features).
+    ("q104", "q104_doc_shape", q._q104_sql(), ["doc_id"],
+     ["bullet_start_frac", "ellipsis_end_frac", "alpha_word_frac",
+      "hash_word_ratio", "ellipsis_word_ratio"],
+     ["n_lines", "shape_keep"]),
     # q96: embedding-space outlier pruning (operators/similarity.py
     # :embedding_outliers) — IVF assignment + banded per-cluster
     # percentile; band 1 = the farthest 5%.
@@ -977,7 +985,7 @@ _FOLDED = {
     "q97_host_graph", "q98_pagerank", "q99_text_normalize",
     "q69_sequence_packing", "q100_deterministic_shuffle",
     "q101_rule_ablation", "q102_rule_overlap",
-    "q103_page_type",
+    "q103_page_type", "q104_doc_shape",
 }
 
 

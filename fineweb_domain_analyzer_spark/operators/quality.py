@@ -1265,3 +1265,103 @@ def with_compression_ratio(
     df: DataFrame, text_col: str = "text", out_col: str = "compression_ratio"
 ) -> DataFrame:
     return df.withColumn(out_col, _compression_ratio_udf()(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Gopher doc-shape rules (line-level + symbol-to-word; Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+BULLET_MARKERS = ("- ", "* ", "•", "– ")  # -, *, •, –
+
+
+def with_doc_shape_features(
+    df: DataFrame, text_col: str = "text", lower_tokens_col: str | None = None
+) -> DataFrame:
+    """The Gopher doc-shape rules the heuristic feature set lacked:
+
+    * ``n_lines``             — non-blank line count
+    * ``bullet_start_frac``   — fraction of non-blank lines whose
+                                ltrim starts with a bullet marker
+                                (Gopher drops > 0.9)
+    * ``ellipsis_end_frac``   — fraction of non-blank lines whose
+                                rtrim ends with ``...`` or ``…``
+                                (Gopher drops > 0.3)
+    * ``alpha_word_frac``     — fraction of words containing at least
+                                one alphabetic char (Gopher keeps ≥ 0.8)
+    * ``hash_word_ratio``     — ``#`` chars per word (Gopher drops > 0.1)
+    * ``ellipsis_word_ratio`` — ellipsis occurrences per word
+                                (Gopher drops > 0.1)
+
+    All whole-stage codegen: one newline split + array lambdas + literal
+    ``replace`` counting — no UDFs, no shuffles; fuses into the same map
+    stage as ``with_quality_features``. Ellipsis counting is
+    replace-based (``(len - len(replace(text,'...','')))/3``) rather
+    than regex so the DuckDB oracle applies the identical expression.
+    Fractions round to 4dp like the rest of the feature surface; null
+    text yields null features (the gates' permissive null semantics).
+    """
+    text = F.col(text_col)
+    if lower_tokens_col is None:
+        lw = ws_tokens(F.lower(text))
+    else:
+        lw = F.col(lower_tokens_col)
+    lines = F.filter(
+        F.split(text, "\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+    n_lines = F.size(lines)
+    nl1 = F.greatest(n_lines, F.lit(1))
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.reduce(
+                F.array(*[F.lit(m) for m in BULLET_MARKERS]),
+                F.lit(False),
+                lambda acc, m: acc | F.ltrim(ln).startswith(m),
+            ),
+        )
+    )
+    ell_end = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).endswith("...")
+            | F.rtrim(ln).endswith("…"),
+        )
+    )
+    words = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(lw))
+    w1 = F.greatest(words, F.lit(1))
+    alpha = F.size(F.filter(lw, lambda t: t.rlike("[a-z]")))
+    hash_cnt = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ell_cnt = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3 + (
+        F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    )
+    return (
+        df.withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("bullet_start_frac", F.round(bullet / nl1, 4))
+        .withColumn("ellipsis_end_frac", F.round(ell_end / nl1, 4))
+        .withColumn("alpha_word_frac", F.round(alpha / w1, 4))
+        .withColumn("hash_word_ratio", F.round(hash_cnt / w1, 4))
+        .withColumn("ellipsis_word_ratio", F.round(ell_cnt / w1, 4))
+    )
+
+
+def gopher_doc_shape_keep(
+    bullet_start_frac: Column,
+    ellipsis_end_frac: Column,
+    alpha_word_frac: Column,
+    hash_word_ratio: Column,
+    ellipsis_word_ratio: Column,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_word_ratio: float = 0.1,
+) -> Column:
+    """Gopher's doc-shape keep decision (paper §A1.1 thresholds)."""
+    return (
+        (bullet_start_frac <= max_bullet_frac)
+        & (ellipsis_end_frac <= max_ellipsis_frac)
+        & (alpha_word_frac >= min_alpha_word_frac)
+        & (hash_word_ratio <= max_symbol_word_ratio)
+        & (ellipsis_word_ratio <= max_symbol_word_ratio)
+    )

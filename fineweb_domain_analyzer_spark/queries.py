@@ -5018,6 +5018,102 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# q104 — Gopher doc-shape rules (bullet/ellipsis lines, alpha words,
+# symbol-to-word ratios; Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+def q104_doc_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher doc-shape features + the paper-threshold keep decision:
+    all codegen (newline split + array lambdas + literal replace
+    counting), ZERO shuffles (operators/quality.py:
+    with_doc_shape_features/gopher_doc_shape_keep)."""
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        gopher_doc_shape_keep,
+        with_doc_shape_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # the synthetic corpus is single-line bullet-free prose, so derive a
+    # line-structured view with deterministic literal replaces (mirrored
+    # verbatim in the oracle) — bullets, ellipsis line-ends and # marks
+    # all fire with corpus-dependent frequency
+    structured = F.replace(
+        F.replace(
+            F.replace(
+                F.col("text"), F.lit(" batch "), F.lit("\n- batch ")
+            ),
+            F.lit(" merge "),
+            F.lit("...\nmerge "),
+        ),
+        F.lit(" hash "),
+        F.lit(" ## hash "),
+    )
+    docs = docs.withColumn("text", structured)
+    df = with_doc_shape_features(docs)
+    return df.select(
+        "doc_id",
+        "n_lines",
+        "bullet_start_frac",
+        "ellipsis_end_frac",
+        "alpha_word_frac",
+        "hash_word_ratio",
+        "ellipsis_word_ratio",
+        gopher_doc_shape_keep(
+            F.col("bullet_start_frac"),
+            F.col("ellipsis_end_frac"),
+            F.col("alpha_word_frac"),
+            F.col("hash_word_ratio"),
+            F.col("ellipsis_word_ratio"),
+        ).alias("shape_keep"),
+    )
+
+
+def _q104_sql() -> str:
+    lines = "list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0)"
+    bullet_pred = (
+        "starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ') "
+        "OR starts_with(ltrim(l), '•') OR starts_with(ltrim(l), '– ')"
+    )
+    ell_pred = "ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')"
+    wc = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END"
+    return f"""
+WITH shape_base AS (
+  SELECT doc_id,
+         {lines} AS lines,
+         {wc} AS words,
+         len(list_filter({TOKS_SQL}, t -> regexp_matches(t, '[a-z]')))
+           AS alpha_words,
+         length(text) - length(replace(text, '#', '')) AS hash_cnt,
+         (length(text) - length(replace(text, '...', ''))) / 3
+           + (length(text) - length(replace(text, '…', ''))) AS ell_cnt
+  FROM (SELECT doc_id,
+               replace(replace(replace(text,
+                 ' batch ', chr(10) || '- batch '),
+                 ' merge ', '...' || chr(10) || 'merge '),
+                 ' hash ', ' ## hash ') AS text
+        FROM documents)
+),
+shaped AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         round(len(list_filter(lines, l -> {bullet_pred}))
+               / greatest(len(lines), 1), 4) AS bullet_start_frac,
+         round(len(list_filter(lines, l -> {ell_pred}))
+               / greatest(len(lines), 1), 4) AS ellipsis_end_frac,
+         round(alpha_words / greatest(words, 1), 4) AS alpha_word_frac,
+         round(hash_cnt / greatest(words, 1), 4) AS hash_word_ratio,
+         round(ell_cnt / greatest(words, 1), 4) AS ellipsis_word_ratio
+  FROM shape_base
+)
+SELECT *,
+       (bullet_start_frac <= 0.9 AND ellipsis_end_frac <= 0.3
+        AND alpha_word_frac >= 0.8 AND hash_word_ratio <= 0.1
+        AND ellipsis_word_ratio <= 0.1) AS shape_keep
+FROM shaped
+"""
+
+
+# ---------------------------------------------------------------------------
 # q101/q102 — filter-rule ablation + overlap matrix (curation audit)
 # ---------------------------------------------------------------------------
 
@@ -5265,6 +5361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_rule_ablation": q101_rule_ablation,
     "q102_rule_overlap": q102_rule_overlap,
     "q103_page_type": q103_page_type,
+    "q104_doc_shape": q104_doc_shape,
 }
 
 
@@ -5371,4 +5468,5 @@ def oracle_sql() -> dict[str, str]:
         "q101_rule_ablation": _q101_sql(),
         "q102_rule_overlap": _q102_sql(),
         "q103_page_type": _q103_sql(),
+        "q104_doc_shape": _q104_sql(),
     }
