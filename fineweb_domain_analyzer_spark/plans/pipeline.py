@@ -46,6 +46,7 @@ REASON_LANGUAGE = "language_filtered"
 REASON_QUALITY = "quality_filtered"
 REASON_CLASSIFIER = "classifier_filtered"
 REASON_PAGE_TYPE = "page_type_filtered"
+REASON_DOC_SHAPE = "doc_shape_filtered"
 
 
 @dataclass
@@ -78,6 +79,14 @@ class PipelineConfig:
     # page_type_rules=None uses DEFAULT_PAGE_TYPE_RULES.
     drop_page_types: tuple[str, ...] = ()
     page_type_rules: list[tuple[str, str]] | None = None
+    # opt-in Gopher doc-shape gate (operators/quality.py:
+    # with_doc_shape_features): bullet/ellipsis line fractions,
+    # alpha-word fraction, #/… symbol ratios at the paper thresholds,
+    # attributed as drop_reason='doc_shape_filtered' below the core
+    # quality rules. False (default) keeps reference parity; enabled,
+    # the features are codegen expressions sharing the pipeline's one
+    # tokenize pass — still a single map stage, streaming-safe.
+    enforce_doc_shape: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -118,6 +127,12 @@ def quality_filter_pipeline(
     labeled = labeled.withColumn("_toks_lw", ws_tokens(F.lower(F.col("text"))))
     labeled = with_langid(labeled, lower_tokens_col="_toks_lw")
     labeled = with_quality_features(labeled, lower_tokens_col="_toks_lw")
+    if cfg.enforce_doc_shape:
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            with_doc_shape_features,
+        )
+
+        labeled = with_doc_shape_features(labeled, lower_tokens_col="_toks_lw")
     labeled = labeled.drop("_toks_lw")
     q_keep = gopher_keep(
         F.col("word_count"),
@@ -148,6 +163,19 @@ def quality_filter_pipeline(
             F.lit(REASON_PAGE_TYPE),
         )
     reason = reason.when(~q_keep, F.lit(REASON_QUALITY))
+    if cfg.enforce_doc_shape:
+        from fineweb_domain_analyzer_spark.operators.quality import (
+            gopher_doc_shape_keep,
+        )
+
+        shape_keep = gopher_doc_shape_keep(
+            F.col("bullet_start_frac"),
+            F.col("ellipsis_end_frac"),
+            F.col("alpha_word_frac"),
+            F.col("hash_word_ratio"),
+            F.col("ellipsis_word_ratio"),
+        )
+        reason = reason.when(~shape_keep, F.lit(REASON_DOC_SHAPE))
     if cfg.quality_weights is not None:
         from fineweb_domain_analyzer_spark.operators.quality import (
             with_quality_score,

@@ -113,3 +113,71 @@ class TestKeep:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestPipelineGate:
+    """PipelineConfig.enforce_doc_shape: the opt-in doc-shape stage."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        pages = spark.createDataFrame(
+            [
+                (
+                    "https://a.example.com/1",
+                    # all-bullet listicle: fluent words, normal symbol
+                    # ratio — only the doc-shape rule catches it
+                    "\n".join(f"- item number {i} in the endless list" for i in range(12)),
+                ),
+                (
+                    "https://a.example.com/2",
+                    "an ordinary well formed document about the habits of foxes",
+                ),
+            ],
+            "url string, text string",
+        )
+        policy = spark.createDataFrame(
+            [("a.example.com", True)], "domain string, crawl_allowed boolean"
+        )
+        return pages, policy
+
+    def test_gate_off_default(self, frames):
+        from fineweb_domain_analyzer_spark.plans.pipeline import (
+            PipelineConfig,
+            quality_filter_pipeline,
+        )
+
+        pages, policy = frames
+        out = quality_filter_pipeline(pages, policy, PipelineConfig(scrub=False))
+        assert "bullet_start_frac" not in out.columns
+        assert {r["drop_reason"] for r in out.collect()} == {"kept"}
+
+    def test_gate_drops_listicle(self, frames):
+        from fineweb_domain_analyzer_spark.plans.pipeline import (
+            REASON_DOC_SHAPE,
+            PipelineConfig,
+            quality_filter_pipeline,
+        )
+
+        pages, policy = frames
+        out = quality_filter_pipeline(
+            pages, policy, PipelineConfig(scrub=False, enforce_doc_shape=True)
+        )
+        rows = {r["url"]: r for r in out.collect()}
+        assert rows["https://a.example.com/1"]["drop_reason"] == REASON_DOC_SHAPE
+        assert not rows["https://a.example.com/1"]["keep"]
+        assert rows["https://a.example.com/2"]["drop_reason"] == "kept"
+
+    def test_gate_stays_one_map_stage(self, frames):
+        from fineweb_domain_analyzer_spark.plans.pipeline import (
+            PipelineConfig,
+            quality_filter_pipeline,
+        )
+
+        pages, policy = frames
+        def n_exchanges(df):
+            return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+        on = quality_filter_pipeline(
+            pages, policy, PipelineConfig(scrub=False, enforce_doc_shape=True)
+        )
+        off = quality_filter_pipeline(pages, policy, PipelineConfig(scrub=False))
+        assert n_exchanges(on) == n_exchanges(off)
