@@ -180,3 +180,14 @@ def with_extracted_text(
     if mode == "dom":
         return df.withColumn(out_col, dom_html_to_text_udf()(F.col(html_col)))
     raise ValueError(f"mode must be 'regex' or 'dom', got {mode!r}")
+
+
+def extract_hrefs(html: Column) -> Column:
+    """All double-quoted ``href`` attribute values, in document order —
+    the crawl-time outlink-extraction step, as ONE
+    ``regexp_extract_all`` inside whole-stage codegen (no UDF, no
+    shuffle). Scope: double-quoted attributes (the overwhelmingly
+    dominant form in served HTML); single-quoted/bare attributes are
+    the DOM parser path's job (``dom_extract_text``'s HTMLParser can
+    surface attrs when needed)."""
+    return F.regexp_extract_all(html, F.lit(r'href="([^"]*)"'), 1)

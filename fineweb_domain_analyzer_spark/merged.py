@@ -312,6 +312,12 @@ _CORPUS_PROFILES = [
      ["bullet_start_frac", "ellipsis_end_frac", "alpha_word_frac",
       "hash_word_ratio", "ellipsis_word_ratio"],
      ["n_lines", "shape_keep"]),
+    # q105: REAL outlink extraction (regexp_extract_all hrefs from
+    # synthesized HTML) → weighted host graph — upgrades q97's declared
+    # synthetic-edge stand-in (functions/html.py:extract_hrefs,
+    # operators/graph.py:outlink_edges_from_html).
+    ("q105", "q105_outlink_graph", q.Q105_SQL,
+     ["src_host", "dst_host"], [], ["n_links"]),
     # q96: embedding-space outlier pruning (operators/similarity.py
     # :embedding_outliers) — IVF assignment + banded per-cluster
     # percentile; band 1 = the farthest 5%.
@@ -985,7 +991,7 @@ _FOLDED = {
     "q97_host_graph", "q98_pagerank", "q99_text_normalize",
     "q69_sequence_packing", "q100_deterministic_shuffle",
     "q101_rule_ablation", "q102_rule_overlap",
-    "q103_page_type", "q104_doc_shape",
+    "q103_page_type", "q104_doc_shape", "q105_outlink_graph",
 }
 
 

@@ -199,3 +199,30 @@ def pagerank(
             prev = new_ranks
         ranks = new_ranks
     return ranks.select("node", "rank")
+
+
+def outlink_edges_from_html(
+    df: DataFrame, html_col: str = "html", src_host_col: str = "source"
+) -> DataFrame:
+    """(src_host, dst_host) page-level edges by REAL href extraction:
+    ``regexp_extract_all`` → explode → netloc-lower, all codegen map
+    stages. The explode multiplies rows by the per-page link count but
+    introduces NO shuffle; links without an absolute scheme (relative
+    hrefs, fragments) extract an empty netloc and are dropped. The
+    src-host label travels with the edge from extraction, so a
+    downstream host rollup needs no src-side join (the same property
+    ``synthetic_outlinks(host_col=...)`` provides)."""
+    from fineweb_domain_analyzer_spark.functions.html import extract_hrefs
+
+    ex = df.select(
+        F.col(src_host_col).alias("src_host"),
+        F.explode(extract_hrefs(F.col(html_col))).alias("_href"),
+    )
+    dst = F.lower(
+        F.regexp_extract(
+            F.col("_href"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)", 1
+        )
+    )
+    return ex.select("src_host", dst.alias("dst_host")).filter(
+        F.col("dst_host") != ""
+    )

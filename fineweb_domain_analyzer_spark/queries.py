@@ -5114,6 +5114,83 @@ FROM shaped
 
 
 # ---------------------------------------------------------------------------
+# q105 — outlink extraction → host graph (real href machinery)
+# ---------------------------------------------------------------------------
+
+_Q105_MULT = 2654435761  # Knuth multiplicative constant (q97's generator)
+_Q105_STEP = 40503
+_Q105_HOSTS = 97
+
+
+def q105_outlink_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — REAL outlink extraction feeding the host graph:
+    deterministic HTML is synthesized around each doc with two absolute
+    anchors (arithmetic-derived target hosts) plus a relative href;
+    ``functions/html.py:extract_hrefs`` pulls them back out with one
+    regexp_extract_all, netloc-lower labels the dst endpoint, and the
+    rollup weights (src_host, dst_host) edges. Upgrades q97's declared
+    synthetic-edge stand-in with the actual href machinery a crawl
+    pipeline runs; relative hrefs must be dropped by the empty-netloc
+    filter. ONE shuffle (the edge rollup) at any scale."""
+    from fineweb_domain_analyzer_spark.operators.graph import (
+        outlink_edges_from_html,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def dst(j: int):
+        return (
+            (F.col("doc_id") * _Q105_MULT + _Q105_STEP * j) % _Q105_HOSTS
+        ).cast("string")
+
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://h'),
+        dst(1),
+        F.lit('.example.com/a">x</a> <a class="nav" href="https://h'),
+        dst(2),
+        F.lit('.example.com/b?q=1">y</a><a href="/relative/path">r</a>'
+              "</body></html>"),
+    )
+    pages = docs.select(F.col("source"), html.alias("html"))
+    return (
+        outlink_edges_from_html(pages, "html", "source")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+Q105_SQL = f"""
+WITH pages AS (
+  SELECT source,
+         '<html><body><p>' || text || '</p><a href="https://h'
+         || CAST((doc_id * {_Q105_MULT} + {_Q105_STEP}) % {_Q105_HOSTS} AS VARCHAR)
+         || '.example.com/a">x</a> <a class="nav" href="https://h'
+         || CAST((doc_id * {_Q105_MULT} + {2 * _Q105_STEP}) % {_Q105_HOSTS} AS VARCHAR)
+         || '.example.com/b?q=1">y</a><a href="/relative/path">r</a></body></html>'
+           AS html
+  FROM documents
+),
+hrefs AS (
+  SELECT source AS src_host,
+         unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+  FROM pages
+),
+edges AS (
+  SELECT src_host,
+         lower(regexp_extract(href,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)) AS dst_host
+  FROM hrefs
+)
+SELECT src_host, dst_host, count(*) AS n_links
+FROM edges
+WHERE dst_host <> ''
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # q101/q102 — filter-rule ablation + overlap matrix (curation audit)
 # ---------------------------------------------------------------------------
 
@@ -5362,6 +5439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_rule_overlap": q102_rule_overlap,
     "q103_page_type": q103_page_type,
     "q104_doc_shape": q104_doc_shape,
+    "q105_outlink_graph": q105_outlink_graph,
 }
 
 
@@ -5469,4 +5547,5 @@ def oracle_sql() -> dict[str, str]:
         "q102_rule_overlap": _q102_sql(),
         "q103_page_type": _q103_sql(),
         "q104_doc_shape": _q104_sql(),
+        "q105_outlink_graph": Q105_SQL,
     }

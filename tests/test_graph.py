@@ -86,3 +86,64 @@ def test_pagerank_sink_attracts_mass(spark):
     got = {r.node: r.rank for r in pagerank(edges, n_iter=3).collect()}
     assert got[0] == max(got.values())
     assert got[2] == got[3]  # symmetric nodes stay exactly tied
+
+
+class TestOutlinkExtraction:
+    """extract_hrefs + outlink_edges_from_html: the real href machinery
+    behind q105 (q97's synthetic generator stands in only for the
+    target-id arithmetic; extraction itself is exercised here)."""
+
+    def test_extract_hrefs_in_order(self, spark):
+        from fineweb_domain_analyzer_spark.functions.html import extract_hrefs
+
+        html = (
+            '<a href="https://a.com/x">1</a>'
+            "<p>noise</p>"
+            '<a class="nav" href="https://b.com/y?q=1#frag">2</a>'
+            '<a href="/relative">3</a>'
+            "<a href='https://single-quoted.com'>ignored</a>"
+        )
+        df = spark.createDataFrame([(html,)], "html string")
+        got = df.select(extract_hrefs(F.col("html")).alias("h")).collect()[0]["h"]
+        assert got == [
+            "https://a.com/x",
+            "https://b.com/y?q=1#frag",
+            "/relative",
+        ]
+
+    def test_edges_drop_relative_and_label_src(self, spark):
+        from fineweb_domain_analyzer_spark.operators.graph import (
+            outlink_edges_from_html,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (
+                    "src0",
+                    '<a href="https://H1.Example.com/a">x</a>'
+                    '<a href="/rel">r</a>'
+                    '<a href="http://h2.example.com:8080/b">y</a>',
+                ),
+                ("src1", "<p>no links at all</p>"),
+            ],
+            "source string, html string",
+        )
+        edges = outlink_edges_from_html(df).collect()
+        got = sorted((r["src_host"], r["dst_host"]) for r in edges)
+        # netloc is lowered; the port is cut by the netloc char class;
+        # relative href and link-free pages contribute nothing
+        assert got == [("src0", "h1.example.com"), ("src0", "h2.example.com")]
+
+    def test_q105_no_src_side_join(self, spark):
+        """One shuffle total: the edge rollup. No join anywhere in the
+        plan (the src label travels with the edge from extraction)."""
+        from fineweb_domain_analyzer_spark.queries import q105_outlink_graph
+
+        plan = (
+            q105_outlink_graph(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan
+        assert plan.count("Exchange") <= 2  # partial/final agg pair
