@@ -414,15 +414,25 @@ def stream_ingest(spark, args) -> dict:
     out_dir.mkdir(parents=True, exist_ok=True)
     checkpoint = args.checkpoint or str(out_dir / "_stream_checkpoint")
     cfg = None
-    if args.classifier_weights:
-        from fineweb_domain_analyzer_spark.operators.training import (
-            load_weights,
-        )
+    if args.classifier_weights or args.drop_page_types or args.enforce_doc_shape:
         from fineweb_domain_analyzer_spark.plans.pipeline import PipelineConfig
 
+        weights = None
+        if args.classifier_weights:
+            from fineweb_domain_analyzer_spark.operators.training import (
+                load_weights,
+            )
+
+            weights = load_weights(args.classifier_weights)
         cfg = PipelineConfig(
-            quality_weights=load_weights(args.classifier_weights),
+            quality_weights=weights,
             min_quality_score=args.min_quality_score,
+            drop_page_types=tuple(
+                t.strip()
+                for t in (args.drop_page_types or "").split(",")
+                if t.strip()
+            ),
+            enforce_doc_shape=args.enforce_doc_shape,
         )
     summary = run_incremental(
         spark,
@@ -516,6 +526,19 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=0.5,
         help="classifier keep threshold for --classifier-weights (default 0.5)",
+    )
+    p.add_argument(
+        "--drop-page-types",
+        help="with --stream-ingest: comma-separated page classes to "
+        "drop as page_type_filtered (error_page, login_wall, "
+        "parked_domain, cookie_wall, placeholder)",
+    )
+    p.add_argument(
+        "--enforce-doc-shape",
+        action="store_true",
+        help="with --stream-ingest: drop docs failing the Gopher "
+        "doc-shape rules (bullet/ellipsis line fractions, alpha-word "
+        "fraction, symbol ratios) as doc_shape_filtered",
     )
     p.add_argument("--run-ts", help="inject run timestamp (YYYYmmdd_HHMMSS) for determinism")
     p.add_argument("--run-iso", help="inject ISO timestamp for determinism")

@@ -259,6 +259,32 @@ def test_cli_stream_ingest_incremental(spark, tmp_path):
     assert spark.read.parquet(str(out_dir / "pages")).count() == 300
 
 
+def test_cli_stream_ingest_new_gates(spark, tmp_path):
+    """--drop-page-types / --enforce-doc-shape flow through the CLI verb
+    into PipelineConfig (page_type column present, gate reasons live)."""
+    from fineweb_domain_analyzer_spark.sources.pages import synth_pages
+
+    in_dir = str(tmp_path / "landing")
+    out_dir = tmp_path / "out"
+    synth_pages(spark, 150, n_domains=15, seed=11, partitions=1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    argv = [
+        "--input", in_dir, "--output", str(out_dir), "--stream-ingest",
+        "--drop-page-types", "error_page, login_wall",
+        "--enforce-doc-shape",
+    ]
+    assert cli.main(argv) == 0
+    out = spark.read.parquet(str(out_dir / "pages"))
+    assert out.count() == 150
+    # gate columns materialized by the configured pipeline
+    assert {"page_type", "bullet_start_frac"} <= set(out.columns)
+    # synthetic prose matches no real-world phrase rule: all content,
+    # everything else labeled by the reference-parity gates
+    assert out.filter(out.page_type != "content").count() == 0
+
+
 def test_wet_to_json(spark, tmp_path):
     wet = tmp_path / "mini.warc.wet"
     write_warc_file(

@@ -174,3 +174,63 @@ def test_windowed_drop_reason_counts_match_batch(spark, tmp_path):
     }
     assert stream_rows == batch_rows
     assert sum(batch_rows.values()) == 400
+
+
+def test_new_gates_streaming_batch_equivalent(spark, tmp_path):
+    """The round-5 opt-in gates (page-type, doc-shape) are pure codegen
+    column work inside the shared plan, so they must label identically
+    under Structured Streaming — per-url equivalence, gates ON."""
+    from fineweb_domain_analyzer_spark.plans.pipeline import PipelineConfig
+
+    in_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    policy = synth_policy_for_domains(spark, N_DOMAINS)
+    _land(spark, in_dir, 400, seed=9)
+
+    cfg = PipelineConfig(
+        scrub=False,
+        enforce_doc_shape=True,
+        drop_page_types=("login_wall", "error_page"),
+        # the synthetic corpus vocabulary (real-phrase defaults can't
+        # fire here; rule machinery is what's under test)
+        page_type_rules=[
+            ("error_page", "large home"),
+            ("login_wall", "search service"),
+        ],
+    )
+    r = run_incremental(spark, in_dir, out_dir, ckpt, policy, cfg=cfg)
+    assert r["rows"] == 400
+
+    out = spark.read.parquet(out_dir)
+    batch = quality_filter_pipeline(spark.read.parquet(in_dir), policy, cfg)
+    joined = (
+        out.select("url", "keep", "drop_reason", "page_type")
+        .join(
+            batch.select(
+                "url",
+                F.col("keep").alias("b_keep"),
+                F.col("drop_reason").alias("b_reason"),
+                F.col("page_type").alias("b_ptype"),
+            ),
+            "url",
+        )
+    )
+    assert joined.count() == 400
+    assert (
+        joined.filter(
+            (F.col("keep") != F.col("b_keep"))
+            | (F.col("drop_reason") != F.col("b_reason"))
+            | (F.col("page_type") != F.col("b_ptype"))
+        ).count()
+        == 0
+    )
+    # the page-type gate actually fires on this corpus (the doc-shape
+    # gate is exercised for plan parity; single-line synthetic prose
+    # never trips it — its firing behavior is pinned by
+    # tests/test_doc_shape.py)
+    reasons = {
+        r["drop_reason"]
+        for r in out.select("drop_reason").distinct().collect()
+    }
+    assert "page_type_filtered" in reasons
