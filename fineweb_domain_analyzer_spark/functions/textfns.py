@@ -236,3 +236,86 @@ def content_fingerprint(text: Column) -> Column:
 def exact_fingerprint(text: Column) -> Column:
     """Byte-exact duplicate key."""
     return F.md5(text)
+
+
+def with_lang_consistency(
+    df,
+    text_col: str = "text",
+    seg_tokens: int = 25,
+    lower_tokens_col: str | None = None,
+):
+    """Mixed-language detection by segment-level language ID (the
+    CCNet-style paragraph-langid idea, token-windowed so it also works
+    on break-free extracted text): the token stream is cut into
+    ``seg_tokens``-token segments, each segment gets the stopword-hit
+    language decision (same argmax + tie order as ``with_langid``;
+    zh stays a DOC-level decision via the cjk ratio, so segment IDs
+    cover the latin-script languages + 'unk'), and the doc is
+    summarized as
+
+    * ``n_segments``     — token-window count
+    * ``majority_lang``  — most common segment language (ties break in
+                           the langid order, then 'unk')
+    * ``majority_frac``  — its share of segments (4dp)
+    * ``n_langs``        — distinct segment languages
+    * ``lang_mixed``     — n_langs > 1 (the curation flag: spam and
+                           template pages interleave languages; a
+                           doc-level ID hides that)
+
+    All nested array lambdas inside whole-stage codegen — no UDFs, no
+    shuffles. Null text behaves like empty text (the null token count
+    fails the ``n_segs > 0`` gate, so both yield 0 segments / 'unk' /
+    0.0 / 0 / false — CaseWhen treats a null condition as false, and
+    the DuckDB oracle's CASE does the same).
+    """
+    langs = list(LANG_STOPWORDS)
+    text = F.col(text_col)
+    if lower_tokens_col is None:
+        toks = ws_tokens(F.lower(text))
+    else:
+        toks = F.col(lower_tokens_col)
+    n = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_segs = F.ceil(n / F.lit(float(seg_tokens))).cast("int")
+    segs = F.when(
+        n_segs > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.slice(toks, i * seg_tokens + 1, seg_tokens),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+
+    def _seg_lang(s):
+        hits = [
+            F.size(F.filter(s, lambda t: t.isin(*LANG_STOPWORDS[lang])))
+            for lang in langs
+        ]
+        g = F.greatest(*hits)
+        out = F.when(g <= 0, F.lit("unk"))
+        for lang, h in zip(langs[:-1], hits[:-1]):
+            out = out.when(h == g, F.lit(lang))
+        return out.otherwise(F.lit(langs[-1]))
+
+    df = df.withColumn("_lc_seg_langs", F.transform(segs, _seg_lang))
+    seg_langs = F.col("_lc_seg_langs")
+    counts = [
+        F.size(F.filter(seg_langs, lambda x: x == F.lit(lang)))
+        for lang in langs + ["unk"]
+    ]
+    maxc = F.greatest(*counts)
+    majority = F.when(F.size(seg_langs) == 0, F.lit("unk"))
+    for lang, c in zip(langs + ["unk"], counts):
+        majority = majority.when(c == maxc, F.lit(lang))
+    n_segments = F.size(seg_langs)
+    return (
+        df.withColumn("n_segments", n_segments.cast("long"))
+        .withColumn("majority_lang", majority)
+        .withColumn(
+            "majority_frac",
+            F.round(maxc / F.greatest(n_segments, F.lit(1)), 4),
+        )
+        .withColumn(
+            "n_langs", F.size(F.array_distinct(seg_langs)).cast("long")
+        )
+        .withColumn("lang_mixed", F.col("n_langs") > 1)
+        .drop("_lc_seg_langs")
+    )

@@ -455,9 +455,13 @@ CROSS JOIN twf
 # ---------------------------------------------------------------------------
 
 def q14_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID both ways in one projection: the JVM-side stopword
-    heuristic and the committed fastText-format .bin artifact through
-    the Arrow UDF (per-executor model cache)."""
+    """Language ID three ways in one projection: the JVM-side stopword
+    heuristic, the committed fastText-format .bin artifact through the
+    Arrow UDF (per-executor model cache), and the q106 segment-level
+    consistency summary (mixed-language detection)."""
+    from fineweb_domain_analyzer_spark.functions.textfns import (
+        with_lang_consistency,
+    )
     from fineweb_domain_analyzer_spark.operators.quality import (
         langid_udf_for,
         register_model_artifact,
@@ -465,19 +469,28 @@ def q14_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_model_artifact(spark, "langid_fx", q._artifact("langid_marker.bin"))
     docs = q._t(spark, sf_dir, "documents")
-    return docs.select(
+    return with_lang_consistency(docs, seg_tokens=q._Q106_SEG).select(
         "doc_id",
         langid_heuristic(F.col("text")).alias("langid_pred"),
         langid_udf_for("langid_fx")(F.col("text")).alias("ft_label"),
+        "n_segments",
+        "majority_lang",
+        "majority_frac",
+        "n_langs",
+        "lang_mixed",
     )
 
 
 def _langid_merged_sql() -> str:
     return f"""
 WITH lh AS (SELECT * FROM ({q._langid_sql()})),
-     fh AS (SELECT * FROM ({q._q62_sql()}))
-SELECT lh.doc_id, lh.langid_pred, fh.ft_label
+     fh AS (SELECT * FROM ({q._q62_sql()})),
+     lc AS ({q._q106_sql()})
+SELECT lh.doc_id, lh.langid_pred, fh.ft_label,
+       lc.n_segments, lc.majority_lang, lc.majority_frac,
+       lc.n_langs, lc.lang_mixed
 FROM lh JOIN fh ON lh.doc_id = fh.doc_id
+JOIN lc ON lh.doc_id = lc.doc_id
 """
 
 
@@ -992,6 +1005,7 @@ _FOLDED = {
     "q69_sequence_packing", "q100_deterministic_shuffle",
     "q101_rule_ablation", "q102_rule_overlap",
     "q103_page_type", "q104_doc_shape", "q105_outlink_graph",
+    "q106_lang_consistency",
 }
 
 

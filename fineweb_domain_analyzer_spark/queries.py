@@ -5191,6 +5191,95 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# q106 — segment-level language consistency (mixed-language detection)
+# ---------------------------------------------------------------------------
+
+_Q106_SEG = 25
+
+
+def q106_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — mixed-language detection: 25-token segments each get
+    the stopword-hit langid; the doc summarizes to majority lang/share,
+    distinct-language count and the lang_mixed curation flag. Nested
+    array lambdas, all codegen, ZERO shuffles
+    (functions/textfns.py:with_lang_consistency)."""
+    from fineweb_domain_analyzer_spark.functions.textfns import (
+        with_lang_consistency,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_lang_consistency(docs, seg_tokens=_Q106_SEG).select(
+        "doc_id",
+        "n_segments",
+        "majority_lang",
+        "majority_frac",
+        "n_langs",
+        "lang_mixed",
+    )
+
+
+def _q106_sql() -> str:
+    from fineweb_domain_analyzer_spark.functions.textfns import LANG_STOPWORDS
+
+    langs = list(LANG_STOPWORDS)
+    seg = _Q106_SEG
+    hit = {
+        lang: (
+            "len(list_filter(s, t -> list_contains(["
+            + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+            + "], t)))"
+        )
+        for lang in langs
+    }
+    g = "greatest(" + ", ".join(hit[lang] for lang in langs) + ")"
+    seg_case = f"CASE WHEN {g} <= 0 THEN 'unk'"
+    for lang in langs[:-1]:
+        seg_case += f" WHEN {hit[lang]} = {g} THEN '{lang}'"
+    seg_case += f" ELSE '{langs[-1]}' END"
+    all_langs = langs + ["unk"]
+    cnt_cols = ",\n         ".join(
+        f"len(list_filter(seg_langs, x -> x = '{lang}')) AS c_{lang}"
+        for lang in all_langs
+    )
+    m = "greatest(" + ", ".join(f"c_{lang}" for lang in all_langs) + ")"
+    maj_case = "CASE WHEN len(seg_langs) = 0 THEN 'unk'"
+    for lang in all_langs:
+        maj_case += f" WHEN c_{lang} = {m} THEN '{lang}'"
+    maj_case += " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {TOKS_SQL} AS toks,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END AS n
+  FROM documents
+),
+segged AS (
+  SELECT doc_id,
+         CASE WHEN n > 0
+              THEN list_transform(range(0, ceil(n / {seg}.0)::INT),
+                                  i -> toks[i*{seg}+1:(i+1)*{seg}])
+              ELSE [] END AS segs
+  FROM base
+),
+sl AS (
+  SELECT doc_id, list_transform(segs, s -> {seg_case}) AS seg_langs
+  FROM segged
+),
+cnts AS (
+  SELECT doc_id, seg_langs,
+         {cnt_cols}
+  FROM sl
+)
+SELECT doc_id,
+       CAST(len(seg_langs) AS BIGINT) AS n_segments,
+       {maj_case} AS majority_lang,
+       round({m} / greatest(len(seg_langs), 1), 4) AS majority_frac,
+       CAST(len(list_distinct(seg_langs)) AS BIGINT) AS n_langs,
+       len(list_distinct(seg_langs)) > 1 AS lang_mixed
+FROM cnts
+"""
+
+
+# ---------------------------------------------------------------------------
 # q101/q102 — filter-rule ablation + overlap matrix (curation audit)
 # ---------------------------------------------------------------------------
 
@@ -5440,6 +5529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_page_type": q103_page_type,
     "q104_doc_shape": q104_doc_shape,
     "q105_outlink_graph": q105_outlink_graph,
+    "q106_lang_consistency": q106_lang_consistency,
 }
 
 
@@ -5548,4 +5638,5 @@ def oracle_sql() -> dict[str, str]:
         "q103_page_type": _q103_sql(),
         "q104_doc_shape": _q104_sql(),
         "q105_outlink_graph": Q105_SQL,
+        "q106_lang_consistency": _q106_sql(),
     }
