@@ -447,6 +447,31 @@ def stream_ingest(spark, args) -> dict:
     return summary
 
 
+def data_card_verb(spark, args) -> dict:
+    """--data-card: aggregate a labeled parquet output (from
+    --stream-ingest or write_pipeline_output) into the dataset
+    data-card JSON — overall/decision/drop-reason/kept-language doc and
+    word counts, one cube pass (operators/metrics.py:data_card). The
+    collect is O(sections × keys) rows — a driver-side summary writer
+    like the reference's JSON sinks, never corpus-sized."""
+    from fineweb_domain_analyzer_spark.operators.metrics import data_card
+
+    labeled = spark.read.parquet(args.input)
+    rows = data_card(labeled).collect()
+    card: dict = {}
+    for r in rows:
+        card.setdefault(r["section"], {})[r["key"]] = {
+            "docs": r["docs"],
+            "words": r["words"],
+        }
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    path = out_dir / "data_card.json"
+    path.write_text(json.dumps(card, indent=2, sort_keys=True))
+    print(json.dumps({"data_card": str(path), **card.get("decision", {})}))
+    return card
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="FineWeb Domain Analyzer — Spark engine, reference-compatible CLI"
@@ -540,6 +565,13 @@ def build_parser() -> argparse.ArgumentParser:
         "doc-shape rules (bullet/ellipsis line fractions, alpha-word "
         "fraction, symbol ratios) as doc_shape_filtered",
     )
+    p.add_argument(
+        "--data-card",
+        action="store_true",
+        help="aggregate a labeled parquet dir (--input) into "
+        "<output>/data_card.json: overall/decision/drop-reason/"
+        "kept-language doc+word counts in one cube pass",
+    )
     p.add_argument("--run-ts", help="inject run timestamp (YYYYmmdd_HHMMSS) for determinism")
     p.add_argument("--run-iso", help="inject ISO timestamp for determinism")
     p.add_argument("--master", default=None)
@@ -550,7 +582,7 @@ def main(argv: list[str] | None = None) -> int:
     p = build_parser()
     args = p.parse_args(argv)
 
-    if (args.all_steps or args.warc_to_json or args.wet_to_json or args.extract_domains or args.filter_content or args.stream_ingest or args.train_classifier) and not args.input:
+    if (args.all_steps or args.warc_to_json or args.wet_to_json or args.extract_domains or args.filter_content or args.stream_ingest or args.train_classifier or args.data_card) and not args.input:
         p.error("these operations require --input")
     if args.check_robots and not (args.domains or args.all_steps):
         p.error("--check-robots requires --domains")
@@ -566,6 +598,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.filter_content
         or args.stream_ingest
         or args.train_classifier
+        or args.data_card
     )
     if not has_action:
         p.print_help()
@@ -597,6 +630,8 @@ def main(argv: list[str] | None = None) -> int:
             stream_ingest(spark, args)
         elif args.train_classifier:
             train_classifier(spark, args)
+        elif args.data_card:
+            data_card_verb(spark, args)
     finally:
         if created:
             spark.stop()

@@ -253,6 +253,11 @@ _FILTER_METRICS = [
      ["fires", "unique_drops", "total_docs", "total_dropped"]),
     ("q102", "q102_rule_overlap", q._q102_sql(),
      ["rule_a", "rule_b"], [], ["both_fire"]),
+    # q107: data-card summary — overall/decision/drop-reason/kept-
+    # language doc+word counts from ONE cube pass over the flagship
+    # labels (operators/metrics.py:data_card).
+    ("q107", "q107_data_card", q._q107_sql(),
+     ["section", "key"], [], ["docs", "words"]),
 ]
 
 
@@ -1005,7 +1010,7 @@ _FOLDED = {
     "q69_sequence_packing", "q100_deterministic_shuffle",
     "q101_rule_ablation", "q102_rule_overlap",
     "q103_page_type", "q104_doc_shape", "q105_outlink_graph",
-    "q106_lang_consistency",
+    "q106_lang_consistency", "q107_data_card",
 }
 
 

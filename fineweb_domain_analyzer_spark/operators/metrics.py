@@ -228,3 +228,65 @@ def rule_overlap(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     return one.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (rule_a, rule_b, both_fire)"
     )
+
+
+def data_card(
+    labeled: DataFrame,
+    words_col: str = "word_count",
+    lang_col: str = "langid",
+) -> DataFrame:
+    """Dataset data-card summary over a labeled pipeline output — the
+    release-notes numbers (what a Hugging Face dataset card tables):
+
+    * ``('overall', 'all')``        — total docs / total words
+    * ``('decision', kept|dropped)``
+    * ``('drop_reason', <reason>)`` — the full histogram (kept included)
+    * ``('language_kept', <lang>)`` — language mix of the KEPT corpus
+
+    Scale shape: ONE ``cube(drop_reason, lang)`` aggregation over the
+    corpus (map-side partial agg; the cube result is O(reasons×langs)
+    rows), and every section derives from that tiny frame — the corpus
+    is scanned exactly once regardless of how many sections the card
+    grows. Output columns: (section, key, docs, words).
+    """
+    cube = labeled.cube("drop_reason", F.col(lang_col).alias("_lang")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.coalesce(F.sum(F.col(words_col)), F.lit(0)).alias("words"),
+    )
+    overall = cube.filter(
+        F.col("drop_reason").isNull() & F.col("_lang").isNull()
+    ).select(
+        F.lit("overall").alias("section"),
+        F.lit("all").alias("key"),
+        "docs",
+        "words",
+    )
+    by_reason = cube.filter(
+        F.col("drop_reason").isNotNull() & F.col("_lang").isNull()
+    )
+    decision = (
+        by_reason.withColumn(
+            "key",
+            F.when(F.col("drop_reason") == "kept", F.lit("kept")).otherwise(
+                F.lit("dropped")
+            ),
+        )
+        .groupBy("key")
+        .agg(F.sum("docs").alias("docs"), F.sum("words").alias("words"))
+        .select(F.lit("decision").alias("section"), "key", "docs", "words")
+    )
+    reasons = by_reason.select(
+        F.lit("drop_reason").alias("section"),
+        F.col("drop_reason").alias("key"),
+        "docs",
+        "words",
+    )
+    lang_kept = cube.filter(
+        (F.col("drop_reason") == "kept") & F.col("_lang").isNotNull()
+    ).select(
+        F.lit("language_kept").alias("section"),
+        F.col("_lang").alias("key"),
+        "docs",
+        "words",
+    )
+    return overall.unionAll(decision).unionAll(reasons).unionAll(lang_kept)

@@ -5280,6 +5280,67 @@ FROM cnts
 
 
 # ---------------------------------------------------------------------------
+# q107 — data-card summary (dataset release numbers in one cube pass)
+# ---------------------------------------------------------------------------
+
+def q107_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — the dataset data-card numbers (overall/decision/
+    drop-reason/kept-language sections with doc + word counts) from ONE
+    cube aggregation over the flagship labels
+    (operators/metrics.py:data_card)."""
+    from fineweb_domain_analyzer_spark.operators.metrics import data_card
+    from fineweb_domain_analyzer_spark.plans.pipeline import (
+        PipelineConfig,
+        quality_filter_pipeline,
+    )
+
+    labeled = quality_filter_pipeline(
+        pages_view(spark, sf_dir),
+        policy_view(spark, sf_dir),
+        PipelineConfig(scrub=False),
+    )
+    return data_card(labeled)
+
+
+def _q107_sql() -> str:
+    return (
+        _q56_ctes()
+        + """,
+decided AS MATERIALIZED (
+  SELECT doc_id, langid, word_count,
+         CASE WHEN robots_reason <> 'kept' THEN robots_reason
+              WHEN langid NOT IN ('en', 'zh', 'de', 'fr', 'es')
+                THEN 'language_filtered'
+              WHEN NOT (word_count BETWEEN 5 AND 1000000
+                        AND mean_word_len BETWEEN 2.0 AND 12.0
+                        AND symbol_ratio <= 0.5
+                        AND stopword_density >= 0.0
+                        AND max_word_repeat_ratio <= 0.9)
+                THEN 'quality_filtered'
+              ELSE 'kept' END AS drop_reason
+  FROM feats
+)
+SELECT 'overall' AS section, 'all' AS "key",
+       count(*)::BIGINT AS docs, coalesce(sum(word_count), 0)::BIGINT AS words
+FROM decided
+UNION ALL
+SELECT 'decision',
+       CASE WHEN drop_reason = 'kept' THEN 'kept' ELSE 'dropped' END,
+       count(*)::BIGINT, coalesce(sum(word_count), 0)::BIGINT
+FROM decided GROUP BY 2
+UNION ALL
+SELECT 'drop_reason', drop_reason,
+       count(*)::BIGINT, coalesce(sum(word_count), 0)::BIGINT
+FROM decided GROUP BY 2
+UNION ALL
+SELECT 'language_kept', langid,
+       count(*)::BIGINT, coalesce(sum(word_count), 0)::BIGINT
+FROM decided WHERE drop_reason = 'kept' GROUP BY 2
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # q101/q102 — filter-rule ablation + overlap matrix (curation audit)
 # ---------------------------------------------------------------------------
 
@@ -5530,6 +5591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q104_doc_shape": q104_doc_shape,
     "q105_outlink_graph": q105_outlink_graph,
     "q106_lang_consistency": q106_lang_consistency,
+    "q107_data_card": q107_data_card,
 }
 
 
@@ -5639,4 +5701,5 @@ def oracle_sql() -> dict[str, str]:
         "q104_doc_shape": _q104_sql(),
         "q105_outlink_graph": Q105_SQL,
         "q106_lang_consistency": _q106_sql(),
+        "q107_data_card": _q107_sql(),
     }

@@ -317,3 +317,40 @@ def test_wet_to_json(spark, tmp_path):
     assert "status_code" not in by_url["https://alpha.example.com/a"] or by_url[
         "https://alpha.example.com/a"
     ]["status_code"] is None
+
+
+def test_cli_data_card(spark, tmp_path):
+    """--data-card aggregates a labeled parquet dir into data_card.json
+    with internally consistent sections."""
+    import json as _json
+
+    from fineweb_domain_analyzer_spark.plans.pipeline import (
+        quality_filter_pipeline,
+    )
+    from fineweb_domain_analyzer_spark.sources.pages import (
+        synth_pages,
+        synth_policy_for_domains,
+    )
+
+    labeled_dir = str(tmp_path / "labeled")
+    out_dir = tmp_path / "card"
+    pages = synth_pages(spark, 300, n_domains=30, seed=13, partitions=2)
+    policy = synth_policy_for_domains(spark, 30)
+    quality_filter_pipeline(pages, policy).write.parquet(labeled_dir)
+
+    argv = ["--input", labeled_dir, "--output", str(out_dir), "--data-card"]
+    assert cli.main(argv) == 0
+    card = _json.loads((out_dir / "data_card.json").read_text())
+    assert card["overall"]["all"]["docs"] == 300
+    dec = card["decision"]
+    assert dec["kept"]["docs"] + dec.get("dropped", {"docs": 0})["docs"] == 300
+    assert sum(v["docs"] for v in card["drop_reason"].values()) == 300
+    assert (
+        sum(v["docs"] for v in card["language_kept"].values())
+        == dec["kept"]["docs"]
+    )
+    # word totals are consistent across sections too
+    assert (
+        sum(v["words"] for v in card["drop_reason"].values())
+        == card["overall"]["all"]["words"]
+    )
