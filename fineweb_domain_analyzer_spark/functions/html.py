@@ -191,3 +191,25 @@ def extract_hrefs(html: Column) -> Column:
     the DOM parser path's job (``dom_extract_text``'s HTMLParser can
     surface attrs when needed)."""
     return F.regexp_extract_all(html, F.lit(r'href="([^"]*)"'), 1)
+
+
+def extract_anchors(html: Column) -> Column:
+    """``array<struct<href,text>>`` of simple double-quoted anchors —
+    the (link, anchor-text) pairs behind link-text quality signals and
+    anchor-based relevance labels. One full-match ``regexp_extract_all``
+    + per-element group extraction, all inside codegen.
+
+    Scope: anchors whose inner text contains no nested markup
+    (``[^<]*``) — the dominant form; nested-markup anchors are skipped
+    IDENTICALLY by the Spark and DuckDB oracles (same regex class), so
+    the contract is engine-consistent by construction."""
+    tags = F.regexp_extract_all(
+        html, F.lit(r'<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'), 0
+    )
+    return F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, r'href="([^"]*)"', 1).alias("href"),
+            F.regexp_extract(t, r">([^<]*)</a>", 1).alias("text"),
+        ),
+    )

@@ -323,6 +323,11 @@ _CORPUS_PROFILES = [
     # operators/graph.py:outlink_edges_from_html).
     ("q105", "q105_outlink_graph", q.Q105_SQL,
      ["src_host", "dst_host"], [], ["n_links"]),
+    # q108: (href, anchor-text) pair extraction — link-text signals
+    # (functions/html.py:extract_anchors; full-match + group-extract
+    # regex chain, explode only, zero shuffles).
+    ("q108", "q108_anchor_text", q.Q108_SQL,
+     ["doc_id", "href", "anchor_text"], [], ["text_len"]),
     # q96: embedding-space outlier pruning (operators/similarity.py
     # :embedding_outliers) — IVF assignment + banded per-cluster
     # percentile; band 1 = the farthest 5%.
@@ -1010,7 +1015,7 @@ _FOLDED = {
     "q69_sequence_packing", "q100_deterministic_shuffle",
     "q101_rule_ablation", "q102_rule_overlap",
     "q103_page_type", "q104_doc_shape", "q105_outlink_graph",
-    "q106_lang_consistency", "q107_data_card",
+    "q106_lang_consistency", "q107_data_card", "q108_anchor_text",
 }
 
 

@@ -5341,6 +5341,76 @@ FROM decided WHERE drop_reason = 'kept' GROUP BY 2
 
 
 # ---------------------------------------------------------------------------
+# q108 — anchor (href, text) pair extraction
+# ---------------------------------------------------------------------------
+
+def q108_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — (href, anchor-text) pair extraction
+    (functions/html.py:extract_anchors): link text is a quality /
+    relevance signal real pipelines mine from crawl HTML. Deterministic
+    HTML synthesized with token-bearing anchors (absolute + relative),
+    extracted by the full-match + group-extract regex chain — all
+    codegen, explode only, ZERO shuffles."""
+    from fineweb_domain_analyzer_spark.functions.html import extract_anchors
+
+    docs = _t(spark, sf_dir, "documents")
+    k = ((F.col("doc_id") * _Q105_MULT + _Q105_STEP) % _Q105_HOSTS).cast(
+        "string"
+    )
+    html = F.concat(
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://h'),
+        k,
+        F.lit('.example.com/a">read more about '),
+        F.col("source"),
+        F.lit('</a><a class="x" href="/local/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">home page</a><a href="https://skip.example.com"><b>nested'
+              "</b></a>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    anchors = pages.select(
+        "doc_id", F.explode(extract_anchors(F.col("html"))).alias("a")
+    )
+    return anchors.select(
+        "doc_id",
+        F.col("a.href").alias("href"),
+        F.col("a.text").alias("anchor_text"),
+        F.length("a.text").cast("bigint").alias("text_len"),
+    )
+
+
+Q108_SQL = f"""
+WITH pages AS (
+  SELECT doc_id,
+         '<p>' || text || '</p><a href="https://h'
+         || CAST((doc_id * {_Q105_MULT} + {_Q105_STEP}) % {_Q105_HOSTS} AS VARCHAR)
+         || '.example.com/a">read more about ' || source
+         || '</a><a class="x" href="/local/' || CAST(doc_id AS VARCHAR)
+         || '">home page</a><a href="https://skip.example.com"><b>nested</b></a>'
+           AS html
+  FROM documents
+),
+tags AS (
+  SELECT doc_id,
+         regexp_extract_all(html,
+           '<a\\s[^>]*href="[^"]*"[^>]*>[^<]*</a>', 0) AS t
+  FROM pages
+)
+SELECT doc_id,
+       unnest(list_transform(t, x -> regexp_extract(x, 'href="([^"]*)"', 1)))
+         AS href,
+       unnest(list_transform(t, x -> regexp_extract(x, '>([^<]*)</a>', 1)))
+         AS anchor_text,
+       unnest(list_transform(t,
+         x -> length(regexp_extract(x, '>([^<]*)</a>', 1))::BIGINT))
+         AS text_len
+FROM tags
+"""
+
+
+# ---------------------------------------------------------------------------
 # q101/q102 — filter-rule ablation + overlap matrix (curation audit)
 # ---------------------------------------------------------------------------
 
@@ -5592,6 +5662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q105_outlink_graph": q105_outlink_graph,
     "q106_lang_consistency": q106_lang_consistency,
     "q107_data_card": q107_data_card,
+    "q108_anchor_text": q108_anchor_text,
 }
 
 
@@ -5702,4 +5773,5 @@ def oracle_sql() -> dict[str, str]:
         "q105_outlink_graph": Q105_SQL,
         "q106_lang_consistency": _q106_sql(),
         "q107_data_card": _q107_sql(),
+        "q108_anchor_text": Q108_SQL,
     }

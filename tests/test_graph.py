@@ -147,3 +147,40 @@ class TestOutlinkExtraction:
         )
         assert "Join" not in plan
         assert plan.count("Exchange") <= 2  # partial/final agg pair
+
+
+class TestAnchorText:
+    def test_pairs_and_scope(self, spark):
+        from fineweb_domain_analyzer_spark.functions.html import (
+            extract_anchors,
+        )
+
+        html = (
+            '<a href="https://a.com/x">read this</a>'
+            '<a id="i" href="/rel">home</a>'
+            '<a href="https://b.com"><b>nested markup skipped</b></a>'
+            '<a href="https://c.com"></a>'
+        )
+        df = spark.createDataFrame([(html,)], "html string")
+        got = [
+            (r["href"], r["text"])
+            for r in df.select(
+                F.explode(extract_anchors(F.col("html"))).alias("a")
+            ).select("a.href", "a.text").collect()
+        ]
+        assert got == [
+            ("https://a.com/x", "read this"),
+            ("/rel", "home"),
+            ("https://c.com", ""),
+        ]
+
+    def test_q108_zero_exchanges(self, spark):
+        from fineweb_domain_analyzer_spark.queries import q108_anchor_text
+
+        plan = (
+            q108_anchor_text(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
