@@ -358,3 +358,42 @@ def load_policy_fixture(spark: SparkSession, robots_json_path: str) -> DataFrame
             )
         )
     return spark.createDataFrame(rows, DOMAIN_POLICY)
+
+
+def sitemaps_from_robots(
+    df: DataFrame, content_col: str = "robots_content"
+) -> DataFrame:
+    """EXTENSION — RFC 9309 §2.3 ``Sitemap:`` directives: (domain,
+    sitemap_url, sm_idx) rows. The reference parser skips the directive
+    entirely (fineweb_analyzer.py:282-290 matches only User-agent /
+    Disallow / Crawl-delay); real crawl schedulers seed fetch frontiers
+    from it. Per the RFC, Sitemap is a NON-GROUP record: valid anywhere
+    in the file, case-insensitive, independent of User-agent sections —
+    so no line-state machine is needed, just a prefix filter.
+
+    All codegen: newline split → case-insensitive prefix filter →
+    value extract → indexed explode. Zero shuffles, zero UDFs; domains
+    without sitemaps simply produce no rows (explode of empty array).
+    """
+    lines = F.split(F.col(content_col), "\n")
+    sm = F.filter(
+        lines, lambda ln: F.lower(F.ltrim(ln)).startswith("sitemap:")
+    )
+    urls = F.filter(
+        F.transform(
+            sm,
+            lambda ln: F.trim(
+                F.regexp_extract(ln, r"(?i)^\s*sitemap:\s*(\S+)", 1)
+            ),
+        ),
+        lambda u: u != "",
+    )
+    pairs = F.transform(
+        urls, lambda u, i: F.struct(u.alias("url"), i.alias("idx"))
+    )
+    ex = df.select("domain", F.explode(pairs).alias("_sm"))
+    return ex.select(
+        "domain",
+        F.col("_sm.url").alias("sitemap_url"),
+        F.col("_sm.idx").cast("long").alias("sm_idx"),
+    )

@@ -328,6 +328,10 @@ _CORPUS_PROFILES = [
     # regex chain, explode only, zero shuffles).
     ("q108", "q108_anchor_text", q.Q108_SQL,
      ["doc_id", "href", "anchor_text"], [], ["text_len"]),
+    # q109: robots Sitemap directives (RFC 9309 non-group records the
+    # reference parser ignores; functions/robots.py:sitemaps_from_robots).
+    ("q109", "q109_sitemaps", q.Q109_SQL,
+     ["domain", "sitemap_url"], [], ["sm_idx"]),
     # q96: embedding-space outlier pruning (operators/similarity.py
     # :embedding_outliers) — IVF assignment + banded per-cluster
     # percentile; band 1 = the farthest 5%.
@@ -1016,6 +1020,7 @@ _FOLDED = {
     "q101_rule_ablation", "q102_rule_overlap",
     "q103_page_type", "q104_doc_shape", "q105_outlink_graph",
     "q106_lang_consistency", "q107_data_card", "q108_anchor_text",
+    "q109_sitemaps",
 }
 
 

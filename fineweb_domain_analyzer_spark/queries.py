@@ -5411,6 +5411,89 @@ FROM tags
 
 
 # ---------------------------------------------------------------------------
+# q109 — robots Sitemap directive extraction
+# ---------------------------------------------------------------------------
+
+def q109_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — RFC 9309 Sitemap directives from robots bodies
+    (functions/robots.py:sitemaps_from_robots): case/spacing variants,
+    multiple sitemaps per domain, comment-only and null bodies. The
+    reference parser ignores the directive entirely."""
+    from fineweb_domain_analyzer_spark.functions.robots import (
+        sitemaps_from_robots,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int")
+    body = (
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /x\nSitemap: https://"),
+                F.col("source"),
+                F.lit(".example.com/sitemap.xml"),
+            ),
+        )
+        .when(
+            i % 4 == 1,
+            F.concat(
+                F.lit("sitemap:https://cdn.example.com/"),
+                F.col("source"),
+                F.lit("/s1.xml\n  SITEMAP:   https://cdn.example.com/"),
+                F.col("source"),
+                F.lit("/s2.xml"),
+            ),
+        )
+        .when(i % 4 == 2, F.lit("# comments only\nUser-agent: *"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    robots = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+            body.alias("robots_content"),
+        )
+    )
+    return sitemaps_from_robots(robots)
+
+
+Q109_SQL = """
+WITH src AS (
+  SELECT DISTINCT source,
+         TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS i
+  FROM documents
+),
+robots AS (
+  SELECT source || '.example.com' AS domain,
+         CASE WHEN i % 4 = 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /x'
+                   || chr(10) || 'Sitemap: https://' || source || '.example.com/sitemap.xml'
+              WHEN i % 4 = 1 THEN 'sitemap:https://cdn.example.com/' || source
+                   || '/s1.xml' || chr(10) || '  SITEMAP:   https://cdn.example.com/'
+                   || source || '/s2.xml'
+              WHEN i % 4 = 2 THEN '# comments only' || chr(10) || 'User-agent: *'
+              ELSE NULL END AS robots_content
+  FROM src
+),
+sm AS (
+  SELECT domain,
+         list_filter(
+           list_transform(
+             list_filter(string_split(robots_content, chr(10)),
+                         ln -> starts_with(lower(ltrim(ln)), 'sitemap:')),
+             ln -> trim(regexp_extract(ln, '(?i)^\\s*sitemap:\\s*(\\S+)', 1))),
+           u -> u <> '') AS urls
+  FROM robots
+)
+SELECT domain,
+       unnest(urls) AS sitemap_url,
+       unnest(range(0, len(urls))) ::BIGINT AS sm_idx
+FROM sm
+WHERE len(urls) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # q101/q102 — filter-rule ablation + overlap matrix (curation audit)
 # ---------------------------------------------------------------------------
 
@@ -5663,6 +5746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_lang_consistency": q106_lang_consistency,
     "q107_data_card": q107_data_card,
     "q108_anchor_text": q108_anchor_text,
+    "q109_sitemaps": q109_sitemaps,
 }
 
 
@@ -5774,4 +5858,5 @@ def oracle_sql() -> dict[str, str]:
         "q106_lang_consistency": _q106_sql(),
         "q107_data_card": _q107_sql(),
         "q108_anchor_text": Q108_SQL,
+        "q109_sitemaps": Q109_SQL,
     }

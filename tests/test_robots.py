@@ -228,3 +228,49 @@ def test_urllib_fallback_fetcher_matches_requests_retry_semantics(monkeypatch):
     with _pytest.raises(ConnectionError):
         fetch("https://flaky503.example/robots.txt")
     assert calls["n"] == 4
+
+
+class TestSitemaps:
+    """RFC 9309 Sitemap extraction (functions/robots.py:
+    sitemaps_from_robots) — the non-group directive the reference
+    parser ignores."""
+
+    def test_variants_and_order(self, spark):
+        from fineweb_domain_analyzer_spark.functions.robots import (
+            sitemaps_from_robots,
+        )
+
+        df = spark.createDataFrame(
+            [
+                # inside a group, standard form
+                ("a.com", "User-agent: *\nDisallow: /\nSitemap: https://a.com/s.xml"),
+                # case + spacing variants, two sitemaps, outside any group
+                ("b.com", "SITEMAP:https://b.com/1.xml\n  sitemap:   https://b.com/2.xml"),
+                # no directive
+                ("c.com", "User-agent: *\nDisallow: /x"),
+                # null body
+                ("d.com", None),
+                # directive with no value → dropped
+                ("e.com", "Sitemap:   "),
+            ],
+            "domain string, robots_content string",
+        )
+        rows = sitemaps_from_robots(df).collect()
+        got = sorted((r["domain"], r["sitemap_url"], r["sm_idx"]) for r in rows)
+        assert got == [
+            ("a.com", "https://a.com/s.xml", 0),
+            ("b.com", "https://b.com/1.xml", 0),
+            ("b.com", "https://b.com/2.xml", 1),
+        ]
+
+    def test_zero_exchanges(self, spark):
+        from fineweb_domain_analyzer_spark.queries import q109_sitemaps
+
+        plan = (
+            q109_sitemaps(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the only exchange allowed is the tiny sources-distinct
+        assert plan.count("Exchange") <= 2
