@@ -69,6 +69,7 @@ def with_page_type(
     out_col: str = "page_type",
     idx_col: str | None = None,
     default_type: str = DEFAULT_TYPE,
+    scan_chars: int | None = None,
 ) -> DataFrame:
     """Add a first-match-wins page-type column (and optionally the
     matched rule's index as ``idx_col``, ``-1`` for ``default_type``).
@@ -80,23 +81,53 @@ def with_page_type(
     rules = DEFAULT_PAGE_TYPE_RULES if rules is None else rules
     if not rules:
         raise ValueError("rules must not be empty")
-    lowered = F.lower(F.col(text_col))
-    type_expr = None
+    # Cost structure (BENCH/gates_overhead.json): per-row cost is the
+    # TOTAL regex alternatives scanned × text length — invariant to how
+    # the scans are grouped (a union pre-filter measured no better than
+    # per-rule scans on non-matching rows, which are ~all rows). What
+    # does help: (1) stage lower(text) once as its own column; (2)
+    # resolve the rule INDEX once and derive the type name from the
+    # staged index with integer compares, so requesting idx_col never
+    # doubles the regex work; (3) the union pre-filter still confines
+    # the per-rule cascade to matching rows, so adding MORE rules only
+    # grows the single combined scan for the content majority; (4) the
+    # scan_chars knob below bounds cost independently of text length.
+    scanned = F.col(text_col)
+    if scan_chars is not None:
+        # scale knob: boilerplate markers (error banners, parking pages,
+        # login/cookie walls) sit at the TOP of a page; bounding the
+        # scanned window caps the per-row regex cost independently of
+        # document length. Off by default — classification of a marker
+        # past the window differs from the full-text scan, so enabling
+        # it is an explicit accuracy/cost trade.
+        scanned = F.substring(scanned, 1, scan_chars)
+    df = df.withColumn("_pt_lw", F.lower(scanned))
+    lowered = F.col("_pt_lw")
+    combined = "(" + "|".join(pat for _name, pat in rules) + ")"
     idx_expr = None
-    for i, (name, pat) in enumerate(rules):
+    for i, (_name, pat) in enumerate(rules):
         cond = lowered.rlike(pat)
-        if type_expr is None:
-            type_expr = F.when(cond, F.lit(name))
-            idx_expr = F.when(cond, F.lit(i))
-        else:
-            type_expr = type_expr.when(cond, F.lit(name))
-            idx_expr = idx_expr.when(cond, F.lit(i))
+        idx_expr = (
+            F.when(cond, F.lit(i))
+            if idx_expr is None
+            else idx_expr.when(cond, F.lit(i))
+        )
+    idx_staged = F.when(
+        lowered.rlike(combined), idx_expr.otherwise(F.lit(DEFAULT_IDX))
+    ).otherwise(F.lit(DEFAULT_IDX))
+    df = df.withColumn("_pt_idx", idx_staged.cast("long"))
+    type_expr = None
+    for i, (name, _pat) in enumerate(rules):
+        cond = F.col("_pt_idx") == i
+        type_expr = (
+            F.when(cond, F.lit(name))
+            if type_expr is None
+            else type_expr.when(cond, F.lit(name))
+        )
     out = df.withColumn(out_col, type_expr.otherwise(F.lit(default_type)))
     if idx_col is not None:
-        out = out.withColumn(
-            idx_col, idx_expr.otherwise(F.lit(DEFAULT_IDX)).cast("long")
-        )
-    return out
+        out = out.withColumn(idx_col, F.col("_pt_idx"))
+    return out.drop("_pt_lw", "_pt_idx")
 
 
 def page_type_histogram(

@@ -68,6 +68,11 @@ def main() -> None:
                              "cookie_wall", "placeholder"),
             enforce_doc_shape=True,
         ),
+        "page_type_1k_window": PipelineConfig(
+            drop_page_types=("error_page", "login_wall", "parked_domain",
+                             "cookie_wall", "placeholder"),
+            page_type_scan_chars=1024,
+        ),
     }
     out: dict = {"rows": ROWS, "reps": REPS, "configs": {}}
     for name, cfg in configs.items():

@@ -222,3 +222,22 @@ class TestPipelineGate:
             plan = df._jdf.queryExecution().executedPlan().toString()
             return plan.count("Exchange")
         assert n_exchanges(out) == n_exchanges(base)
+
+
+class TestScanWindow:
+    def test_scan_chars_bounds_the_window(self, spark):
+        text = ("x " * 50) + "404 not found"
+        df = spark.createDataFrame([(1, text)], "id int, text string")
+        full = with_page_type(df).collect()[0]["page_type"]
+        bounded = with_page_type(df, scan_chars=20).collect()[0]["page_type"]
+        assert full == "error_page"
+        assert bounded == "content"  # marker past the window
+
+    def test_scan_chars_keeps_top_markers(self, spark):
+        df = spark.createDataFrame(
+            [(1, "404 not found " + "x " * 5000)], "id int, text string"
+        )
+        assert (
+            with_page_type(df, scan_chars=64).collect()[0]["page_type"]
+            == "error_page"
+        )
