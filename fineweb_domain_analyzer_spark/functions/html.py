@@ -213,3 +213,21 @@ def extract_anchors(html: Column) -> Column:
             F.regexp_extract(t, r">([^<]*)</a>", 1).alias("text"),
         ),
     )
+
+
+def extract_title(html: Column) -> Column:
+    """``<title>`` text (first occurrence, no nested markup) — one
+    group-extracting regex inside codegen; '' when absent (regexp
+    no-match contract, identical in DuckDB)."""
+    return F.regexp_extract(html, r"(?i)<title[^>]*>([^<]*)</title>", 1)
+
+
+def extract_meta_description(html: Column) -> Column:
+    """``<meta name="description" content="...">`` value — the
+    name-before-content attribute order (the dominant served form;
+    attribute-order-insensitive parsing is the DOM path's job)."""
+    return F.regexp_extract(
+        html,
+        r'(?i)<meta\s[^>]*name="description"[^>]*content="([^"]*)"',
+        1,
+    )

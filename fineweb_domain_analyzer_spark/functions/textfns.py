@@ -319,3 +319,93 @@ def with_lang_consistency(
         .withColumn("lang_mixed", F.col("n_langs") > 1)
         .drop("_lc_seg_langs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (ftfy-lite: undo UTF-8 bytes mis-decoded as cp1252/latin-1)
+# ---------------------------------------------------------------------------
+
+# Markers of UTF-8 read as single-byte: '\u00c2'/'\u00c3' followed by
+# another high-latin1 char (2-byte sequences for U+0080-U+07FF) or the
+# '\u00e2\u20ac' prefix cp1252 shows for the 3-byte punctuation block.
+_MOJIBAKE_PAT = "(?:[\u00c2\u00c3][\u0080-\u00ff])|\u00e2\u20ac"
+
+
+def corrupt_utf8_as_latin1(s: str | None) -> str | None:
+    """Test/fixture helper: the classic corruption itself — UTF-8 bytes
+    re-read as latin-1 (what a mislabeled HTTP charset does)."""
+    if s is None:
+        return None
+    return s.encode("utf-8").decode("latin-1")
+
+
+def fix_mojibake_text(s: str | None) -> str | None:
+    """One ftfy-style repair pass: if mojibake markers are present, try
+    re-encoding via cp1252 then latin-1 and strict-decoding as UTF-8;
+    accept the FIRST candidate that strictly reduces marker count.
+    Deterministic, conservative (marker-free or unrepairable text is
+    returned unchanged; a failed strict round-trip never corrupts
+    further). Single pass — doubly-encoded text needs two applications,
+    deliberately not looped so cost is bounded."""
+    import re
+
+    if s is None:
+        return None
+    pat = re.compile(_MOJIBAKE_PAT)
+    base = len(pat.findall(s))
+    if base == 0:
+        return s
+    for enc in ("cp1252", "latin-1"):
+        try:
+            cand = s.encode(enc, "strict").decode("utf-8", "strict")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            continue
+        if len(pat.findall(cand)) < base:
+            return cand
+    return s
+
+
+def fix_mojibake_udf():
+    """Arrow-batched pandas UDF over :func:`fix_mojibake_text` — the
+    encode/decode round-trip is not SQL-expressible, so this is a
+    legitimate Python crossing (same class as the decode/zlib UDFs);
+    the oracle joins the committed ``artifacts/mojibake.parquet``
+    fixture generated from these exact functions."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _fix(text: pd.Series) -> pd.Series:
+        return text.map(fix_mojibake_text)
+
+    return _fix
+
+
+def with_mojibake_fix(
+    df,
+    text_col: str = "text",
+    out_col: str = "fixed_text",
+    flag_col: str = "mojibake_fixed",
+):
+    """``out_col`` = repaired text, ``flag_col`` = whether the repair
+    changed anything (null-safe; null text stays null / flag false)."""
+    fixed = fix_mojibake_udf()(F.col(text_col))
+    df = df.withColumn(out_col, fixed)
+    return df.withColumn(
+        flag_col, ~F.col(out_col).eqNullSafe(F.col(text_col))
+    )
+
+
+def corrupt_utf8_as_latin1_udf():
+    """Arrow UDF over :func:`corrupt_utf8_as_latin1` — used by tests and
+    the q111 driver query to plant deterministic corruption."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _corrupt(text: pd.Series) -> pd.Series:
+        return text.map(corrupt_utf8_as_latin1)
+
+    return _corrupt

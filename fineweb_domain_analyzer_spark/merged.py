@@ -332,6 +332,16 @@ _CORPUS_PROFILES = [
     # reference parser ignores; functions/robots.py:sitemaps_from_robots).
     ("q109", "q109_sitemaps", q.Q109_SQL,
      ["domain", "sitemap_url"], [], ["sm_idx"]),
+    # q110: <title> / meta-description extraction (functions/html.py) —
+    # page metadata for snippets, URL-title consistency, title dedup.
+    ("q110", "q110_page_metadata", q.Q110_SQL,
+     ["doc_id", "title", "meta_description"], [], ["title_len"]),
+    # q111: ftfy-style mojibake repair — planted latin-1 mis-decode
+    # corruption must be detected and byte-exactly restored (UDF; the
+    # oracle joins the committed fixture built from the same functions).
+    ("q111", "q111_mojibake_repair", q._q111_sql(),
+     ["doc_id", "fixed_md5"], [],
+     ["corrupted", "mojibake_fixed", "restored"]),
     # q96: embedding-space outlier pruning (operators/similarity.py
     # :embedding_outliers) — IVF assignment + banded per-cluster
     # percentile; band 1 = the farthest 5%.
@@ -1020,7 +1030,7 @@ _FOLDED = {
     "q101_rule_ablation", "q102_rule_overlap",
     "q103_page_type", "q104_doc_shape", "q105_outlink_graph",
     "q106_lang_consistency", "q107_data_card", "q108_anchor_text",
-    "q109_sitemaps",
+    "q109_sitemaps", "q110_page_metadata", "q111_mojibake_repair",
 }
 
 

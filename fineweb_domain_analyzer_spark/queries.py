@@ -5494,6 +5494,155 @@ WHERE len(urls) > 0
 
 
 # ---------------------------------------------------------------------------
+# q110 — page metadata extraction (title + meta description)
+# ---------------------------------------------------------------------------
+
+def q110_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — <title> / meta-description extraction
+    (functions/html.py): page metadata feeds snippeting, URL-title
+    consistency checks and title-based dedup keys. HTML synthesized
+    with case variants, attribute noise and a titleless branch so both
+    the hit and no-match ('') paths are value-checked."""
+    from fineweb_domain_analyzer_spark.functions.html import (
+        extract_meta_description,
+        extract_title,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    title_tag = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<TITLE lang=\"en\">Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" from "),
+                F.col("source"),
+                F.lit("</TITLE>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("<title>"),
+                F.substring(F.col("text"), 1, 40),
+                F.lit("</title>"),
+            ),
+        )
+        .otherwise(F.lit(""))  # titleless page
+    )
+    meta_tag = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<meta charset="utf-8"><meta name="description" '
+                  'content="about '),
+            F.col("source"),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"),
+        meta_tag,
+        title_tag,
+        F.lit("</head><body>"),
+        F.col("text"),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return pages.select(
+        "doc_id",
+        extract_title(F.col("html")).alias("title"),
+        extract_meta_description(F.col("html")).alias("meta_description"),
+        F.length(extract_title(F.col("html"))).cast("bigint").alias(
+            "title_len"
+        ),
+    )
+
+
+Q110_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head>'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '<meta charset="utf-8"><meta name="description" content="about '
+                      || source || '">'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<TITLE lang="en">Doc ' || CAST(doc_id AS VARCHAR)
+                      || ' from ' || source || '</TITLE>'
+                 WHEN doc_id % 3 = 1
+                 THEN '<title>' || substr(text, 1, 40) || '</title>'
+                 ELSE '' END
+         || '</head><body>' || text || '</body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1) AS title,
+       regexp_extract(html,
+         '(?i)<meta\\s[^>]*name="description"[^>]*content="([^"]*)"', 1)
+         AS meta_description,
+       length(regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1))::BIGINT
+         AS title_len
+FROM pages
+"""
+
+
+# ---------------------------------------------------------------------------
+# q111 — mojibake repair (ftfy-lite encoding fix)
+# ---------------------------------------------------------------------------
+
+_MOJIBAKE_FIXTURE = str(
+    Path(__file__).resolve().parent / "artifacts" / "mojibake.parquet"
+)
+
+
+def q111_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — ftfy-style mojibake repair (undo UTF-8 read as
+    cp1252/latin-1, the classic mislabeled-charset corruption): accents
+    are injected ('the'→'thé'), even doc_ids get the corruption planted
+    (UTF-8 bytes re-read as latin-1), and the repair UDF must detect
+    and byte-exactly restore them while leaving clean docs untouched.
+    Encoding round-trips are not SQL-expressible, so the oracle joins
+    the committed fixture generated from the SAME package functions
+    (scripts/make_mojibake_fixture.py)."""
+    from fineweb_domain_analyzer_spark.functions.textfns import (
+        corrupt_utf8_as_latin1_udf,
+        with_mojibake_fix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pre = F.replace(F.col("text"), F.lit("the"), F.lit("thé"))
+    moji_in = F.when(
+        F.col("doc_id") % 2 == 0, corrupt_utf8_as_latin1_udf()(pre)
+    ).otherwise(pre)
+    df = docs.select(
+        "doc_id", pre.alias("_pre"), moji_in.alias("moji_in")
+    )
+    df = with_mojibake_fix(df, text_col="moji_in")
+    return df.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("corrupted"),
+        "mojibake_fixed",
+        F.md5("fixed_text").alias("fixed_md5"),
+        (F.col("fixed_text") == F.col("_pre")).alias("restored"),
+    )
+
+
+def _q111_sql() -> str:
+    return f"""
+WITH fx AS (SELECT * FROM read_parquet('{_MOJIBAKE_FIXTURE}'))
+SELECT d.doc_id,
+       d.doc_id % 2 = 0 AS corrupted,
+       CASE WHEN d.doc_id % 2 = 0 THEN f.corrupted_detected
+            ELSE FALSE END AS mojibake_fixed,
+       CASE WHEN d.doc_id % 2 = 0 THEN f.corrupted_fixed_md5
+            ELSE f.pre_md5 END AS fixed_md5,
+       CASE WHEN d.doc_id % 2 = 0 THEN f.corrupted_restored
+            ELSE TRUE END AS restored
+FROM documents d JOIN fx f ON md5(d.text) = f.text_md5
+"""
+
+
+# ---------------------------------------------------------------------------
 # q101/q102 — filter-rule ablation + overlap matrix (curation audit)
 # ---------------------------------------------------------------------------
 
@@ -5747,6 +5896,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q107_data_card": q107_data_card,
     "q108_anchor_text": q108_anchor_text,
     "q109_sitemaps": q109_sitemaps,
+    "q110_page_metadata": q110_page_metadata,
+    "q111_mojibake_repair": q111_mojibake_repair,
 }
 
 
@@ -5859,4 +6010,6 @@ def oracle_sql() -> dict[str, str]:
         "q107_data_card": _q107_sql(),
         "q108_anchor_text": Q108_SQL,
         "q109_sitemaps": Q109_SQL,
+        "q110_page_metadata": Q110_SQL,
+        "q111_mojibake_repair": _q111_sql(),
     }

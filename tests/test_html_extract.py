@@ -125,3 +125,44 @@ class TestDomExtract:
         rows = with_extracted_text(df, mode="dom").collect()
         assert rows[0]["extracted_text"] == "link"
         assert rows[1]["extracted_text"] is None
+
+
+class TestPageMetadata:
+    def test_title_and_meta(self, spark):
+        from pyspark.sql import functions as F
+
+        from fineweb_domain_analyzer_spark.functions.html import (
+            extract_meta_description,
+            extract_title,
+        )
+
+        html = (
+            '<html><head><META NAME="description" CONTENT="a summary">'
+            "<TITLE>Hello &amp; World</TITLE></head>"
+            "<body><title>second title ignored</title></body></html>"
+        )
+        df = spark.createDataFrame([(html,)], "html string")
+        r = df.select(
+            extract_title(F.col("html")).alias("t"),
+            extract_meta_description(F.col("html")).alias("m"),
+        ).collect()[0]
+        assert r["t"] == "Hello &amp; World"  # first title wins; entities raw
+        assert r["m"] == "a summary"
+
+    def test_absent_yields_empty(self, spark):
+        from pyspark.sql import functions as F
+
+        from fineweb_domain_analyzer_spark.functions.html import (
+            extract_meta_description,
+            extract_title,
+        )
+
+        df = spark.createDataFrame(
+            [("<html><body>no head</body></html>",), (None,)], "html string"
+        )
+        rows = df.select(
+            extract_title(F.col("html")).alias("t"),
+            extract_meta_description(F.col("html")).alias("m"),
+        ).collect()
+        assert (rows[0]["t"], rows[0]["m"]) == ("", "")
+        assert rows[1]["t"] is None  # null html propagates
