@@ -59,6 +59,10 @@ PICKS = {
     "q95_domain_signature_terms": "per-domain tf-idf signature terms: (domain, token) partial-count shuffle; df from the already-grouped pair frame (one row per pair, never raw occurrences); token-keyed join; vocabulary-bounded per-domain top-k window — exact integer score, no float log",
     "q96_embedding_outliers": "embedding outlier pruning: broadcast centroids, per-VECTOR bounded nearest-centroid window (8 rows), then the banded exact-ntile kernel per cluster — a corpus/8 cluster never sorts in one task",
     "q101_rule_ablation": "cascade ablation audit: the fire bits fuse into the flagship's single map stage (broadcast policy join, no fact-side shuffle); ONE single-row exchange carries all 16 partial counters map-side-combined — q102's overlap matrix is the same shape with O(rules²) counters",
+    "q104_doc_shape": "Gopher doc-shape rules: newline split + array lambdas + literal-replace counting, ZERO exchanges — the whole line-level rule set in one map stage",
+    "q105_outlink_graph": "real outlink extraction: regexp_extract_all hrefs → explode → netloc label, src host travels with the edge (NO join anywhere); the only exchange pair is the edge rollup's partial/final agg",
+    "q106_lang_consistency": "segment langid: nested array lambdas (windowing, per-segment stopword argmax, majority rollup) all inside ONE codegen map stage — ZERO exchanges",
+    "q107_data_card": "data card: ONE cube(drop_reason, lang) shuffle with map-side combine; every section derives from the O(reasons×langs) cube frame — the corpus is scanned exactly once",
 }
 
 
