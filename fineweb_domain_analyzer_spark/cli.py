@@ -415,8 +415,25 @@ def stream_ingest(spark, args) -> dict:
     checkpoint = args.checkpoint or str(out_dir / "_stream_checkpoint")
     cfg = None
     if args.classifier_weights or args.drop_page_types or args.enforce_doc_shape:
+        from fineweb_domain_analyzer_spark.operators.pagetype import (
+            DEFAULT_PAGE_TYPE_RULES,
+        )
         from fineweb_domain_analyzer_spark.plans.pipeline import PipelineConfig
 
+        drop_types = tuple(
+            t.strip()
+            for t in (args.drop_page_types or "").split(",")
+            if t.strip()
+        )
+        # a typo here would silently disable the gate the user believes
+        # is on (isin() just never matches) — fail loudly instead
+        valid = {name for name, _pat in DEFAULT_PAGE_TYPE_RULES}
+        unknown = [t for t in drop_types if t not in valid]
+        if unknown:
+            raise SystemExit(
+                f"--drop-page-types: unknown page type(s) {unknown}; "
+                f"valid: {sorted(valid)}"
+            )
         weights = None
         if args.classifier_weights:
             from fineweb_domain_analyzer_spark.operators.training import (
@@ -427,11 +444,7 @@ def stream_ingest(spark, args) -> dict:
         cfg = PipelineConfig(
             quality_weights=weights,
             min_quality_score=args.min_quality_score,
-            drop_page_types=tuple(
-                t.strip()
-                for t in (args.drop_page_types or "").split(",")
-                if t.strip()
-            ),
+            drop_page_types=drop_types,
             enforce_doc_shape=args.enforce_doc_shape,
         )
     summary = run_incremental(

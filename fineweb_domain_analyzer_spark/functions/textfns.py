@@ -329,6 +329,11 @@ def with_lang_consistency(
 # another high-latin1 char (2-byte sequences for U+0080-U+07FF) or the
 # '\u00e2\u20ac' prefix cp1252 shows for the 3-byte punctuation block.
 _MOJIBAKE_PAT = "(?:[\u00c2\u00c3][\u0080-\u00ff])|\u00e2\u20ac"
+import re as _re_mod
+
+_MOJIBAKE_RE = _re_mod.compile(_MOJIBAKE_PAT)  # compiled once; the UDF
+# maps fix_mojibake_text per row, so a per-call compile would sit in the
+# hottest Python path of the repair stage
 
 
 def corrupt_utf8_as_latin1(s: str | None) -> str | None:
@@ -347,11 +352,9 @@ def fix_mojibake_text(s: str | None) -> str | None:
     returned unchanged; a failed strict round-trip never corrupts
     further). Single pass — doubly-encoded text needs two applications,
     deliberately not looped so cost is bounded."""
-    import re
-
     if s is None:
         return None
-    pat = re.compile(_MOJIBAKE_PAT)
+    pat = _MOJIBAKE_RE
     base = len(pat.findall(s))
     if base == 0:
         return s

@@ -131,7 +131,19 @@ def _fire_bits(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
 
     ``coalesce(cond, FALSE)`` mirrors the pipeline's permissive null
     semantics (plans/pipeline.py: a null feature never drops a doc), so
-    an ablation row can never claim a drop the flagship didn't make."""
+    an ablation row can never claim a drop the flagship didn't make.
+
+    Rule names are spliced into generated ``stack()`` SQL and column
+    aliases, so they must be plain identifiers — rejected up front
+    rather than surfacing as an AnalysisException from the generated
+    expression."""
+    import re
+
+    bad = [n for n in rules if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n)]
+    if bad:
+        raise ValueError(
+            f"rule names must be identifiers ([A-Za-z_][A-Za-z0-9_]*); got {bad!r}"
+        )
     return df.select(
         *[
             F.coalesce(cond.cast("boolean"), F.lit(False)).alias(f"_f_{name}")
@@ -249,21 +261,24 @@ def data_card(
     is scanned exactly once regardless of how many sections the card
     grows. Output columns: (section, key, docs, words).
     """
+    # grouping_id, not key-null filters, distinguishes ROLLUP rows from
+    # real NULL groups: a labeled output with langid=NULL rows would
+    # otherwise double-count (the (reason, NULL-lang) real group and the
+    # (reason, all-langs) rollup both have a null _lang key). Bit per
+    # cube column, MSB = drop_reason: 3 = both rolled up (grand total),
+    # 1 = lang rolled up (per-reason totals), 0 = both real.
     cube = labeled.cube("drop_reason", F.col(lang_col).alias("_lang")).agg(
         F.count(F.lit(1)).alias("docs"),
         F.coalesce(F.sum(F.col(words_col)), F.lit(0)).alias("words"),
+        F.grouping_id().alias("_gid"),
     )
-    overall = cube.filter(
-        F.col("drop_reason").isNull() & F.col("_lang").isNull()
-    ).select(
+    overall = cube.filter(F.col("_gid") == 3).select(
         F.lit("overall").alias("section"),
         F.lit("all").alias("key"),
         "docs",
         "words",
     )
-    by_reason = cube.filter(
-        F.col("drop_reason").isNotNull() & F.col("_lang").isNull()
-    )
+    by_reason = cube.filter(F.col("_gid") == 1)
     decision = (
         by_reason.withColumn(
             "key",
@@ -282,7 +297,7 @@ def data_card(
         "words",
     )
     lang_kept = cube.filter(
-        (F.col("drop_reason") == "kept") & F.col("_lang").isNotNull()
+        (F.col("_gid") == 0) & (F.col("drop_reason") == "kept")
     ).select(
         F.lit("language_kept").alias("section"),
         F.col("_lang").alias("key"),

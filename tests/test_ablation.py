@@ -125,3 +125,11 @@ class TestFlagshipParity:
         assert sum(abl[r]["fires"] for r in quality_rules) >= hist.get(
             "quality_filtered", 0
         )
+
+
+class TestRuleNameValidation:
+    def test_non_identifier_rule_name_rejected(self, frame):
+        with pytest.raises(ValueError, match="identifiers"):
+            rule_ablation(frame, {"word count": F.col("a")})
+        with pytest.raises(ValueError, match="identifiers"):
+            rule_overlap(frame, {"a'b": F.col("a"), "ok": F.col("b")})

@@ -354,3 +354,21 @@ def test_cli_data_card(spark, tmp_path):
         sum(v["words"] for v in card["drop_reason"].values())
         == card["overall"]["all"]["words"]
     )
+
+
+def test_cli_drop_page_types_typo_fails_loudly(spark, tmp_path):
+    """A typo'd page class must error out, not silently no-op the gate."""
+    import pytest as _pytest
+
+    from fineweb_domain_analyzer_spark.sources.pages import synth_pages
+
+    in_dir = str(tmp_path / "landing")
+    synth_pages(spark, 10, n_domains=2, seed=3, partitions=1).write.parquet(
+        in_dir
+    )
+    argv = [
+        "--input", in_dir, "--output", str(tmp_path / "o"),
+        "--stream-ingest", "--drop-page-types", "soft404,login-wall",
+    ]
+    with _pytest.raises(SystemExit, match="unknown page type"):
+        cli.main(argv)

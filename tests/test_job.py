@@ -129,3 +129,32 @@ def test_spark_submit_py_files_packaging(tmp_path):
     assert sorted(report["splits_processed"]) == ["0", "1"]
     assert report["total"] == report["kept"] + report["excluded"] > 0
     assert report["lineage_partitions"] > 0
+
+
+class TestDataCardNullGroups:
+    def test_null_lang_not_double_counted(self, spark):
+        """cube rollup rows are selected by grouping_id, so a real NULL
+        langid group must not double into the decision/overall sums."""
+        from fineweb_domain_analyzer_spark.operators.metrics import data_card
+
+        rows = [
+            ("kept", "en", 10),
+            ("kept", None, 7),       # real NULL language group
+            ("quality_filtered", None, 3),
+            ("robots_disallowed", "de", 5),
+        ]
+        df = spark.createDataFrame(
+            rows, "drop_reason string, langid string, word_count int"
+        )
+        card = {
+            (r["section"], r["key"]): (r["docs"], r["words"])
+            for r in data_card(df).collect()
+        }
+        assert card[("overall", "all")] == (4, 25)
+        assert card[("decision", "kept")] == (2, 17)
+        assert card[("decision", "dropped")] == (2, 8)
+        assert card[("drop_reason", "kept")] == (2, 17)
+        assert card[("drop_reason", "quality_filtered")] == (1, 3)
+        # the kept NULL-lang group appears once, as its own key
+        assert card[("language_kept", "en")] == (1, 10)
+        assert card[("language_kept", None)] == (1, 7)
