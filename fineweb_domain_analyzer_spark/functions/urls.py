@@ -151,3 +151,26 @@ def with_url_features(df, url_col: str = "url", prefix: str = "url_"):
         | (F.col(prefix + "path_depth") > 8),
     )
     return df.drop("_uf_auth", "_uf_host", "_uf_path", "_uf_query")
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) sort key — the
+    Common Crawl / Wayback convention: reversed, comma-joined host
+    labels + ')' + path, e.g. ``https://sub.example.com:8080/a/b`` →
+    ``com,example,sub)/a/b``.  Lexicographic order then co-locates a
+    site with all its subdomains — the layout key for site-local
+    sorting/sharding of a crawl (port and scheme dropped, host
+    lowercased; query strings ride with the path).
+
+    Pure codegen: netloc regex → port strip → split/reverse/join.
+    Invalid/scheme-less urls (empty netloc) yield NULL so callers can
+    route them to a quarantine shard rather than sorting them as ''.
+    """
+    netloc = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    host = F.split(netloc, ":")[0]
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    raw_path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(
+        F.concat(rev, F.lit(")"), path)
+    )

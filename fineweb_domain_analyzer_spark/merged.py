@@ -342,6 +342,14 @@ _CORPUS_PROFILES = [
     ("q111", "q111_mojibake_repair", q._q111_sql(),
      ["doc_id", "fixed_md5"], [],
      ["corrupted", "mojibake_fixed", "restored"]),
+    # q112: SURT reversed-host sort keys (site-local crawl layout).
+    ("q112", "q112_surt_keys", q.Q112_SQL,
+     ["doc_id", "surt"], [], ["surt_len"]),
+    # q113: RFC 9309 longest-match Allow/Disallow vs the naive
+    # any-Disallow-prefix rule (operators/filtering.py:
+    # rfc9309_path_allowed) — the Allow carve-out honored.
+    ("q113", "q113_rfc9309_match", q.Q113_SQL,
+     ["doc_id", "path"], [], ["rfc_allowed", "naive_blocked"]),
     # q96: embedding-space outlier pruning (operators/similarity.py
     # :embedding_outliers) — IVF assignment + banded per-cluster
     # percentile; band 1 = the farthest 5%.
@@ -1031,6 +1039,7 @@ _FOLDED = {
     "q103_page_type", "q104_doc_shape", "q105_outlink_graph",
     "q106_lang_consistency", "q107_data_card", "q108_anchor_text",
     "q109_sitemaps", "q110_page_metadata", "q111_mojibake_repair",
+    "q112_surt_keys", "q113_rfc9309_match",
 }
 
 

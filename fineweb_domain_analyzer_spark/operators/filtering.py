@@ -218,3 +218,32 @@ def stratified_hash_sample(
     if bucket_col is None:
         return out.drop("_bucket")
     return out.withColumnRenamed("_bucket", bucket_col)
+
+
+def rfc9309_path_allowed(
+    path: Column, disallowed_paths: Column, allowed_paths: Column
+) -> Column:
+    """RFC 9309 §2.2.2 most-specific-match decision: among the rules
+    whose literal prefix matches the path, the LONGEST wins; on equal
+    length ``Allow`` wins; no matching rule ⇒ allowed. This is the
+    modern-standard semantics the reference never applies (it only
+    collects Disallow lines) and a strict upgrade over
+    :func:`path_disallowed`'s any-Disallow-prefix rule — an
+    ``Allow: /public/`` carve-out under a broader ``Disallow: /`` is
+    honored here and ignored there.
+
+    Matching is literal-prefix like ``path_disallowed`` (``*``/``$``
+    wildcards out of scope, same documented contract). Fully JVM-side:
+    filter + transform + array_max over the broadcast-joined rule
+    arrays — whole-stage codegen, no Python, no shuffle.
+    """
+    empty = F.array().cast("array<string>")
+
+    def longest_match(rules: Column) -> Column:
+        hits = F.transform(
+            F.filter(F.coalesce(rules, empty), lambda r: path.startswith(r)),
+            lambda r: F.length(r),
+        )
+        return F.coalesce(F.array_max(hits), F.lit(-1))
+
+    return longest_match(allowed_paths) >= longest_match(disallowed_paths)

@@ -5643,6 +5643,111 @@ FROM documents d JOIN fx f ON md5(d.text) = f.text_md5
 
 
 # ---------------------------------------------------------------------------
+# q112 — SURT canonical sort keys (site-local crawl layout)
+# ---------------------------------------------------------------------------
+
+def q112_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — SURT sort keys (functions/urls.py:surt_key): the
+    Common Crawl / Wayback reversed-host form whose lexicographic order
+    co-locates a site with its subdomains — the layout key for
+    site-local sorting/sharding. Pure codegen, ZERO shuffles."""
+    from fineweb_domain_analyzer_spark.functions.urls import surt_key
+
+    pages = pages_view(spark, sf_dir)
+    return pages.select(
+        "doc_id",
+        surt_key(F.col("url")).alias("surt"),
+        F.length(surt_key(F.col("url"))).cast("bigint").alias("surt_len"),
+    )
+
+
+Q112_SQL = f"""
+WITH {PAGES_CTE},
+parts AS (
+  SELECT doc_id,
+         split_part(lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), ':', 1) AS host,
+         regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS raw_path
+  FROM pages
+),
+keys AS (
+  SELECT doc_id,
+         CASE WHEN host = '' THEN NULL
+              ELSE array_to_string(list_reverse(string_split(host, '.')), ',')
+                   || ')' || (CASE WHEN raw_path = '' THEN '/' ELSE raw_path END)
+         END AS surt
+  FROM parts
+)
+SELECT doc_id, surt, length(surt)::BIGINT AS surt_len FROM keys
+"""
+
+
+# ---------------------------------------------------------------------------
+# q113 — RFC 9309 most-specific-match robots decision
+# ---------------------------------------------------------------------------
+
+def q113_rfc9309_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — RFC 9309 longest-match Allow/Disallow decision
+    (operators/filtering.py:rfc9309_path_allowed) contrasted with the
+    reference-style any-Disallow-prefix rule: per source, (i%3==0)
+    Disallow /doc/ with an Allow /doc/1 carve-out — the RFC honors the
+    carve-out, the naive rule doesn't; (i%3==1) equal-length tie —
+    Allow wins per the RFC; (i%3==2) no rules — both allow."""
+    from fineweb_domain_analyzer_spark.operators.filtering import (
+        path_disallowed,
+        rfc9309_path_allowed,
+        url_path,
+    )
+
+    pages = pages_view(spark, sf_dir)
+    i = F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int")
+    empty = F.array().cast("array<string>")
+    disallow = F.when(i % 3 < 2, F.array(F.lit("/doc/"))).otherwise(empty)
+    allow = (
+        F.when(i % 3 == 0, F.array(F.lit("/doc/1")))
+        .when(i % 3 == 1, F.array(F.lit("/doc/")))
+        .otherwise(empty)
+    )
+    path = url_path(F.col("url"))
+    return pages.select(
+        "doc_id",
+        path.alias("path"),
+        rfc9309_path_allowed(path, disallow, allow).alias("rfc_allowed"),
+        path_disallowed(path, disallow).alias("naive_blocked"),
+    )
+
+
+Q113_SQL = f"""
+WITH {PAGES_CTE},
+base AS (
+  SELECT doc_id,
+         TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS i,
+         CASE WHEN regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) = ''
+              THEN '/'
+              ELSE regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+         END AS path
+  FROM pages
+),
+ruled AS (
+  SELECT doc_id, path,
+         CASE WHEN i % 3 < 2 THEN ['/doc/'] ELSE [] END AS d,
+         CASE WHEN i % 3 = 0 THEN ['/doc/1']
+              WHEN i % 3 = 1 THEN ['/doc/'] ELSE [] END AS a
+  FROM base
+)
+SELECT doc_id, path,
+       coalesce(list_max(list_transform(
+           list_filter(a, r -> starts_with(path, r)), r -> length(r))), -1)
+       >= coalesce(list_max(list_transform(
+           list_filter(d, r -> starts_with(path, r)), r -> length(r))), -1)
+         AS rfc_allowed,
+       len(list_filter(d, r -> starts_with(path, r))) > 0 AS naive_blocked
+FROM ruled
+"""
+
+
+# ---------------------------------------------------------------------------
 # q101/q102 — filter-rule ablation + overlap matrix (curation audit)
 # ---------------------------------------------------------------------------
 
@@ -5898,6 +6003,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q109_sitemaps": q109_sitemaps,
     "q110_page_metadata": q110_page_metadata,
     "q111_mojibake_repair": q111_mojibake_repair,
+    "q112_surt_keys": q112_surt_keys,
+    "q113_rfc9309_match": q113_rfc9309_match,
 }
 
 
@@ -6012,4 +6119,6 @@ def oracle_sql() -> dict[str, str]:
         "q109_sitemaps": Q109_SQL,
         "q110_page_metadata": Q110_SQL,
         "q111_mojibake_repair": _q111_sql(),
+        "q112_surt_keys": Q112_SQL,
+        "q113_rfc9309_match": Q113_SQL,
     }

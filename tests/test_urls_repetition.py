@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from fineweb_domain_analyzer_spark.functions.urls import (
@@ -253,3 +254,93 @@ class TestUrlFeatures:
             assert out[i]["url_digit_frac"] == round(
                 digits / max(len(host), 1), 4
             ), (u, out[i])
+
+
+class TestSurtKey:
+    @pytest.mark.parametrize(
+        "url,expected",
+        [
+            ("https://sub.example.com:8080/a/b?q=1", "com,example,sub)/a/b?q=1"),
+            ("http://WWW.Example.COM", "com,example,www)/"),
+            ("https://example.com/x#frag", "com,example)/x"),
+            ("https://localhost/p", "localhost)/p"),
+            ("not-a-url", None),
+            ("", None),
+            (None, None),
+        ],
+    )
+    def test_keys(self, spark, url, expected):
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        from fineweb_domain_analyzer_spark.functions.urls import surt_key
+
+        df = spark.createDataFrame(
+            [(url,)], StructType([StructField("url", StringType())])
+        )
+        assert df.select(surt_key(F.col("url")).alias("s")).collect()[0]["s"] == expected
+
+    def test_sort_colocates_site(self, spark):
+        """Lexicographic SURT order groups a host with its subdomains."""
+        from pyspark.sql import functions as F
+
+        from fineweb_domain_analyzer_spark.functions.urls import surt_key
+
+        urls = [
+            "https://a.example.com/1",
+            "https://zz-other.com/x",
+            "https://example.com/2",
+            "https://b.example.com/3",
+            "https://aardvark.org/y",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        ordered = [
+            r["url"]
+            for r in df.orderBy(surt_key(F.col("url"))).collect()
+        ]
+        ex = [u for u in ordered if "example.com" in u]
+        # the three example.com hosts are contiguous in the sort
+        idx = [ordered.index(u) for u in ex]
+        assert idx == list(range(min(idx), min(idx) + 3))
+
+
+class TestRfc9309Match:
+    @pytest.mark.parametrize(
+        "path,disallow,allow,expected",
+        [
+            ("/doc/5", ["/doc/"], [], False),          # disallow only
+            ("/doc/15", ["/doc/"], ["/doc/1"], True),  # longer allow wins
+            ("/doc/5", ["/doc/"], ["/doc/1"], False),  # allow doesn't match
+            ("/doc/5", ["/doc/"], ["/doc/"], True),    # tie -> allow wins
+            ("/other", ["/doc/"], [], True),           # nothing matches
+            ("/x", [], [], True),                      # no rules
+            ("/x", None, None, True),                  # null rules
+            ("/public/a", ["/"], ["/public/"], True),  # carve-out under /
+            ("/private", ["/"], ["/public/"], False),
+        ],
+    )
+    def test_truth_table(self, spark, path, disallow, allow, expected):
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            ArrayType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from fineweb_domain_analyzer_spark.operators.filtering import (
+            rfc9309_path_allowed,
+        )
+
+        schema = StructType(
+            [
+                StructField("path", StringType()),
+                StructField("d", ArrayType(StringType())),
+                StructField("a", ArrayType(StringType())),
+            ]
+        )
+        df = spark.createDataFrame([(path, disallow, allow)], schema)
+        got = df.select(
+            rfc9309_path_allowed(F.col("path"), F.col("d"), F.col("a")).alias("ok")
+        ).collect()[0]["ok"]
+        assert got is expected
