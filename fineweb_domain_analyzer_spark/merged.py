@@ -350,6 +350,11 @@ _CORPUS_PROFILES = [
     # rfc9309_path_allowed) — the Allow carve-out honored.
     ("q113", "q113_rfc9309_match", q.Q113_SQL,
      ["doc_id", "path"], [], ["rfc_allowed", "naive_blocked"]),
+    # q114: quality-priority duplicate selection — keep the BEST
+    # cluster member, not min-id (operators/dedup.py:
+    # select_cluster_representatives).
+    ("q114", "q114_best_of_cluster", q._q114_sql(),
+     ["cluster", "rep_id"], ["rep_score"], ["n_members"]),
     # q96: embedding-space outlier pruning (operators/similarity.py
     # :embedding_outliers) — IVF assignment + banded per-cluster
     # percentile; band 1 = the farthest 5%.
@@ -1039,7 +1044,7 @@ _FOLDED = {
     "q103_page_type", "q104_doc_shape", "q105_outlink_graph",
     "q106_lang_consistency", "q107_data_card", "q108_anchor_text",
     "q109_sitemaps", "q110_page_metadata", "q111_mojibake_repair",
-    "q112_surt_keys", "q113_rfc9309_match",
+    "q112_surt_keys", "q113_rfc9309_match", "q114_best_of_cluster",
 }
 
 

@@ -1096,3 +1096,37 @@ def remove_duplicated_spans(
             "n_tokens_removed"
         ),
     )
+
+
+def select_cluster_representatives(
+    df: DataFrame,
+    cluster_col: str,
+    order_cols: list,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ONE representative per duplicate cluster by an explicit
+    priority order — production dedup keeps the BEST member (highest
+    quality score, longest text, newest snapshot …), not the smallest
+    id; min-id (``exact_dedup_groups``/``dedup_clusters``) is only the
+    right default when members are byte-identical. Pass e.g.
+    ``[F.col("quality_score").desc(), F.col("doc_id")]`` — always end
+    with a unique tiebreaker so the choice is deterministic.
+
+    Output: the representative rows plus ``n_members`` (cluster size).
+    Scale shape: ONE shuffle on the cluster key + a rank-1 window whose
+    state is bounded by cluster size — near-dup clusters are small by
+    construction (banded candidates + verify), the same trade as A1's
+    top-5 window. A pathological mega-cluster concentrates ONE
+    cluster's members in one task; cap upstream (``max_bucket_size`` in
+    the LSH path) if the corpus can produce one.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(*order_cols)
+    wc = Window.partitionBy(cluster_col)
+    return (
+        df.withColumn("_rep_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("_rep_rn") == 1)
+        .drop("_rep_rn")
+    )

@@ -5748,6 +5748,89 @@ FROM ruled
 
 
 # ---------------------------------------------------------------------------
+# q114 — best-of-cluster dedup (quality-priority representatives)
+# ---------------------------------------------------------------------------
+
+def q114_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION — quality-priority duplicate selection
+    (operators/dedup.py:select_cluster_representatives): every third
+    doc gets a degraded near-copy planted (spam tail, id+100000), the
+    cluster key recovers the pairing, and the representative is chosen
+    by quality score (desc, doc_id tiebreak) — the 60-token repeated
+    tail drives max_word_repeat_ratio high enough that the repetition
+    penalty always outweighs the word-count gain, so the original must
+    win every 2-member cluster (asserted in tests). ONE cluster-key
+    shuffle + a rank-1 window bounded by cluster size."""
+    from fineweb_domain_analyzer_spark.operators.dedup import (
+        select_cluster_representatives,
+    )
+    from fineweb_domain_analyzer_spark.operators.quality import (
+        with_quality_features,
+        with_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    degraded = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" spam" * 60)
+        ).alias("text"),
+    )
+    u = docs.unionAll(degraded)
+    scored = with_quality_score(with_quality_features(u))
+    reps = select_cluster_representatives(
+        scored.withColumn("cluster", F.col("doc_id") % 100000),
+        "cluster",
+        [F.col("quality_score").desc(), F.col("doc_id")],
+    )
+    return reps.select(
+        "cluster",
+        F.col("doc_id").alias("rep_id"),
+        F.col("quality_score").alias("rep_score"),
+        "n_members",
+    )
+
+
+def _q114_sql() -> str:
+    wc = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END"
+    return f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam'
+  FROM documents WHERE doc_id % 3 = 0
+),
+feats AS (
+  SELECT doc_id, doc_id % 100000 AS cluster,
+         {wc} AS word_count,
+         round(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
+               / greatest({wc}, 1), 4) AS mean_word_len,
+         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1), 4) AS symbol_ratio,
+         round(len(list_filter({TOKS_SQL}, t -> list_contains({_STOPLIST_SQL}, t)))::DOUBLE
+               / greatest({wc}, 1), 4) AS stopword_density,
+         CASE WHEN length(trim(text)) = 0 OR len({TOKS_SQL}) = 0 THEN 0.0
+              ELSE round(list_max(list_transform(list_distinct({TOKS_SQL}),
+                           t -> len(list_filter({TOKS_SQL}, x -> x = t))))::DOUBLE
+                         / len({TOKS_SQL}), 4) END AS max_word_repeat_ratio
+  FROM u
+),
+scored AS (
+  SELECT doc_id, cluster, {_SCORE_SQL} AS quality_score FROM feats
+),
+ranked AS (
+  SELECT cluster, doc_id, quality_score,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY quality_score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster)::BIGINT AS n_members
+  FROM scored
+)
+SELECT cluster, doc_id AS rep_id, quality_score AS rep_score, n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # q101/q102 — filter-rule ablation + overlap matrix (curation audit)
 # ---------------------------------------------------------------------------
 
@@ -6005,6 +6088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_mojibake_repair": q111_mojibake_repair,
     "q112_surt_keys": q112_surt_keys,
     "q113_rfc9309_match": q113_rfc9309_match,
+    "q114_best_of_cluster": q114_best_of_cluster,
 }
 
 
@@ -6121,4 +6205,5 @@ def oracle_sql() -> dict[str, str]:
         "q111_mojibake_repair": _q111_sql(),
         "q112_surt_keys": Q112_SQL,
         "q113_rfc9309_match": Q113_SQL,
+        "q114_best_of_cluster": _q114_sql(),
     }

@@ -728,3 +728,40 @@ class TestSpanRemovalDifferential:
             ).collect()
         }
         assert got == want
+
+
+class TestClusterRepresentatives:
+    """select_cluster_representatives: quality-priority duplicate
+    selection (keep the BEST member, not min-id)."""
+
+    def test_priority_and_tiebreak(self, spark):
+        from pyspark.sql import functions as F
+
+        from fineweb_domain_analyzer_spark.operators.dedup import (
+            select_cluster_representatives,
+        )
+
+        rows = [
+            # cluster 1: clear winner by score
+            (1, 10, 0.9), (1, 11, 0.4),
+            # cluster 2: score tie -> lower id wins (deterministic)
+            (2, 21, 0.5), (2, 20, 0.5),
+            # cluster 3: singleton
+            (3, 30, 0.1),
+        ]
+        df = spark.createDataFrame(rows, "cluster int, doc_id int, score double")
+        reps = {
+            r["cluster"]: (r["doc_id"], r["n_members"])
+            for r in select_cluster_representatives(
+                df, "cluster", [F.col("score").desc(), F.col("doc_id")]
+            ).collect()
+        }
+        assert reps == {1: (10, 2), 2: (20, 2), 3: (30, 1)}
+
+    def test_q114_original_always_beats_spam_tail(self, spark):
+        from fineweb_domain_analyzer_spark.queries import q114_best_of_cluster
+
+        reps = q114_best_of_cluster(spark, "/root/testdata/sf0.001").collect()
+        two = [r for r in reps if r["n_members"] == 2]
+        assert len(two) > 100
+        assert all(r["rep_id"] < 100000 for r in two)
